@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line for the driver.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.  Each query is materialized via the noop
+sink (full execution, no driver-side result transfer).  One warmup of
+the flagship query first so JVM/codegen startup is not charged to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_twitter_spark.registry import load_all_operators  # noqa: E402
+from bigdata_twitter_spark.session import get_session  # noqa: E402
+
+# Headline set: one representative per operator family; grows as the
+# registry grows.  Keys absent from the registry are skipped so bench
+# never breaks mid-build.
+HEADLINE = [
+    "agg_q1_pricing",
+    "join_star_3way",
+    "join_broadcast",
+    "win_rank_topk_per_group",
+    "ts_tumbling_counts",
+    "ts_sessionize_batch",
+    "trending_topk_terms",
+    "text_tf_idf",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "agg_pivot",
+    "agg_stats",
+    "join_asof",
+    "fn_json",
+]
+
+
+def materialize(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="bdt-bench")
+    specs = load_all_operators()
+    keys = [k for k in HEADLINE if k in specs]
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    materialize(specs[keys[0]].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for key in keys:
+        t0 = time.perf_counter()
+        materialize(specs[key].fn(spark, sf_dir))
+        timings[key] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

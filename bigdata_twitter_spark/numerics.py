@@ -1,0 +1,59 @@
+"""Numeric-stability helpers for oracle-checked aggregates.
+
+The driver hashes result *values* against a DuckDB run of the oracle
+SQL.  Double sums are accumulation-order dependent, and Spark's
+multi-partition accumulation order differs from DuckDB's — so every
+oracle-checked aggregate over doubles goes through exact DECIMAL
+arithmetic and is cast back to DOUBLE only at the very end (a decimal →
+nearest-double cast is deterministic and engine-independent).
+
+Precision choice: fixture monetary/measure columns carry 2 fractional
+digits and magnitudes < 10^10, so DECIMAL(12,2) is lossless; products
+of two such values are DECIMAL(25,4) and of three DECIMAL(38,6) — the
+widest product still fits Spark's 38-digit cap *exactly* (no
+silent-rounding fallback, which kicks in past precision 38).
+
+Derived statistics (avg/var/corr) are computed *in double arithmetic
+from the exact decimal sums*, with the same expression shape on both
+sides, so both engines perform the identical IEEE-754 operation
+sequence on identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(12,2)"
+
+
+def dec(col: str | Column) -> Column:
+    """Lossless decimal view of a 2-fraction-digit double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def dsum(col: str | Column) -> Column:
+    """Exact sum of a 2-digit double column, returned as double.
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)``.
+    """
+    return F.sum(dec(col)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def davg(col: str | Column) -> Column:
+    """Exact-sum average: decimal sum → double, divided by count.
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) /
+    COUNT(x)`` — double / bigint is the same IEEE op in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c)).cast("double") / F.count(c)
+
+
+def davg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,360 @@
+"""Aggregation operators (SURVEY.md §2.D).
+
+Reference parity: the BigData-Twitter genre's core analytics are
+grouped counts/sums over the tweet log (tweets per user, per hashtag,
+per time bucket); SURVEY.md §2.D maps those onto the driver fixtures.
+Reference file:line citations are impossible — the checkout is empty
+(SURVEY.md §0.1); capability provenance is per-row in §2.D.
+
+Scale posture: every aggregate here is a plain ``groupBy().agg`` —
+Spark automatically plans two-phase (partial map-side + final) hash
+aggregation, so the shuffle carries one row per (partition × group),
+not per input row.  Group-key cardinalities (returnflag×linestatus = 6,
+event_type = 5, user ~ |users|) stay far below partition counts at
+100 TB, so no skew handling is needed beyond AQE defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..numerics import davg, davg_sql, dec, dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "agg_q1_pricing",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))
+                    * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Two-phase hash agg over 6 groups; shuffle payload is O(partitions). "
+        "DECIMAL accumulation is exact, so the plan parallelizes freely."
+    ),
+)
+def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-shaped pricing summary per (returnflag, linestatus)."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_global",
+    sql=f"""
+    SELECT COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           {dsum_sql('value')} AS sum_value,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events
+    """,
+    tables=("events",),
+    scale_note="Single global group: partial aggregates reduce to one row per partition.",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregates over the event log."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value").alias("sum_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "Exact distinct = expand + two-phase agg (Spark rewrites internally). "
+        "At 100 TB prefer agg_approx_count_distinct (HLL) unless exactness is required."
+    ),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (unique-users-per-hashtag analog)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    sql=None,  # approximate — rows-only check; cross-validated vs exact in tests
+    tables=("events",),
+    scale_note=(
+        "HLL++ sketch: fixed-size state per group, single shuffle of sketches. "
+        "This is the 100-TB path for distinct counting."
+    ),
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HyperLogLog++)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "agg_having",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= 5
+    """,
+    tables=("events",),
+    scale_note="HAVING is a post-agg filter on already-reduced rows — no extra shuffle.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active users: per-user totals filtered post-aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .filter(F.col("n_events") >= 5)
+    )
+
+
+@query(
+    "agg_rollup",
+    sql=f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+    tables=("events",),
+    scale_note=(
+        "Rollup expands to grouping-set rows before the shuffle; cost is "
+        "O(levels) × base agg. Fine at 100 TB for low-cardinality dims."
+    ),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (type, day) → (type) → grand total."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query(
+    "agg_cube",
+    sql=f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+    tables=("events",),
+    scale_note="Cube = 2^dims grouping sets; keep dims ≤ 3 at scale.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subsets totals over (event_type, day)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return e.cube("event_type", "day").agg(
+        F.count("*").alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    sql=f"""
+    SELECT event_type, user_id, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id))
+    """,
+    tables=("events",),
+    scale_note="Explicit grouping sets avoid the full cube when only two views are needed.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent aggregate views (by type, by user) in one pass."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT event_type, user_id, COUNT(*) AS n, {dsum_sql("value")} AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id))
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    sql="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY event_type) AS events_csv,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "collect_list is bounded by per-group size; sort_array makes the result "
+        "partition-order independent (required for hash-stable output)."
+    ),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted event-type list, emitted as a canonical CSV string."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+            "events_csv"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Explicit pivot value list ⇒ single-pass conditional aggregation "
+        "(no extra job to discover values) and a stable output schema."
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type activity matrix."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    piv = e.groupBy("day").pivot("event_type", PIVOT_EVENT_TYPES).count()
+    # Spark pivot leaves missing combinations null; the CASE-WHEN oracle
+    # counts them as 0 — align.
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES]
+    )
+
+
+_STATS_SQL = """
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sqp
+        FROM lineitem
+    )
+    SELECT n,
+           sq / n AS mean_qty,
+           (sqq - sq * sq / n) / (n - 1) AS var_qty,
+           sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+           (spp - sp * sp / n) / (n - 1) AS var_price,
+           (sqp - sq * sp / n)
+             / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS corr_qty_price
+    FROM s
+"""
+
+
+@query(
+    "agg_stats",
+    sql=_STATS_SQL,
+    tables=("lineitem",),
+    scale_note=(
+        "Variance/corr from exact decimal co-moments in ONE pass (sum, sum of "
+        "squares, cross product) — associative, so it distributes perfectly; "
+        "the float math happens once on the final single row."
+    ),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mean/variance/stddev/correlation via decimal co-moments.
+
+    Spark's builtin var_samp/corr accumulate doubles in partition order,
+    which is not reproducible against the oracle; computing the
+    co-moments in DECIMAL and deriving the statistics in one final
+    double expression is order-independent and bit-stable on both
+    engines.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    s = l.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sqq"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("spp"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("double")
+        .alias("sqp"),
+    )
+    n, sq, sqq, sp, spp, sqp = (F.col(c) for c in ["n", "sq", "sqq", "sp", "spp", "sqp"])
+    return s.select(
+        n.alias("n"),
+        (sq / n).alias("mean_qty"),
+        ((sqq - sq * sq / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("stddev_qty"),
+        ((spp - sp * sp / n) / (n - 1)).alias("var_price"),
+        (
+            (sqp - sq * sp / n)
+            / (F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n))
+        ).alias("corr_qty_price"),
+    )

@@ -1,0 +1,76 @@
+"""Central operator registry — the SURVEY.md §2 contract in code.
+
+Every operator registers itself with :func:`query`; the driver-facing
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin projections of
+this registry.  Keeping (Spark implementation, oracle SQL, scale notes)
+adjacent in one decorator call is what keeps the two sides' column
+aliases aligned — the driver's compare hashes values after sorting
+columns by name, so a single alias drift is a correctness failure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    sql: str | None  # DuckDB oracle SQL; None ⇒ rows-only check
+    tables: tuple[str, ...] = ()
+    scale_note: str = ""  # how this survives 100 TB / 1000 executors
+    doc: str = field(default="", repr=False)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    sql: str | None = None,
+    tables: tuple[str, ...] = (),
+    scale_note: str = "",
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate operator key: {name}")
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=fn,
+            sql=sql,
+            tables=tables,
+            scale_note=scale_note,
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+def load_all_operators() -> dict[str, QuerySpec]:
+    """Import every operator module (side effect: registration)."""
+    from . import udfs  # noqa: F401
+    from .functions import scalars  # noqa: F401
+    from .llm import dedup, multimodal, similarity  # noqa: F401
+    from .operators import (  # noqa: F401
+        aggregates,
+        filters,
+        joins,
+        setops,
+        sort_limit,
+        timeseries,
+        windows,
+    )
+    from .sources import scans  # noqa: F401
+    from .streaming import ops  # noqa: F401
+    from .text import analysis  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,66 @@
+"""Fixture-table loaders: declared schemas, the one true events loader.
+
+Every operator loads inputs through :func:`load` — never a raw
+``spark.read.parquet`` — so the two verified landmines (SURVEY.md §1.4)
+are fixed in exactly one place:
+
+1. ``events.ts`` is parquet TIMESTAMP(NANOS); with the legacy conf it
+   arrives as LongType nanoseconds.  DuckDB reads the same column as
+   TIMESTAMP (µs) by exact truncation, so we convert with *integer*
+   division (``ts div 1000`` → ``timestamp_micros``).  Float division
+   corrupts 118/1000 rows at sf0.001 — never use it.
+2. All loads run through :func:`session.configure` so a driver-owned
+   session gets the required runtime confs.
+
+At 100 TB these tables would be partitioned/bucketed parquet datasets;
+the loaders take a directory and a table name, so swapping a single
+file for a partitioned layout is a zero-change operation for every
+operator above this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast when joined
+# against a fact table (region 5 / nation 25 / supplier / part rows are
+# tiny at every SF; at 100 TB they are still << the 10 MB-class
+# broadcast budget).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with engine-canonical column types."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns → µs with integer division ONLY (SURVEY.md §1.4.2); the
+        # result is semantically identical to what DuckDB's oracle sees.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view (for the SQL entry point)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
