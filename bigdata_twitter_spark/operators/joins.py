@@ -1,0 +1,332 @@
+"""Join operators (SURVEY.md §2.C): equi/broadcast/outer/semi/anti/
+cross/theta/interval/as-of/star.
+
+Reference parity: the tweet-analytics genre enriches the activity log
+with user/dimension attributes and correlates events in time
+(SURVEY.md §2.C provenance; reference checkout empty — §0.1).
+
+Scale posture per join is documented on each operator; the common
+rules: broadcast every dimension that fits (region/nation/part/
+supplier), let AQE pick sort-merge vs shuffled-hash for fact-fact
+joins and split skewed partitions, and express non-equi joins with an
+equi prefix (user_id) so they plan as hash/merge joins with a residual
+filter rather than cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..numerics import dec
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "join_inner_equi",
+    sql="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tables=("orders", "customer"),
+    scale_note=(
+        "Fact-dim equi join; at sf scale customer broadcasts automatically, at "
+        "100 TB AQE picks shuffled-hash/sort-merge on the key."
+    ),
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→customer enrichment (tweet→user-profile join analog)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    sql="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 25
+    GROUP BY p_brand
+    """,
+    tables=("lineitem", "part"),
+    scale_note=(
+        "Explicit broadcast() of the part dim: map-side hash join, zero shuffle "
+        "of the fact table; the groupBy then shuffles only 25 brand groups."
+    ),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-fact × small-dim join with an explicit broadcast hint."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_outer_left",
+    sql="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) big
+      ON c_custkey = big.o_custkey
+    """,
+    tables=("customer", "orders"),
+    scale_note="Left join preserves the dimension side; null padding for unmatched.",
+)
+def join_outer_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with their big orders, null-padded when none exist."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_outer_full",
+    sql="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+    tables=("customer", "supplier"),
+    scale_note=(
+        "Full join of two pre-aggregated sides — aggregate first, join small "
+        "results; COALESCE keeps the output schema non-nullable for hashing."
+    ),
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer vs supplier presence, both-sides-preserved."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    tables=("customer", "orders"),
+    scale_note="Left-semi join: probe side streams, no row duplication, early out.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one large order (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    sql="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+    tables=("part", "lineitem"),
+    scale_note="Left-anti join (NOT EXISTS) — same hash plan as semi, negated.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that were never ordered (NOT EXISTS)."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem")
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@query(
+    "join_cross",
+    sql="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    tables=("region", "nation"),
+    scale_note="Cartesian of two tiny dims (5×25); never cross-join facts at scale.",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dimensions."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta_range",
+    sql="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           a.user_id, a.value AS a_value, b.value AS b_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.value BETWEEN a.value - 5.0 AND a.value + 5.0
+    """,
+    tables=("events",),
+    scale_note=(
+        "Equi prefix on user_id makes this a hash/merge join with a residual "
+        "band predicate — NOT a cartesian; pair blowup is bounded per user."
+    ),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs with near-equal values (non-equi band join)."""
+    e = load(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & F.col("b.value").between(F.col("a.value") - 5.0, F.col("a.value") + 5.0),
+    ).select(
+        F.col("a.event_id").alias("a_id"),
+        F.col("b.event_id").alias("b_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.value").alias("a_value"),
+        F.col("b.value").alias("b_value"),
+    )
+
+
+@query(
+    "join_interval_time",
+    sql="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tables=("events",),
+    scale_note=(
+        "Log-enrichment interval join: equi on user + bounded time band. At "
+        "100 TB, bucketing both sides by (user_id, coarse time bucket) keeps "
+        "the band check partition-local."
+    ),
+)
+def join_interval_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within one hour after a click by the same user."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").alias("c")
+    errors = e.filter(F.col("event_type") == "error").alias("e")
+    return clicks.join(
+        errors,
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("e.ts") > F.col("c.ts"))
+        & (F.col("e.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("e.event_id").alias("error_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("e.ts").alias("error_ts"),
+    )
+
+
+@query(
+    "join_asof",
+    sql="""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts <= e.ts) AS last_click_ts
+    FROM events e
+    """,
+    tables=("events",),
+    scale_note=(
+        "As-of join via a range-frame window: one shuffle on user_id, one "
+        "partition-local sort — no native asof needed and no self-join blowup. "
+        "(DuckDB expresses the same thing as ASOF JOIN; the correlated-max "
+        "oracle form is tie-deterministic.)"
+    ),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with the most recent click time at-or-before it.
+
+    Spark has no native ASOF JOIN; the idiomatic equivalent is a
+    conditional running max over a RANGE frame ordered by event time
+    (the RANGE frame includes ts-peers, matching the `c.ts <= e.ts`
+    oracle semantics exactly).
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(w).alias("last_click_ts"),
+    )
+
+
+@query(
+    "join_star_3way",
+    sql="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+    tables=("customer", "orders", "lineitem"),
+    scale_note=(
+        "TPC-H Q3 shape: filters push below the joins (Catalyst), the "
+        "customer side broadcasts, and orders⋈lineitem shuffles on orderkey "
+        "once — the groupBy reuses that partitioning."
+    ),
+)
+def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of building-segment orders still shipping after a date."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
