@@ -1,0 +1,223 @@
+"""Time-series / log-analytics operators (SURVEY.md §2.I) — the
+reference's core surface: tweets-per-bucket, trending top-K, most
+active users, sessionization, error-rate KPIs.
+
+Reference parity: these are the canonical BigData-Twitter analytics
+(tweets per minute, top hashtags, top tweeters) mapped onto the events
+and documents fixtures (SURVEY.md §2.I; reference checkout empty —
+§0.1).
+
+Scale posture: all buckets are computed with ``window()``/date_trunc
+(codegen, no UDF); top-K uses TakeOrderedAndProject; sessionization is
+one shuffle on user_id plus two partition-local window passes (the
+standard gap-and-island plan, which at 100 TB beats any
+per-user-collect approach because state never leaves the executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..numerics import dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "ts_tumbling_counts",
+    sql=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Tumbling buckets via window(): group key is (bucket, type) — "
+        "two-phase agg, shuffle carries only group rows."
+    ),
+)
+def ts_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per hour per type (tweets-per-minute analog) via window()."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ts_sliding_counts",
+    sql="""
+    SELECT TIMESTAMP '1970-01-01'
+             + (900 * (epoch_us(ts) // 900000000) - 900 * k.k)
+               * INTERVAL 1 SECOND AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Sliding window = window(1h, 15m): each row lands in exactly 4 "
+        "buckets (4x row expansion before the agg — slide/width ratio bounds "
+        "the blowup; keep it small at 100 TB)."
+    ),
+)
+def ts_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event in 4 windows).
+
+    Oracle form: every event at time t belongs to the 4 aligned windows
+    starting at 900s*floor(t/900s) - k*900s for k in 0..3, expressed as
+    TZ-free timestamp arithmetic from the epoch.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "ts_sessionize_batch",
+    sql=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "Gap-and-island: shuffle once on user_id, lag + running sum are "
+        "partition-local, final agg reuses the same partitioning. State "
+        "never accumulates on the driver."
+    ),
+)
+def ts_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user: id, bounds, size, duration."""
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_order))
+    marked = e.withColumn(
+        "brk", F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "session_id", F.sum("brk").over(w_run).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+@query(
+    "trending_topk_terms",
+    sql="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 10
+    """,
+    tables=("documents",),
+    scale_note=(
+        "The canonical Twitter trending query: explode → two-phase count → "
+        "TakeOrderedAndProject top-10. Partial map-side counting means the "
+        "shuffle carries vocab-sized data, not corpus-sized."
+    ),
+)
+def trending_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 tokens by frequency (trending hashtags/words analog)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "top_active_users",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+    tables=("events",),
+    scale_note="Top tweeters analog: agg then top-K; deterministic tiebreak on user_id.",
+)
+def top_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten most active users by event count."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "error_rate_per_day",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS error_rate
+    FROM events
+    GROUP BY 1
+    """,
+    tables=("events",),
+    scale_note="Conditional aggregation: one pass, one shuffle of day-sized groups.",
+)
+def error_rate_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate KPI (exact integer ratio → engine-stable double)."""
+    e = load(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_total"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / F.count("*")).alias("error_rate"),
+        )
+    )
