@@ -1,0 +1,206 @@
+"""Similarity search over embeddings (SURVEY.md §2.L): brute-force
+cosine top-k, threshold pair mining, label centroids, k-NN against
+centroids — all with pure DataFrame higher-order functions (no UDFs).
+
+Scale posture (100 TB / billions of vectors): the brute-force paths
+here are the exact baselines; the scale path is IVF-style bucketing —
+assign each vector to its nearest centroid (sim_knn_join IS that
+assignment), then restrict pair mining / top-k probes to matching or
+adjacent buckets. LSH banding (as in dedup_minhash_lsh) is the
+alternative when no trained centroids exist.  Float accumulation is
+rounded to 6dp on both engines because summation order/compensation
+differs (Kahan vs fold) at the 1e-15 level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+DIMS = 64
+PAIR_COSINE_THRESHOLD = 0.4
+
+# DuckDB fragment: cosine between two DOUBLE-cast float lists with a
+# left-to-right accumulation, rounded to 6dp.
+def _duck_cosine(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {DIMS + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, {DIMS + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    )
+    nb = (
+        f"sqrt(list_sum(list_transform(range(1, {DIMS + 1}),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    )
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+def _spark_cosine(a: str, b: str) -> F.Column:
+    """Cosine of two float-array columns via zip_with/aggregate (JVM-side)."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y},"
+            f" (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+
+    return F.round(
+        F.expr(dot(a, b))
+        / (F.sqrt(F.expr(dot(a, a))) * F.sqrt(F.expr(dot(b, b)))),
+        6,
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    sql=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           {_duck_cosine('e.embedding', 'q.qv')} AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Brute-force top-k: broadcast the query vector, one scan, "
+        "TakeOrderedAndProject top-10 (per-partition heaps). The exact "
+        "baseline every ANN variant is validated against."
+    ),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest vectors (cosine) to the vec_id=0 query vector."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine("embedding", "qv").alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "sim_pairs_threshold",
+    sql=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {_duck_cosine('a.embedding', 'b.embedding')} >= {PAIR_COSINE_THRESHOLD}
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "All-pairs ≥ τ via self cross-join — exact but O(n²): correct at "
+        "fixture scale, and the verification oracle for the bucketed path. "
+        "At 100 TB: IVF-bucket by nearest centroid first (sim_knn_join), "
+        "then run this within buckets only."
+    ),
+)
+def sim_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine ≥ 0.4."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            _spark_cosine("a.embedding", "b.embedding").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= PAIR_COSINE_THRESHOLD)
+    )
+
+
+@query(
+    "embed_centroid_per_label",
+    sql=f"""
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+    FROM embeddings, range(1, {DIMS + 1}) t(i)
+    GROUP BY 1, 2
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "posexplode → (label, pos) mean: shuffle carries labels × dims rows "
+        "after partial aggregation — constant-size regardless of vector count."
+    ),
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@query(
+    "sim_knn_join",
+    sql=f"""
+    WITH c AS (
+        SELECT label AS clabel, i AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, {DIMS + 1}) t(i)
+        GROUP BY 1, 2
+    ),
+    cl AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+    s AS (
+        SELECT e.vec_id, e.label, cl.clabel,
+               {_duck_cosine('e.embedding', 'cl.cvec')} AS cosine
+        FROM embeddings e, cl
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, clabel) AS rnk
+          FROM s)
+    SELECT vec_id, label, clabel, cosine, rnk FROM r WHERE rnk <= 3
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "k-NN against label centroids: centroids are tiny and broadcast, so "
+        "this is a map-side scoring pass + per-vector top-3 window (the IVF "
+        "assignment step for the bucketed similarity path). Centroid values "
+        "are rounded BEFORE scoring so both engines score identical centroids."
+    ),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 nearest label centroids per vector."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy("clabel").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda x: x["cv"],
+        ).alias("cvec")
+    )
+    scored = e.join(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        _spark_cosine("embedding", "cvec").alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("clabel")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1,0 +1,50 @@
+"""Cross-validation for operators without a DuckDB oracle.
+
+The driver only checks rows>=0 for these; here we pin their semantics:
+- MinHash-LSH candidates must cover every exact-Jaccard pair ≥ 0.9
+  (with 8 bands × 4 rows, P(miss | jac=.98) < 1e-9).
+- SimHash candidates must cover the planted near-identical pairs too
+  (hamming ≤ 6 at ~99% token overlap).
+- approx_count_distinct must land within 3×rsd of the exact count.
+"""
+
+from __future__ import annotations
+
+from bigdata_twitter_spark.registry import load_all_operators
+
+SPECS = load_all_operators()
+
+
+def _pairs(df, a="a_id", b="b_id") -> set[tuple[int, int]]:
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_lsh_covers_exact_jaccard_pairs(spark, sf_dir):
+    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, sf_dir)
+    high = _pairs(exact.filter("jaccard >= 0.9"))
+    assert high, "fixture should contain planted near-dup pairs"
+    candidates = _pairs(SPECS["dedup_minhash_lsh"].fn(spark, sf_dir))
+    missed = high - candidates
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_covers_planted_pairs(spark, sf_dir):
+    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, sf_dir)
+    high = _pairs(exact.filter("jaccard >= 0.95"))
+    sim = _pairs(SPECS["dedup_simhash"].fn(spark, sf_dir))
+    missed = high - sim
+    assert not missed, f"simhash missed near-identical pairs: {missed}"
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in SPECS["agg_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in SPECS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
