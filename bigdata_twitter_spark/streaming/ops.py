@@ -1,0 +1,381 @@
+"""Structured Streaming operators (SURVEY.md §2.J + streaming halves of
+§2.A): file/rate sources, foreachBatch sinks, tumbling/sliding/session
+window aggregates, streaming dedup, watermark late-data semantics, and
+an explicit-state running aggregate.
+
+Reference parity: the reference genre tails a tweet firehose and keeps
+running windowed counts (SURVEY.md §2.J provenance; reference checkout
+empty — §0.1).  The Twitter v1.1 API is retired, so streams here are
+finite file replays of the events table — which also makes most
+operators ORACLE-CHECKABLE: a complete-mode aggregation over a fully
+replayed finite stream must equal the equivalent batch SQL, and an
+append-mode watermark run must equal the batch SQL restricted to
+closed windows.  That parity (stream ≡ batch on the same frames) is
+exactly Structured Streaming's unbounded-table model.
+
+Scale posture: stateful operators shuffle once on their grouping key
+and keep per-key state in the executor state stores (RocksDB-backed on
+a real cluster); watermarks bound state size; nothing ever collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..numerics import dsum, dsum_sql
+from ..registry import query
+from ..tables import load
+
+EVENTS_US_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _fresh_dir(label: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "bdt_spark_stream", label)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Materialize events (µs timestamps) as a directory to stream from."""
+    label = f"{os.path.basename(sf_dir.rstrip('/'))}_x{copies}"
+    path = _fresh_dir(f"replay_{label}")
+    e = load(spark, sf_dir, "events")
+    for _ in range(copies):
+        e.write.mode("append").parquet(path)
+    return path
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    path = _replay_dir(spark, sf_dir, copies)
+    return spark.readStream.schema(EVENTS_US_SCHEMA).parquet(path)
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a finite stream to completion into a memory sink, return result."""
+    name = f"bdt_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "source_stream_file",
+    sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tables=("events",),
+    scale_note=(
+        "File-source stream (the tweepy-firehose stand-in): new files are "
+        "discovered per micro-batch; full replay equals the batch scan."
+    ),
+)
+def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tail of an events directory, fully replayed (lossless)."""
+    return _run_to_table(_stream_events(spark, sf_dir), "append")
+
+
+@query(
+    "source_stream_rate",
+    sql="SELECT CAST(range AS BIGINT) AS value FROM range(0, 100)",
+    tables=(),
+    scale_note=(
+        "rate-micro-batch source: deterministic rowsPerBatch for harness "
+        "tests — one triggered batch yields exactly values 0..99."
+    ),
+)
+def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic deterministic rate source (one batch of 100 rows)."""
+    from ..session import configure
+
+    configure(spark)
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 100)
+        .option("startTimestamp", 0)
+        .load()
+        .select("value")
+    )
+    name = f"bdt_rate_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(once=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+@query(
+    "sink_stream_foreachbatch",
+    sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tables=("events",),
+    scale_note=(
+        "foreachBatch bridges streams to any batch sink with exactly-once "
+        "via (batchId, idempotent write); here each batch appends parquet."
+    ),
+)
+def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → foreachBatch → parquet sink → read back (lossless bridge)."""
+    out = _fresh_dir(f"fob_{os.path.basename(sf_dir.rstrip('/'))}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        _stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(EVENTS_US_SCHEMA).parquet(out)
+
+
+@query(
+    "stream_tumbling_agg",
+    sql=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Streaming twin of ts_tumbling_counts; state = open windows only, "
+        "bounded by the watermark. Complete-mode finite replay ≡ batch SQL."
+    ),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly counts per type with a 10-minute watermark."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+    )
+    res = _run_to_table(agg, "complete")
+    return res.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "stream_sliding_agg",
+    sql="""
+    SELECT TIMESTAMP '1970-01-01'
+             + (900 * (epoch_us(ts) // 900000000) - 900 * k.k)
+               * INTERVAL 1 SECOND AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note="Sliding windows multiply state by width/slide (4x here).",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 1-hour/15-minute sliding counts per type."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    res = _run_to_table(agg, "complete")
+    return res.select(F.col("w.start").alias("window_start"), "event_type", "n")
+
+
+@query(
+    "stream_session_window",
+    sql=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS brk,
+               event_id
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "Native session_window: state merges adjacent windows per key; "
+        "equivalent to the batch gap-and-island plan (cross-checked here)."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 30-minute-gap sessions per user (native session windows)."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    res = _run_to_table(agg, "complete")
+    return res.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "stream_dedup",
+    sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tables=("events",),
+    scale_note=(
+        "Streaming dropDuplicates keyed on event_id with watermark-bounded "
+        "state; doubled input collapses back to the original rows."
+    ),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once style dedup of a doubled replay (watermarked state)."""
+    deduped = (
+        _stream_events(spark, sf_dir, copies=2)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    return _run_to_table(deduped, "append")
+
+
+@query(
+    "stream_late_data",
+    sql="""
+    SELECT * FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tables=("events",),
+    scale_note=(
+        "Append mode + watermark: only windows older than max(event_time) "
+        "minus the allowed lateness are finalized and emitted; rows later "
+        "than the watermark are dropped from closed windows. The withheld "
+        "tail windows are exactly the oracle's excluded set."
+    ),
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark finalization semantics: emit only closed hourly windows."""
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    res = _run_to_table(agg, "append")
+    return res.select(F.col("w.start").alias("window_start"), "event_type", "n")
+
+
+def _running_totals(key, pdf_iter, state):  # noqa: ANN001
+    """Per-user running (count, exact-decimal value sum) with GroupState."""
+    if state.exists:
+        n, sum_str = state.get
+    else:
+        n, sum_str = 0, "0"
+    total = Decimal(sum_str)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        # str(float) is the shortest repr → recovers the intended 2dp
+        # decimal exactly, matching the oracle's DECIMAL accumulation.
+        total += sum((Decimal(str(v)) for v in pdf["value"]), Decimal(0))
+    state.update((n, str(total)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [float(total)],
+        }
+    )
+
+
+@query(
+    "stream_stateful_running",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "applyInPandasWithState: explicit per-key GroupState in the executor "
+        "state store, Arrow-batched groups, update-mode emission — the "
+        "custom-stateful-operator escape hatch. Single-batch replay emits "
+        "exactly the final per-user totals."
+    ),
+)
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-state per-user running totals (exact decimal accumulation)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = _fresh_dir(f"stateful_{os.path.basename(sf_dir.rstrip('/'))}")
+    out_schema = "user_id long, n_events long, total_value double"
+
+    stateful = (
+        _stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=out_schema,
+            stateStructType="n long, sum_str string",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stateful.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
