@@ -193,20 +193,26 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_map",
     sql="""
+    WITH m AS (
+        SELECT event_id,
+               MAP {'kind': event_type, 'uid': CAST(user_id AS VARCHAR)} AS m
+        FROM events
+    )
     SELECT event_id,
-           'kind,uid' AS keys_csv,
-           event_type AS kind_val,
-           CAST(user_id AS VARCHAR) AS uid_val,
-           2 AS n_keys
-    FROM events
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+           m['kind'][1] AS kind_val,
+           m['uid'][1] AS uid_val,
+           CAST(cardinality(m) AS INT) AS n_keys
+    FROM m
     """,
     tables=("events",),
     scale_note="MapType stays columnar (keys/values arrays) in Tungsten rows.",
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction/extraction; the oracle states the expected scalar
-    results directly (DuckDB MAP extraction returns LISTs, so comparing
-    through its MAP type would test DuckDB quirks, not our engine)."""
+    """Map construction/extraction, computed as map ops on BOTH engines
+    (DuckDB MAP extraction returns a LIST — ``[1]`` unwraps it to the
+    scalar, so the oracle exercises construction, key listing,
+    extraction, and cardinality rather than restating literals)."""
     e = load(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("kind"),

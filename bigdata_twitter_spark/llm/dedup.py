@@ -20,30 +20,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 JACCARD_THRESHOLD = 0.8
 MINHASH_SEEDS = 32
-SIMHASH_MAX_HAMMING = 10
+# 8-band × 8-bit SimHash banding only guarantees candidate generation
+# for hamming ≤ 7 (pigeonhole); keep the filter inside the guarantee.
+SIMHASH_MAX_HAMMING = 7
 LSH_BANDS = 8  # 8 bands x 4 rows
 LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
+# Inverted-index join guard: shingles appearing in more than this many
+# docs are stop-shingles — dropped BEFORE the self-join so the worst
+# bucket contributes at most cap·(cap−1)/2 pairs. Mirrored in the
+# oracle SQL so Jaccard semantics (over the capped shingle universe)
+# stay identical on both engines.
+SHINGLE_DF_CAP = 64
 
 
 def _shingles_expr() -> F.Column:
-    """Distinct token 3-gram shingles per document (text pre-lowered)."""
+    """Distinct token 3-gram shingles per document (text pre-lowered).
+
+    Guarded for short docs: ``sequence(1, size-2)`` DESCENDS when
+    size(toks) < 3 (Spark generates [1, 0] for sequence(1, 0)) and
+    ``element_at(toks, 0)`` then throws; DuckDB's ``range`` returns
+    empty for the same doc, so the guard mirrors oracle semantics.
+    """
     return F.array_distinct(
         F.expr(
-            "transform(sequence(1, size(toks) - 2),"
-            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
-            "                element_at(toks, i + 2)))"
+            "CASE WHEN size(toks) >= 3 THEN"
+            " transform(sequence(1, size(toks) - 2),"
+            "  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+            "                 element_at(toks, i + 2)))"
+            " ELSE CAST(array() AS array<string>) END"
         )
     )
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.lower(F.col("text")), " ")
-    )
+    # Spread by doc_id BEFORE the shingle/hash pipeline: the exchange
+    # is reused by every downstream groupBy("doc_id"), and the scan is
+    # otherwise a single split locally (no-op at real scan widths).
+    d = spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    ).withColumn("toks", F.split(F.lower(F.col("text")), " "))
     return d.select("doc_id", F.explode(_shingles_expr()).alias("s"))
 
 
@@ -78,7 +97,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_fuzzy_jaccard",
     sql=f"""
-    WITH sh AS (
+    WITH sh_all AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
                    range(1, len(string_split(lower(text), ' ')) - 1),
@@ -86,6 +105,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         string_split(lower(text), ' ')[i + 1] || ' ' ||
                         string_split(lower(text), ' ')[i + 2]))) AS s
         FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, s FROM sh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     pairs AS (
@@ -103,14 +126,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tables=("documents",),
     scale_note=(
-        "Exact 3-gram Jaccard via inverted-index self-join. Quadratic in "
-        "hot-shingle bucket size — at 100 TB run it only on LSH candidate "
-        "pairs (dedup_minhash_lsh) and drop stop-shingles above a doc-freq cap."
+        "Exact 3-gram Jaccard via inverted-index self-join, with a "
+        f"doc-frequency cap (df ≤ {SHINGLE_DF_CAP}) dropping stop-shingles "
+        "BEFORE the join — the worst bucket is bounded at cap·(cap−1)/2 "
+        "pairs, so the join is linear in shingle volume, never docs². "
+        "At 100 TB additionally restrict to LSH candidates "
+        "(dedup_minhash_lsh) and re-score only those."
     ),
 )
 def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs with exact token-3-gram Jaccard ≥ 0.8."""
-    sh = _doc_shingles(spark, sf_dir)
+    """Near-duplicate pairs with exact token-3-gram Jaccard ≥ 0.8
+    (Jaccard over the df-capped shingle universe, both engines)."""
+    sh_all = _doc_shingles(spark, sf_dir)
+    # Stop-shingle guard: one extra two-phase agg, bounded join buckets.
+    df_ok = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("s")
+    )
+    sh = sh_all.join(df_ok, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -153,29 +188,29 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "THE scale path for near-dedup: 32 minhashes → 8 bands × 4 rows; "
         "candidate generation is a groupBy on (band, signature) — shuffle "
         "∝ docs × bands, never docs². Hash family is xxhash64(shingle, seed) "
-        "with literal seeds: deterministic and partition-order independent."
+        "with literal seeds: deterministic and partition-order independent. "
+        "All 32 minhashes come from ONE pass over (doc, shingle) rows — 32 "
+        "min-aggregates in a single groupBy — so shuffle input stays at "
+        "docs×shingles and partial aggregation reduces it to 32 longs/doc "
+        "(the previous explode×32 plan multiplied shuffle input 32×)."
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate near-duplicate pairs (banded signatures)."""
     sh = _doc_shingles(spark, sf_dir)
-    # minhash per (doc, seed): min over shingles of xxhash64(shingle # seed)
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(MINHASH_SEEDS - 1))
-    ).alias("seed")
-    mh = (
-        sh.select("doc_id", "s", seeds)
-        .withColumn(
-            "h", F.xxhash64(F.col("s"), F.col("seed"))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    # One pass: hash each shingle under all 32 seeds via a single
+    # transform lambda (ONE codegen'd expression, not 32 inlined hash
+    # calls — 32 separate xxhash64 aggregates cost ~5 s of whole-stage
+    # codegen compile alone), then take 32 parallel min-aggregates.
+    # Shuffle input stays docs×shingles; partial aggregation reduces it
+    # to 32 longs per doc before the exchange.
+    sh = sh.withColumn(
+        "h",
+        F.expr(f"transform(sequence(0, {MINHASH_SEEDS - 1}), i -> xxhash64(s, i))"),
     )
-    # signature array ordered by seed, then banded
-    sig = mh.groupBy("doc_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-            lambda x: x["mh"],
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.col("h")[i]) for i in range(MINHASH_SEEDS)]
         ).alias("sig")
     )
     bands = sig.select(
@@ -216,9 +251,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate candidate pairs with hamming distance."""
-    d = load(spark, sf_dir, "documents").withColumn(
-        "toks", F.split(F.lower(F.col("text")), " ")
-    )
+    # 64 majority-vote folds per row — CPU-bound, so spread the scan.
+    d = spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    ).withColumn("toks", F.split(F.lower(F.col("text")), " "))
     # Per-token 64-bit hashes, then per-bit majority vote → simhash bits.
     hashed = d.withColumn("th", F.expr("transform(toks, t -> xxhash64(t))"))
     simhash = F.expr(

@@ -19,42 +19,12 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-
-DIMS = 64
-PAIR_COSINE_THRESHOLD = 0.4
-
-# DuckDB fragment: cosine between two DOUBLE-cast float lists with a
-# left-to-right accumulation, rounded to 6dp.
-def _duck_cosine(a: str, b: str) -> str:
-    dot = (
-        f"list_sum(list_transform(range(1, {DIMS + 1}),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-    )
-    na = (
-        f"sqrt(list_sum(list_transform(range(1, {DIMS + 1}),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
-    )
-    nb = (
-        f"sqrt(list_sum(list_transform(range(1, {DIMS + 1}),"
-        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
-    )
-    return f"round({dot} / ({na} * {nb}), 6)"
-
-
-def _spark_cosine(a: str, b: str) -> F.Column:
-    """Cosine of two float-array columns via zip_with/aggregate (JVM-side)."""
-    def dot(x: str, y: str) -> str:
-        return (
-            f"aggregate(zip_with({x}, {y},"
-            f" (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
-            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    return F.round(
-        F.expr(dot(a, b))
-        / (F.sqrt(F.expr(dot(a, a))) * F.sqrt(F.expr(dot(b, b)))),
-        6,
-    )
+from .vectors import (
+    DIMS,
+    PAIR_COSINE_THRESHOLD,
+    duck_cosine as _duck_cosine,
+    spark_cosine as _spark_cosine,
+)
 
 
 @query(

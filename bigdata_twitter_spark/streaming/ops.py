@@ -70,8 +70,24 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     return spark.readStream.schema(EVENTS_US_SCHEMA).parquet(path)
 
 
+def _await_or_raise(q, timeout: int = 300) -> None:  # noqa: ANN001
+    """Fail loudly if a finite replay does not terminate in time —
+    otherwise a partial sink would be silently returned as the result."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"stream query {q.name or q.id} did not finish within {timeout}s"
+        )
+
+
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Run a finite stream to completion into a memory sink, return result."""
+    """Run a finite stream to completion into a memory sink, return result.
+
+    Memory sink is for RESULT-SIZED outputs only (windowed aggregates —
+    a few thousand rows regardless of input scale).  Data-sized outputs
+    (full-fidelity passthrough, dedup) must use :func:`_run_to_parquet`
+    so nothing data-sized transits driver memory.
+    """
     name = f"bdt_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(mode)
@@ -80,8 +96,33 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return stream_df.sparkSession.table(name)
+
+
+def _run_to_parquet(
+    stream_df: DataFrame, label: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Run a finite stream to completion through the foreachBatch→parquet
+    bridge and read the result back — executor-side writes only, so
+    data-sized results never pass through driver memory (the scale path
+    for passthrough/dedup streams; memory sink stays for result-sized
+    windowed aggregates)."""
+    out = _fresh_dir(f"bridge_{label}_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q)
+    reader = stream_df.sparkSession.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(out)
 
 
 @query(
@@ -90,12 +131,16 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
     tables=("events",),
     scale_note=(
         "File-source stream (the tweepy-firehose stand-in): new files are "
-        "discovered per micro-batch; full replay equals the batch scan."
+        "discovered per micro-batch; full replay equals the batch scan. "
+        "Data-sized output → foreachBatch→parquet bridge (executor-side "
+        "writes), never the driver-memory sink."
     ),
 )
 def source_stream_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tail of an events directory, fully replayed (lossless)."""
-    return _run_to_table(_stream_events(spark, sf_dir), "append")
+    return _run_to_parquet(
+        _stream_events(spark, sf_dir), "source_file", EVENTS_US_SCHEMA
+    )
 
 
 @query(
@@ -127,7 +172,7 @@ def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(once=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_or_raise(q, 120)
     return spark.table(name)
 
 
@@ -153,7 +198,7 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return spark.read.schema(EVENTS_US_SCHEMA).parquet(out)
 
 
@@ -217,10 +262,13 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH marked AS (
         SELECT user_id, ts,
+               -- >= : native session_window is end-EXCLUSIVE — an event
+               -- exactly gap-length after the previous one starts a NEW
+               -- session, so the oracle must break on the exact boundary.
                CASE WHEN epoch_us(ts)
                          - epoch_us(lag(ts) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id))
-                         > 1800000000
+                         >= 1800000000
                     THEN 1 ELSE 0 END AS brk,
                event_id
         FROM events
@@ -266,18 +314,21 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
     tables=("events",),
     scale_note=(
-        "Streaming dropDuplicates keyed on event_id with watermark-bounded "
-        "state; doubled input collapses back to the original rows."
+        "Streaming dedup keyed on event_id via dropDuplicatesWithinWatermark "
+        "— state rows ARE evicted once older than the watermark (plain "
+        "dropDuplicates only evicts when the event-time column is part of "
+        "the key set, i.e. never here). Doubled input collapses back to the "
+        "original rows; data-sized output → foreachBatch→parquet bridge."
     ),
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once style dedup of a doubled replay (watermarked state)."""
+    """Exactly-once style dedup of a doubled replay (watermark-evicted state)."""
     deduped = (
         _stream_events(spark, sf_dir, copies=2)
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
-    return _run_to_table(deduped, "append")
+    return _run_to_parquet(deduped, "dedup", EVENTS_US_SCHEMA)
 
 
 @query(
@@ -377,5 +428,5 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return spark.read.parquet(out)

@@ -56,6 +56,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (sf_dir, name) → scan split count; .rdd forces physical planning, so
+# the probe is done once per fixture file, not once per query.
+_SCAN_SPLITS: dict[tuple[str, str], int] = {}
+
+
+def spread(df: DataFrame, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Re-spread a narrow scan before a CPU-heavy per-row pipeline.
+
+    The fixtures are single-row-group parquet files, so Spark's
+    byte-range splitting cannot parallelize them: a shingle/hash/fold
+    pipeline downstream would run on ONE core however many the session
+    has.  When (and only when) the scan yields fewer splits than
+    ``defaultParallelism``, hash-repartition on ``cols`` — chosen as
+    the downstream grouping key so the exchange is REUSED by the
+    following groupBy rather than added to it.  At 100 TB the scan
+    carries thousands of row-group splits and this is a no-op; a plain
+    query (filter/agg without heavy per-row compute) should NOT call
+    this — the exchange round-trip costs more than single-core scanning
+    saves (measured: global spread-on-load slowed the bench ~25%).
+    """
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    key = (sf_dir, name)
+    if key not in _SCAN_SPLITS:
+        _SCAN_SPLITS[key] = load(spark, sf_dir, name).rdd.getNumPartitions()
+    if _SCAN_SPLITS[key] >= width:
+        return df
+    return df.repartition(width, *cols) if cols else df.repartition(width)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

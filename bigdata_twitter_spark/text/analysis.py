@@ -86,9 +86,14 @@ def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide bigram counts."""
     d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    # Guarded for 0/1-token docs: sequence(1, size-1) DESCENDS when
+    # size(toks) < 2 and element_at(toks, 0) throws; DuckDB's range()
+    # yields empty for the same doc, so emit an empty array to match.
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        "          i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        "           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        " ELSE CAST(array() AS array<string>) END"
     )
     return (
         d.select(F.explode(bigrams).alias("bigram"))

@@ -36,6 +36,35 @@ def test_simhash_covers_planted_pairs(spark, sf_dir):
     assert not missed, f"simhash missed near-identical pairs: {missed}"
 
 
+def test_bucketed_pairs_cover_exact_pairs(spark, sf_dir):
+    """SRP-LSH bucketed mining must (a) never invent a pair the exact
+    O(n²) baseline lacks and (b) recall every pair at τ + margin
+    (16 bands × 2 bits ⇒ per-pair miss ≈ 3e-4 at cosine 0.4)."""
+    exact = SPECS["sim_pairs_threshold"].fn(spark, sf_dir)
+    exact_all = _pairs(exact)
+    exact_high = _pairs(exact.filter("cosine >= 0.45"))
+    assert exact_all, "fixture should contain pairs at cosine >= 0.4"
+    bucketed = _pairs(SPECS["sim_pairs_bucketed"].fn(spark, sf_dir))
+    assert not (bucketed - exact_all), "bucketed invented pairs"
+    missed = exact_high - bucketed
+    assert not missed, f"bucketed missed high-cosine pairs: {missed}"
+
+
+def test_shingles_short_doc_guard(spark):
+    """Docs with <3 tokens must yield empty shingle arrays (Spark's
+    sequence(1, size-2) would otherwise DESCEND and crash on
+    element_at(toks, 0)), mirroring the oracle's empty range()."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.llm.dedup import _shingles_expr
+
+    df = spark.createDataFrame(
+        [("",), ("a",), ("a b",), ("a b c",), ("a b c d",)], ["text"]
+    ).withColumn("toks", F.split(F.lower(F.col("text")), " "))
+    lens = [len(r["sh"]) for r in df.select(_shingles_expr().alias("sh")).collect()]
+    assert lens == [0, 0, 0, 1, 2]
+
+
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     exact = {
         r["event_type"]: r["n_users"]
