@@ -192,3 +192,86 @@ def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+NTILE_BUCKETS = 10
+
+
+@query(
+    "win_ntile_pctrank_dist",
+    sql="""
+    SELECT o_orderkey, o_totalprice,
+           ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+           percent_rank() OVER (ORDER BY o_totalprice) AS pct_rank,
+           cume_dist() OVER (ORDER BY o_totalprice) AS cume
+    FROM orders
+    """,
+    tables=("orders",),
+    scale_note=(
+        "The 100-TB twin of win_ntile_pctrank: NO single-partition window "
+        "anywhere. Global row_number = range-repartition on the sort key "
+        "(every partition holds a contiguous key range) + per-partition "
+        "local row_number + broadcast-joined cumulative partition counts; "
+        "tie-aware rank/cume come from a window KEYED on the sort value; "
+        "ntile/percent_rank/cume_dist are then arithmetic. Three bounded "
+        "parallel shuffles replace the one unbounded sort."
+    ),
+)
+def win_ntile_pctrank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles / percent_rank / cume_dist via distributed global ranking
+    (identical results to the single-window formulation, hence the same
+    oracle — the point is the plan, not the answer)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    width = spark.sparkContext.defaultParallelism
+    # 1. Range partitioning: partition i holds keys strictly below
+    #    partition i+1 (RangePartitioner's sample seed is derived from
+    #    the partition index, so the split is deterministic).
+    ranged = o.repartitionByRange(width, "o_totalprice", "o_orderkey")
+    with_pid = ranged.withColumn("pid", F.spark_partition_id())
+    # 2. Local row_number inside each range partition (keyed window).
+    w_local = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    local = with_pid.withColumn("local_rn", F.row_number().over(w_local))
+    # 3. Cumulative partition sizes → global offset per pid.  `width`
+    #    rows total: the cumsum window is over a cluster-width-sized
+    #    frame, not a data-sized one.
+    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "pid", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset")
+    )
+    rn = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rn", F.col("offset") + F.col("local_rn")
+    )
+    # 4. Tie-aware rank (min rn over equal keys) and cume numerator
+    #    (max rn over equal keys) via a window keyed on the sort value.
+    w_val = Window.partitionBy("o_totalprice")
+    ranked = rn.select(
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+        F.min("rn").over(w_val).alias("rank"),
+        F.max("rn").over(w_val).alias("max_rn"),
+    )
+    # 5. Broadcast the total count; everything below is per-row math.
+    n_total = o.agg(F.count("*").alias("n"))
+    q = F.floor(F.col("n") / NTILE_BUCKETS)
+    rem = F.col("n") % NTILE_BUCKETS
+    big = q + 1  # first `rem` buckets carry one extra row
+    decile = F.when(
+        F.col("rn") <= rem * big,
+        F.floor((F.col("rn") - 1) / big) + 1,
+    ).otherwise(rem + F.floor((F.col("rn") - rem * big - 1) / q) + 1)
+    return ranked.join(F.broadcast(n_total)).select(
+        "o_orderkey",
+        "o_totalprice",
+        decile.cast("int").alias("decile"),
+        (
+            (F.col("rank") - 1).cast("double")
+            / (F.col("n") - 1).cast("double")
+        ).alias("pct_rank"),
+        (F.col("max_rn").cast("double") / F.col("n").cast("double")).alias(
+            "cume"
+        ),
+    )

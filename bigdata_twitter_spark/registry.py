@@ -73,12 +73,14 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import timeseries  # noqa: F401
     from .text import analysis  # noqa: F401
     from .llm import bucketed  # noqa: F401  (new this round)
+    from .llm import frames  # noqa: F401  (new this round)
     from .sources import scans  # noqa: F401
     from .streaming import ops  # noqa: F401
 
-    # Families fully hash-verified by the round-1 driver run.
-    from . import udfs  # noqa: F401
+    # Families fully hash-verified by the round-1 driver run; scalars
+    # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401
+    from . import udfs  # noqa: F401
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 

@@ -349,3 +349,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("prefix_hash"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
+
+
+# GPT-2-style pre-tokenizer shape, ASCII-simplified so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte: letter runs, digit
+# runs, single non-alphanumeric marks. Whitespace separates, never
+# counts.  Deliberately passed through the column API (F.lit), not an
+# SQL literal, so backslash classes survive both engines' escaping.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "text_token_count_bpe",
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE)
+                 / greatest(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 1), 6)
+               AS bpe_per_word
+    FROM documents
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Per-row regex token counting (the LLM-pipeline budget/pricing "
+        "column): pure codegen, no shuffle; the BPE-ish rate per "
+        "whitespace word is the standard tokens-per-word cost estimate."
+    ),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per document."""
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    ws = F.size(F.filter(_tokens(), lambda x: x != ""))
+    return d.select(
+        "doc_id",
+        bpe.cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+        F.round(
+            bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double"), 6
+        ).alias("bpe_per_word"),
+    )
