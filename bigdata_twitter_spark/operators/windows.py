@@ -233,8 +233,11 @@ def win_ntile_pctrank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = with_pid.withColumn("local_rn", F.row_number().over(w_local))
     # 3. Cumulative partition sizes → global offset per pid.  `width`
     #    rows total: the cumsum window is over a cluster-width-sized
-    #    frame, not a data-sized one.
-    counts = local.groupBy("pid").agg(F.count("*").alias("cnt"))
+    #    frame, not a data-sized one.  Counts come from max(local_rn),
+    #    NOT count(*): that keeps this branch anchored on the SAME
+    #    windowed subtree as the main branch, so the range+pid
+    #    exchanges are reused instead of re-scanning the input twice.
+    counts = local.groupBy("pid").agg(F.max("local_rn").alias("cnt"))
     w_off = Window.orderBy("pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -430,3 +430,84 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_or_raise(q)
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_stream_join",
+    sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tables=("events",),
+    scale_note=(
+        "Stream-stream inner join (click→purchase attribution): both "
+        "sides watermarked, and the time-range predicate lets Spark "
+        "evict join state older than watermark+range — state is bounded "
+        "by 1 h of per-side traffic, not the stream's history. One "
+        "shuffle on user_id co-locates both sides; finite replay ≡ the "
+        "batch self-join, which is the oracle."
+    ),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to same-user purchases within the following hour,
+    as a watermarked stream-stream join over the replayed events."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        (
+            F.unix_micros(F.col("purchase_ts"))
+            - F.unix_micros(F.col("click_ts"))
+        ).alias("lag_us"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+            T.StructField("lag_us", T.LongType()),
+        ]
+    )
+    return _run_to_parquet(joined, "ssjoin", out_schema)
