@@ -130,8 +130,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"doc-frequency cap (df ≤ {SHINGLE_DF_CAP}) dropping stop-shingles "
         "BEFORE the join — the worst bucket is bounded at cap·(cap−1)/2 "
         "pairs, so the join is linear in shingle volume, never docs². "
-        "At 100 TB additionally restrict to LSH candidates "
-        "(dedup_minhash_lsh) and re-score only those."
+        "The DAG references the capped shingle index from three branches "
+        "keyed differently (s-join, doc-sizes, df-agg): at 100 TB persist "
+        "or checkpoint that index once (MEMORY_AND_DISK) instead of the "
+        "~3 recomputed corpus passes Spark's lazy plan implies; and "
+        "restrict to LSH candidates (dedup_minhash_lsh), re-scoring only "
+        "those."
     ),
 )
 def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

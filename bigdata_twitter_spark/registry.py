@@ -83,5 +83,6 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from . import udfs  # noqa: F401
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
+    from .sources import formats  # noqa: F401  (new this round)
 
     return REGISTRY

@@ -1,0 +1,103 @@
+"""Additional batch formats (SURVEY.md §2.N): CSV scan and JSON-lines
+sink — the reference genre's export formats (collected tweets were
+dumped to CSV/NDJSON for downstream notebooks).
+
+Both operators are write→read ROUND-TRIPS against the parquet fixture,
+oracle-checked against the original table: equality proves the format
+path (writer options, schema declaration, type round-trip) end-to-end,
+not just that a reader exists.
+
+Scale posture: CSV/JSON are ingest/export edges only — schema always
+DECLARED (inference is an extra full pass at 100 TB), parquet remains
+the at-rest format; newline-delimited text splits by line so both
+formats parallelize like any text scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..tables import load
+from .scans import _workdir
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@query(
+    "scan_csv",
+    sql="""
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    tables=("customer",),
+    scale_note=(
+        "CSV read with a DECLARED schema and explicit header/quote "
+        "options — never inferSchema (an extra full pass at 100 TB). "
+        "Doubles are rounded to the written precision on both engines "
+        "so the text round-trip is exact."
+    ),
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: write customers as CSV, re-read with declared schema.
+
+    The oracle reads the original parquet — equality proves the CSV
+    writer/reader path is lossless for this schema (doubles rounded to
+    2dp before writing so text formatting cannot diverge).
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    path = _workdir(spark, f"csv_cust_{os.path.basename(sf_dir.rstrip('/'))}")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(CUSTOMER_SCHEMA).option("header", True).csv(path)
+
+
+@query(
+    "sink_json_lines",
+    sql="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "NDJSON sink + schema-declared re-read (the genre's export "
+        "bridge to notebooks/dashboards); aggregate-sized output, "
+        "timestamps serialized as ISO-8601 UTC and parsed back exactly."
+    ),
+)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a per-type/day aggregate as JSON lines, read it back."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    path = _workdir(spark, f"json_sink_{os.path.basename(sf_dir.rstrip('/'))}")
+    agg.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day", T.TimestampType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)

@@ -55,13 +55,24 @@ def _fresh_dir(label: str) -> str:
     return base
 
 
+# (sf_dir, copies) → materialized replay directory.  Ten streaming
+# operators replay the same fixture; writing it once per process keeps
+# the per-operator cost at "run the stream", not "rewrite the input".
+_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+
 def _replay_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
     """Materialize events (µs timestamps) as a directory to stream from."""
+    key = (sf_dir.rstrip("/"), copies)
+    cached = _REPLAY_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     label = f"{os.path.basename(sf_dir.rstrip('/'))}_x{copies}"
     path = _fresh_dir(f"replay_{label}")
     e = load(spark, sf_dir, "events")
     for _ in range(copies):
         e.write.mode("append").parquet(path)
+    _REPLAY_CACHE[key] = path
     return path
 
 
