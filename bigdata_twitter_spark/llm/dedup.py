@@ -249,7 +249,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_note=(
         "64-bit SimHash per doc computed entirely with nested higher-order "
         "functions (no Python); near-dup candidates via 8-bit band "
-        "matching, verified by hamming distance ≤ 10. 8-bit banding keeps "
+        "matching, verified by hamming distance ≤ 7 (the 8×8-bit banding "
+        "pigeonhole guarantee). 8-bit banding keeps "
         "the self-join linear in band-bucket sizes."
     ),
 )

@@ -84,5 +84,6 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
     from .sources import formats  # noqa: F401  (new this round)
+    from .llm import components, ivf  # noqa: F401  (new this round)
 
     return REGISTRY

@@ -65,6 +65,38 @@ def test_shingles_short_doc_guard(spark):
     assert lens == [0, 0, 0, 1, 2]
 
 
+def test_ivf_recall_vs_exact_topk(spark, sf_dir):
+    """IVF probing is exact w.r.t. its oracle by construction; this
+    pins the *quality* claim: the probed search must recover a
+    non-trivial share of the exact brute-force top-10 (near-random
+    fixture vectors put only a soft floor on recall@10)."""
+    exact = {
+        r["vec_id"]
+        for r in SPECS["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        r["vec_id"] for r in SPECS["sim_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(ivf) == 10
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall@10 collapsed: {recall}"
+
+
+def test_components_cover_all_paired_docs(spark, sf_dir):
+    """Every doc in a Jaccard pair lands in exactly one component whose
+    keeper is the component's minimum doc_id."""
+    pairs = SPECS["dedup_fuzzy_jaccard"].fn(spark, sf_dir).collect()
+    paired = {r["a_id"] for r in pairs} | {r["b_id"] for r in pairs}
+    comp = SPECS["dedup_components"].fn(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in comp} == paired
+    by_comp: dict[int, list[int]] = {}
+    for r in comp:
+        by_comp.setdefault(r["component_id"], []).append(r["doc_id"])
+        assert r["is_keeper"] == (r["doc_id"] == r["component_id"])
+    for cid, members in by_comp.items():
+        assert cid == min(members)
+
+
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     exact = {
         r["event_type"]: r["n_users"]
