@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..registry import query
-from .dedup import JACCARD_THRESHOLD, SHINGLE_DF_CAP, dedup_fuzzy_jaccard
+from .params import JACCARD_THRESHOLD, SHINGLE_DF_CAP
 
 MAX_ROUNDS = 20  # diameter backstop; fixture clusters converge in ≤3
 
@@ -99,6 +99,10 @@ _EDGES_SQL = f"""
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters (connected components of Jaccard ≥ 0.8 pairs)
     with a deterministic keeper (= minimum doc_id) per cluster."""
+    # Imported lazily: a module-level import would register the whole
+    # dedup family at this module's registry position.
+    from .dedup import dedup_fuzzy_jaccard
+
     edges = (
         dedup_fuzzy_jaccard(spark, sf_dir)
         .select("a_id", "b_id")

@@ -21,20 +21,14 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, spread
-
-JACCARD_THRESHOLD = 0.8
-MINHASH_SEEDS = 32
-# 8-band × 8-bit SimHash banding only guarantees candidate generation
-# for hamming ≤ 7 (pigeonhole); keep the filter inside the guarantee.
-SIMHASH_MAX_HAMMING = 7
-LSH_BANDS = 8  # 8 bands x 4 rows
-LSH_ROWS = MINHASH_SEEDS // LSH_BANDS
-# Inverted-index join guard: shingles appearing in more than this many
-# docs are stop-shingles — dropped BEFORE the self-join so the worst
-# bucket contributes at most cap·(cap−1)/2 pairs. Mirrored in the
-# oracle SQL so Jaccard semantics (over the capped shingle universe)
-# stay identical on both engines.
-SHINGLE_DF_CAP = 64
+from .params import (  # noqa: F401  (re-exported for compatibility)
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_SEEDS,
+    SHINGLE_DF_CAP,
+    SIMHASH_MAX_HAMMING,
+)
 
 
 def _shingles_expr() -> F.Column:

@@ -74,6 +74,8 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .text import analysis  # noqa: F401
     from .llm import bucketed  # noqa: F401  (new this round)
     from .llm import frames  # noqa: F401  (new this round)
+    from .llm import components, ivf  # noqa: F401  (new this round)
+    from .sources import formats  # noqa: F401  (new this round)
     from .sources import scans  # noqa: F401
     from .streaming import ops  # noqa: F401
 
@@ -83,7 +85,5 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from . import udfs  # noqa: F401
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
-    from .sources import formats  # noqa: F401  (new this round)
-    from .llm import components, ivf  # noqa: F401  (new this round)
 
     return REGISTRY
