@@ -1,0 +1,92 @@
+"""Embedding-cosine near-duplicate dedup (SURVEY.md §2.N) — the third
+dedup modality next to shingle-Jaccard (``dedup_fuzzy_jaccard``) and
+MinHash/SimHash: two documents are near-dups when their embedding
+vectors are cosine-similar, which catches paraphrases that share no
+n-grams at all.
+
+The operator emits a KEEP/DROP decision per embedded document — the
+keep-first rule (drop a doc iff a similar doc with a smaller id
+exists), which is the stateless decision a 100-TB dedup pass actually
+applies; cluster-exact resolution is ``dedup_components``'s job.
+
+Candidate pairs come from the SRP-LSH bucketed miner
+(``sim_pairs_bucketed``) — the production path, shuffle ∝ vectors ×
+bands — never the O(n²) cross-join.  The miner scores candidates with
+EXACT cosine and the local suite pins its pair set equal to the exact
+self-join's at this threshold (tests/test_weak_ops.py), so the DuckDB
+oracle can state the exact computation and still hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
+
+
+@query(
+    "dedup_embedding",
+    sql=f"""
+    WITH p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {duck_cosine('a.embedding', 'b.embedding')}
+              >= {PAIR_COSINE_THRESHOLD}
+    ),
+    sym AS (
+        SELECT a_id AS id, b_id AS nb FROM p
+        UNION ALL
+        SELECT b_id, a_id FROM p
+    ),
+    n AS (SELECT id, COUNT(*) AS n_dups, MIN(nb) AS mn FROM sym GROUP BY 1)
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(n.n_dups, 0) AS BIGINT) AS n_dups,
+           (n.mn IS NULL OR n.mn > d.doc_id) AS is_kept
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+    LEFT JOIN n ON n.id = d.doc_id
+    """,
+    tables=("documents", "embeddings"),
+    scale_note=(
+        "Embedding near-dup keep/drop: candidates from SRP-LSH buckets "
+        "(shuffle ∝ vectors × 16 bands, never vectors²), exact cosine on "
+        "candidates only, then one groupBy over the pair list for the "
+        "keep-first rule and one key-equi join back to documents. The "
+        "oracle restates the exact all-pairs computation — valid because "
+        "the miner's recall at this threshold is pinned to 100% by the "
+        "local cross-check."
+    ),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP/DROP per embedded document under embedding-cosine ≥ 0.4
+    near-duplication with the deterministic keep-first (min doc_id)
+    rule; ``n_dups`` counts each doc's near-duplicate neighbors."""
+    # Lazily imported: a module-level import must not re-anchor
+    # sim_pairs_bucketed's registry position.
+    from .bucketed import sim_pairs_bucketed
+
+    pairs = sim_pairs_bucketed(spark, sf_dir).select("a_id", "b_id")
+    sym = pairs.select(
+        F.col("a_id").alias("id"), F.col("b_id").alias("nb")
+    ).unionAll(pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nb")))
+    neigh = sym.groupBy("id").agg(
+        F.count("*").alias("n_dups"), F.min("nb").alias("mn")
+    )
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("doc_id"))
+    return (
+        d.join(e, "doc_id")
+        .join(neigh, d["doc_id"] == neigh["id"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+            (F.col("mn").isNull() | (F.col("mn") > F.col("doc_id"))).alias(
+                "is_kept"
+            ),
+        )
+    )

@@ -221,3 +221,61 @@ def error_rate_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_err.cast("double") / F.count("*")).alias("error_rate"),
         )
     )
+
+
+@query(
+    "ts_gap_fill",
+    sql="""
+    WITH b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+        FROM events
+    ),
+    r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+    hrs AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS window_start
+        FROM r
+    ),
+    t AS (SELECT DISTINCT event_type FROM b),
+    c AS (SELECT h AS window_start, event_type, COUNT(*) AS n
+          FROM b GROUP BY 1, 2)
+    SELECT hrs.window_start, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM hrs
+    CROSS JOIN t
+    LEFT JOIN c ON c.window_start = hrs.window_start
+               AND c.event_type = t.event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "Gap filling: the dense (hour × type) grid is built from "
+        "sequence()+explode over the observed range — grid-sized "
+        "(hours × key cardinality), independent of input rows — then one "
+        "broadcast-able left join against the hourly aggregate. No "
+        "driver-side loop, no collect; a dashboard/forecasting "
+        "prerequisite the raw groupBy can't provide (absent buckets)."
+    ),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts per event type with missing hours zero-filled over
+    the global observed range."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_start")
+    )
+    types = e.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return grid.join(F.broadcast(hourly), ["window_start", "event_type"], "left").select(
+        "window_start",
+        "event_type",
+        F.coalesce("cnt", F.lit(0).cast("bigint")).alias("n"),
+    )

@@ -278,3 +278,33 @@ def win_ntile_pctrank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cume"
         ),
     )
+
+
+@query(
+    "win_dedup_latest",
+    sql="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Log compaction / CDC upsert resolution: latest record per key "
+        "via one keyed window (single shuffle on user_id, per-partition "
+        "sort). The batch twin of stream_dedup's keep-latest semantics; "
+        "at 100 TB this is the standard snapshot-from-changelog pass."
+    ),
+)
+def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (deterministic event_id tiebreak) — the
+    keep-latest compaction pattern."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )

@@ -75,6 +75,8 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import bucketed  # noqa: F401  (new this round)
     from .llm import frames  # noqa: F401  (new this round)
     from .llm import components, ivf  # noqa: F401  (new this round)
+    from .llm import embdedup  # noqa: F401  (new this round)
+    from .operators import scale_ops  # noqa: F401  (new this round)
     from .sources import formats  # noqa: F401  (new this round)
     from .sources import scans  # noqa: F401
     from .streaming import ops  # noqa: F401

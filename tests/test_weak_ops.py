@@ -97,6 +97,43 @@ def test_components_cover_all_paired_docs(spark, sf_dir):
         assert cid == min(members)
 
 
+def test_hll_sketch_close_to_exact(spark, sf_dir):
+    """The merged daily HLL sketches must estimate per-type distinct
+    users within standard HLL error (lgK=12 ⇒ rsd ≈ 1.6%; allow 5%)."""
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in SPECS["agg_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in SPECS["agg_hll_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_embedding_dedup_matches_exact_pairs(spark, sf_dir):
+    """dedup_embedding's keep/drop decisions derived from the bucketed
+    miner must equal the decisions derived from the exact O(n²) pair
+    baseline (possible because the miner's pair set == exact pair set
+    at this threshold, pinned above)."""
+    pairs = _pairs(SPECS["sim_pairs_threshold"].fn(spark, sf_dir))
+    neigh: dict[int, set[int]] = {}
+    for a, b in pairs:
+        neigh.setdefault(a, set()).add(b)
+        neigh.setdefault(b, set()).add(a)
+    got = SPECS["dedup_embedding"].fn(spark, sf_dir).collect()
+    assert len(got) == len({r["doc_id"] for r in got})
+    for r in got:
+        nb = neigh.get(r["doc_id"], set())
+        assert r["n_dups"] == len(nb)
+        expect_keep = not nb or min(nb) > r["doc_id"]
+        assert r["is_kept"] == expect_keep, (r, sorted(nb))
+    dropped = sum(1 for r in got if not r["is_kept"])
+    assert dropped > 0, "fixture should force at least one drop"
+
+
 def test_approx_distinct_close_to_exact(spark, sf_dir):
     exact = {
         r["event_type"]: r["n_users"]
