@@ -30,6 +30,30 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Keys with a green CORRECTNESS_r01.json row (hash-pass or rows-only by
+# declared design).  The driver evaluates only a prefix of ``queries()``
+# in registration order, so these proven keys yield their window slots
+# to the 52 keys that still lack any driver-side correctness row.
+_R1_CHECKED = frozenset(
+    {
+        "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
+        "udtf_table_fn", "fn_string", "fn_date", "fn_math",
+        "fn_conditional", "fn_array", "fn_map", "fn_json", "dedup_exact",
+        "dedup_fuzzy_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "multimodal_bytes", "multimodal_decode_stub", "sim_cosine_topk",
+        "sim_pairs_threshold", "embed_centroid_per_label", "sim_knn_join",
+        "agg_q1_pricing", "agg_global", "agg_count_distinct",
+        "agg_approx_count_distinct", "agg_having", "agg_rollup",
+        "agg_cube", "agg_grouping_sets", "agg_collect_sorted",
+        "agg_pivot", "agg_stats", "project_select", "filter_predicate",
+        "filter_in_between_null", "filter_regex", "distinct_rows",
+        "join_inner_equi", "join_broadcast", "join_outer_left",
+        "join_outer_full", "join_semi", "join_anti", "join_cross",
+        "join_theta_range", "join_interval_time", "join_asof",
+        "join_star_3way", "set_union_all", "set_union_distinct",
+    }
+)
+
 
 def query(
     name: str,
@@ -87,5 +111,10 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from . import udfs  # noqa: F401
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
+
+    # Demote round-1-proven keys to the back of the check order without
+    # disturbing the relative order within either group.
+    for key in [k for k in list(REGISTRY) if k in _R1_CHECKED]:
+        REGISTRY[key] = REGISTRY.pop(key)
 
     return REGISTRY
