@@ -1,0 +1,91 @@
+"""Batch CDC merge (SURVEY.md §2.N extras): apply a changelog delta to
+a base snapshot — the MERGE/upsert pass that keeps a 100-TB curated
+corpus current without rewriting it from raw.
+
+The fixture has no physical base/delta pair, so both are DERIVED
+deterministically from the events table (base = all events; delta =
+corrections to every third event, timestamped one hour later), which
+keeps the operator fully DuckDB-oracle-checkable.  The merge itself is
+the generic shape: union the snapshots, keep the latest version per
+key (ts, then a deterministic source tiebreak).
+
+Scale posture: one keyed window over the union — a single shuffle on
+the merge key.  On a real lakehouse the same plan runs partition-
+pruned: the delta's touched partition set restricts the base scan, so
+cost tracks the delta, not the snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Every third event receives a correction in the synthetic delta.
+DELTA_MOD = 3
+
+
+@query(
+    "merge_upsert",
+    sql=f"""
+    WITH delta AS (
+        SELECT event_id,
+               ts + INTERVAL 1 HOUR AS ts,
+               user_id, event_type,
+               round(value * 2, 2) AS value,
+               props, 1 AS src
+        FROM events
+        WHERE event_id % {DELTA_MOD} = 0
+    ),
+    unioned AS (
+        SELECT event_id, ts, user_id, event_type, value, props, 0 AS src
+        FROM events
+        UNION ALL
+        SELECT * FROM delta
+    )
+    SELECT event_id, ts, user_id, event_type, value, props,
+           src = 1 AS from_delta
+    FROM unioned
+    QUALIFY row_number() OVER (
+        PARTITION BY event_id ORDER BY ts DESC, src DESC) = 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "MERGE-as-window: union(base, delta) → keep latest per key via "
+        "one row_number window — a single shuffle on event_id, no "
+        "driver-side diffing. At 100 TB the base side is partition-"
+        "pruned to the delta's touched partitions before the union; "
+        "the keep-latest window is the same code (see win_dedup_latest "
+        "for the pure-compaction twin)."
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a synthetic correction delta to the events snapshot,
+    keeping the newest version of each event_id."""
+    e = load(spark, sf_dir, "events")
+    base = e.withColumn("src", F.lit(0))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumn("value", F.round(F.col("value") * 2, 2))
+        .withColumn("src", F.lit(1))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ts").desc(), F.col("src").desc()
+    )
+    return (
+        base.unionByName(delta)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            (F.col("src") == 1).alias("from_delta"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Data-profiling operators (SURVEY.md §2.N extras): per-column table
+profiles and distribution quantiles — the "look before you leap" pass a
+training-data pipeline runs on every new 100-TB corpus drop before any
+curation query is written.
+
+Reference parity: the reference genre eyeballs its tweet corpus with
+ad-hoc counts (SURVEY.md §0.3; checkout empty — §0.1); these operators
+make that a first-class, oracle-checked surface.
+
+Scale posture: the profile is ONE aggregation pass (no per-column
+jobs); exact quantiles sort within groups only.  At 100 TB the exact
+count-distinct per column becomes the HLL-sketch plan
+(``agg_hll_sketch``) and exact percentiles become ``percentile_approx``
+(``agg_approx_percentile`` below) — both registered here so the switch
+is a key rename, not new code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Profiled columns of the events table.  All profile metrics are
+# BIGINT counts — engine-neutral by construction (no float/timestamp
+# formatting can drift between Spark and DuckDB).
+PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "profile_table",
+    sql="""
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM events
+        """
+        for c in PROFILE_COLS
+    )
+    + ")",
+    tables=("events",),
+    scale_note=(
+        "Whole-table profile in ONE aggregation job: per-column "
+        "null/distinct counts fold into a single agg (Catalyst plans the "
+        "multi-distinct via one Expand), then unpivot to (column, metric) "
+        "rows driver-free. At 100 TB swap exact distincts for the "
+        "mergeable HLL sketches of agg_hll_sketch — same output schema."
+    ),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of events: rows, nulls, distincts — one pass."""
+    e = load(spark, sf_dir, "events")
+    wide = e.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            x
+            for c in PROFILE_COLS
+            for x in (
+                (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"dist_{c}"),
+            )
+        ],
+    )
+    # Unpivot: one output row per profiled column.  stack() is pure
+    # projection — no extra shuffle, no driver loop.
+    stack_args = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}" for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "agg_percentiles",
+    sql="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Exact interpolated percentiles per group (Spark `percentile` ≡ "
+        "DuckDB `quantile_cont`, identical linear interpolation — "
+        "verified repr-equal). Exact quantiles buffer each group; at "
+        "100 TB per-group cardinality makes this the t-digest plan "
+        "(agg_approx_percentile) — the exact twin stays as the oracle "
+        "at validation scale."
+    ),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value p50/p90/p99 per order priority (exact)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    sql=None,  # approx sketch has no DuckDB twin; the local suite pins
+    # each estimate within 1% relative error of the exact quantile.
+    tables=("orders",),
+    scale_note=(
+        "percentile_approx (GK/t-digest-style sketch, accuracy 10000): "
+        "bounded-memory mergeable summaries — the 100-TB path where "
+        "exact per-group sorts stop being affordable. Shuffle carries "
+        "one sketch per (partition × group), not the values."
+    ),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 per order priority (mergeable sketch)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.50D, 0.90D, 0.99D), 10000)"
+        ).alias("ps"),
+        F.count("*").alias("n"),
+    ).select(
+        "o_orderpriority",
+        F.col("ps")[0].alias("p50"),
+        F.col("ps")[1].alias("p90"),
+        F.col("ps")[2].alias("p99"),
+        "n",
+    )

@@ -279,3 +279,65 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("cnt", F.lit(0).cast("bigint")).alias("n"),
     )
+
+
+@query(
+    "funnel_conversion",
+    sql="""
+    WITH c AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               MAX(ts) AS last_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.day,
+           COUNT(*) AS n_click_users,
+           COUNT(CASE WHEN p.last_purchase >= c.first_click THEN 1 END)
+               AS n_converted,
+           CAST(COUNT(CASE WHEN p.last_purchase >= c.first_click THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS conversion_rate
+    FROM c
+    LEFT JOIN p ON p.user_id = c.user_id AND p.day = c.day
+    GROUP BY c.day
+    """,
+    tables=("events",),
+    scale_note=(
+        "Two-stage funnel (click → same-day purchase after the click): "
+        "both stages pre-aggregate to one row per (user, day) BEFORE "
+        "the join — the join input is user-days, not raw events, and "
+        "both sides share the (user_id, day) key so one shuffle serves "
+        "filter-agg-join. The standard conversion readout over an "
+        "event log at any scale."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily click→purchase conversion: users whose last purchase of the
+    day is at/after their first click of the day."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(F.max("ts").alias("last_purchase"))
+    )
+    converted = F.count(
+        F.when(F.col("last_purchase") >= F.col("first_click"), F.lit(1))
+    )
+    return (
+        clicks.join(purchases, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_click_users"),
+            converted.alias("n_converted"),
+            (converted.cast("double") / F.count("*")).alias("conversion_rate"),
+        )
+    )

@@ -105,6 +105,12 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .sources import scans  # noqa: F401
     from .streaming import ops  # noqa: F401
 
+    # Round-2 batch 2 (registered after the keys above so they queue
+    # behind the 50 operators still awaiting their first driver row).
+    from .operators import cdc, profiling  # noqa: F401  (new this round)
+    from .sources import layout  # noqa: F401  (new this round)
+    from .text import indexing  # noqa: F401  (new this round)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401

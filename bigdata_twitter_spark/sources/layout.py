@@ -1,0 +1,139 @@
+"""Physical-layout operators (SURVEY.md §2.N extras): hive-style
+partitioned writes with partition pruning, and bucketed tables with
+shuffle-free co-located joins — the two storage decisions that matter
+most at 100 TB, made first-class and oracle-checked.
+
+Why they matter: a partition-pruned scan reads the partitions a query
+touches (cost ∝ selectivity, not corpus size); a bucketed join layout
+pre-shuffles BOTH fact tables once at write time so every subsequent
+join on the bucket key runs with zero Exchange (verified by plan
+inspection in tests/test_layout.py — `Bucketed: true`, no shuffle
+below the join).
+
+Oracle strategy: each operator writes the layout, reads it back
+through the layout-aware path, and returns an aggregate whose DuckDB
+oracle computes the same answer from the ORIGINAL parquet — equality
+proves the layout round-trip is lossless and the pruned/co-located
+read is semantically transparent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+PRUNE_TYPES = ("click", "purchase")
+N_BUCKETS = 8
+
+
+def _layout_dir(label: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "bdt_spark_layout")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, label)
+
+
+@query(
+    "sink_partitioned_parquet",
+    sql=f"""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN {PRUNE_TYPES!r}
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Hive-style partitionBy(event_type) write, then a re-read whose "
+        "filter prunes to 2 of 5 partition directories BEFORE any file "
+        "is opened (plan shows PartitionFilters, tests/test_layout.py "
+        "pins PartitionCount). At 100 TB the pruning key is the "
+        "dominant predicate (day/source); cost tracks selectivity, not "
+        "corpus size."
+    ),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type; read back only two
+    partitions (pruned at planning time) and aggregate them."""
+    e = load(spark, sf_dir, "events")
+    path = _layout_dir(f"part_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type").isin(*PRUNE_TYPES))
+    return back.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _bucketed_table(
+    spark: SparkSession, name: str, df: DataFrame, key: str
+) -> DataFrame:
+    """Materialize ``df`` as a bucketed+sorted catalog table (idempotent
+    per session) and return the catalog-backed DataFrame."""
+    if not spark.catalog.tableExists(name):
+        path = _layout_dir(name)
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@query(
+    "join_bucketed_colocated",
+    sql="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tables=("orders", "customer"),
+    scale_note=(
+        "Both sides written bucketBy(8, custkey)+sortBy once; the join "
+        "then runs as a sort-merge with ZERO Exchange (plan shows "
+        "`Bucketed: true`, SelectedBucketsCount 8/8, no shuffle below "
+        "the join — pinned in tests/test_layout.py). This is the "
+        "write-once/join-many layout for 100-TB fact-fact joins where "
+        "neither side broadcasts; re-shuffling per query would dominate "
+        "the cluster bill."
+    ),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ⋈ customer on the bucket key with no runtime shuffle on
+    either side, aggregated per market segment."""
+    from ..numerics import dec
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    bo = _bucketed_table(
+        spark, f"bkt_orders_{tag}", load(spark, sf_dir, "orders"), "o_custkey"
+    )
+    bc = _bucketed_table(
+        spark,
+        f"bkt_customer_{tag}",
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+    )
+    # merge hint: demonstrate the bucketed SMJ even where AQE would
+    # broadcast the (locally tiny) customer side; at real scale SMJ is
+    # the only option and the bucketing is what removes its shuffles.
+    joined = bo.hint("merge").join(
+        bc.hint("merge"), bo["o_custkey"] == bc["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )

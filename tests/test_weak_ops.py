@@ -146,3 +146,32 @@ def test_approx_distinct_close_to_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """percentile_approx's guarantee is a RANK bound: the returned value
+    is an actual group element whose rank is within n/accuracy (+1 for
+    the exact quantile's interpolation between two neighbors) of the
+    target rank.  Assert exactly that, per group and percentile."""
+    from collections import defaultdict
+
+    from bigdata_twitter_spark.tables import load
+
+    vals = defaultdict(list)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        vals[r[0]].append(r[1])
+    approx = {
+        r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
+        for r in SPECS["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    assert set(vals) == set(approx)
+    for grp, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        max_rank_err = n / 10000 + 1
+        for p, a in zip((0.50, 0.90, 0.99), approx[grp]):
+            assert a in xs, (grp, p, a)
+            rank = xs.index(a)
+            assert abs(rank - p * (n - 1)) <= max_rank_err, (grp, p, a, rank, n)
