@@ -1,0 +1,81 @@
+"""Embedding quantization (SURVEY.md §2.N extras): per-vector int8
+scalar quantization — the storage/serving transform that makes a
+100-TB embedding corpus 4× smaller and ANN-cache-resident.
+
+Engine-neutral math: every float element is cast to DOUBLE first
+(float32 → float64 is exact), the affine quantization runs in IEEE
+doubles with an identical op sequence on both engines, and rounding is
+``floor(x + 0.5)`` (identical both sides — no HALF_EVEN/HALF_UP
+divergence), so the int codes hash-match the DuckDB oracle exactly.
+
+Scale posture: pure per-row HOF codegen (``transform`` over the
+array) — zero shuffles, fuses with whatever scan feeds it.  The codes
+are emitted as a canonical CSV string (same convention as
+agg_collect_sorted) to keep the value-hash engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+Q_LEVELS = 255  # int8 range: codes -128..127
+
+
+@query(
+    "embed_quantize_int8",
+    sql=f"""
+    WITH d AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, v,
+               list_min(v) AS mn,
+               (list_max(v) - list_min(v)) / {Q_LEVELS} AS scale
+        FROM d
+    )
+    SELECT vec_id, label, mn, scale,
+           array_to_string(
+               list_transform(
+                   v, x -> CAST(CAST(floor((x - mn) / scale + 0.5) AS BIGINT)
+                                - 128 AS VARCHAR)),
+               ',') AS q_codes
+    FROM s
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Per-vector affine int8 quantization as pure HOF codegen — no "
+        "shuffle, no UDF; 4× storage reduction for the ANN serving tier. "
+        "All arithmetic in doubles with an identical op sequence on both "
+        "engines (floor(x+0.5) rounding), so even the float math "
+        "hash-matches the oracle."
+    ),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize each embedding to int8 codes + (min, scale) metadata."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = e.select("vec_id", "label", v.alias("v"))
+    s = d.select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / Q_LEVELS).alias("scale"),
+    )
+    code = lambda x: (  # noqa: E731
+        F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5)).cast("bigint")
+        - 128
+    ).cast("string")
+    return s.select(
+        "vec_id",
+        "label",
+        "mn",
+        "scale",
+        F.array_join(F.transform(F.col("v"), code), ",").alias("q_codes"),
+    )

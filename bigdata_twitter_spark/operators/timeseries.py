@@ -341,3 +341,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (converted.cast("double") / F.count("*")).alias("conversion_rate"),
         )
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    sql="""
+    WITH h AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS cnt,
+               SUM(n) AS s1, SUM(n * n) AS s2
+        FROM h GROUP BY event_type
+    )
+    SELECT h.window_start, h.event_type, h.n,
+           (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
+             / sqrt((CAST(s.s2 AS DOUBLE)
+                     - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                    / (s.cnt - 1)) AS zscore,
+           abs((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
+               / sqrt((CAST(s.s2 AS DOUBLE)
+                       - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                      / (s.cnt - 1))) >= 2.0 AS is_anomaly
+    FROM h JOIN s USING (event_type)
+    """,
+    tables=("events",),
+    scale_note=(
+        "Volume-anomaly detection: hourly per-type counts scored "
+        "against per-type mean/stddev DERIVED FROM EXACT BIGINT SUMS "
+        "(sum, sum-of-squares), so the statistics are accumulation-"
+        "order independent and the float z-score is one identical "
+        "IEEE expression on both engines. Two tiny aggs + a broadcast "
+        "join of the per-type stats — input-sized work is one pass."
+    ),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(hour, type) event-count z-scores; |z| >= 2 flags anomalies."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = (F.col("s2").cast("double") - mean * F.col("s1")) / (
+        F.col("cnt") - 1
+    )
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return h.join(F.broadcast(s), "event_type").select(
+        "window_start",
+        "event_type",
+        "n",
+        z.alias("zscore"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )

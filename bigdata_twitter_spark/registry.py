@@ -110,6 +110,9 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import cdc, profiling  # noqa: F401  (new this round)
     from .sources import layout  # noqa: F401  (new this round)
     from .text import indexing  # noqa: F401  (new this round)
+    from .llm import quantize  # noqa: F401  (new this round)
+    from .operators import graph  # noqa: F401  (new this round)
+    from .text import pipeline  # noqa: F401  (new this round)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

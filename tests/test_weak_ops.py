@@ -175,3 +175,45 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
             assert a in xs, (grp, p, a)
             rank = xs.index(a)
             assert abs(rank - p * (n - 1)) <= max_rank_err, (grp, p, a, rank, n)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """Every Spark PageRank value must match an exact numpy power
+    iteration over the same co-purchase graph (same damping, same
+    iteration count) within float tolerance."""
+    import numpy as np
+
+    from bigdata_twitter_spark.operators.graph import (
+        DAMPING,
+        ITERATIONS,
+        PART_OFFSET,
+        copurchase_edges,
+    )
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in copurchase_edges(spark, sf_dir).collect()
+    ]
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(ITERATIONS):
+        nxt = np.full(n, (1.0 - DAMPING) / n)
+        contrib = rank / deg
+        for s, d in edges:
+            nxt[idx[d]] += DAMPING * contrib[idx[s]]
+        rank = nxt
+    got = SPECS["graph_pagerank"].fn(spark, sf_dir).collect()
+    assert len(got) == n
+    for r in got:
+        v = r["vertex"] + (PART_OFFSET if r["is_part"] else 0)
+        expect = rank[idx[v]]
+        assert abs(r["rank"] - expect) <= 1e-9 * max(1.0, abs(expect)) + 1e-12, (
+            v, r["rank"], expect,
+        )
+    # Sanity: ranks form a probability distribution (no lost mass).
+    assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-6
