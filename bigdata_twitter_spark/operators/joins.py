@@ -330,3 +330,62 @@ def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
+
+
+RANGE_BIN_SECONDS = 3600  # bin width == range width ⇒ 2 bins per probe
+
+
+@query(
+    "join_range_binned",
+    sql="""
+    SELECT er.event_id AS error_id, er.ts AS error_ts,
+           ev.event_id, ev.ts, ev.event_type, ev.user_id
+    FROM events er JOIN events ev
+      ON er.event_type = 'error'
+     AND ev.ts > er.ts AND ev.ts <= er.ts + INTERVAL 1 HOUR
+    """,
+    tables=("events",),
+    scale_note=(
+        "Range join WITHOUT an equi key (any-user events within 1 h "
+        "after each error): naively a BroadcastNestedLoopJoin — O(n·m) "
+        "comparisons, the classic range-join scale-killer. Binning "
+        "rewrites it as an EQUI join: each error explodes to its 2 "
+        "covering hour-bins, each event maps to 1 bin, the join keys "
+        "on the bin, and the residual range predicate filters within "
+        "bins. Work becomes O(pairs sharing a bin) with a plain "
+        "shuffle-hash join — the plan test pins that no nested-loop "
+        "join survives (tests/test_layout.py)."
+    ),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All events within the hour after each error event, computed as a
+    bin-equi join + residual filter instead of a nested-loop range join."""
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    # An (error_ts, error_ts + 1h] window spans exactly 2 hour bins.
+    probe = errors.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.unix_micros("error_ts") / (RANGE_BIN_SECONDS * 1_000_000)),
+                F.floor(F.unix_micros("error_ts") / (RANGE_BIN_SECONDS * 1_000_000))
+                + 1,
+            )
+        ),
+    )
+    build = e.withColumn(
+        "bin", F.floor(F.unix_micros("ts") / (RANGE_BIN_SECONDS * 1_000_000))
+    )
+    return (
+        probe.join(build, "bin")
+        .filter(
+            (F.col("ts") > F.col("error_ts"))
+            & (
+                F.col("ts")
+                <= F.col("error_ts") + F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        .select("error_id", "error_ts", "event_id", "ts", "event_type", "user_id")
+    )

@@ -400,3 +400,176 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_retention_cohort",
+    sql="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Cohort retention triangle: first-seen day per user (one "
+        "user-keyed agg), distinct user-days (map-side combinable), "
+        "one join sharing the user_id key, then a cohort-sized "
+        "rollup. The join input is user-days, never raw events — at "
+        "100 TB the user dimension is the only wide exchange. "
+        "(COUNT(*) over act rows == COUNT(DISTINCT user) since act is "
+        "already distinct — avoids a second Expand.)"
+    ),
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention: users active N days after their first day,
+    grouped by signup-day cohort."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    act = e.select("user_id", day).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@query(
+    "ts_interpolate",
+    sql="""
+    WITH b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+        FROM events
+    ),
+    r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+    hrs AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS window_start FROM r
+    ),
+    t AS (SELECT DISTINCT event_type FROM b),
+    c AS (SELECT h AS window_start, event_type, COUNT(*) AS n
+          FROM b GROUP BY 1, 2),
+    grid AS (
+        SELECT hrs.window_start, t.event_type, c.n
+        FROM hrs CROSS JOIN t
+        LEFT JOIN c ON c.window_start = hrs.window_start
+                   AND c.event_type = t.event_type
+    ),
+    w AS (
+        SELECT window_start, event_type, n,
+               last_value(n IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_n,
+               last_value(CASE WHEN n IS NOT NULL THEN window_start END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_t,
+               first_value(n IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_n,
+               first_value(CASE WHEN n IS NOT NULL THEN window_start END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_t
+        FROM grid
+    )
+    SELECT window_start, event_type, n,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN prev_n IS NULL OR next_n IS NULL THEN NULL
+                ELSE CAST(prev_n AS DOUBLE)
+                     + (CAST(next_n AS DOUBLE) - prev_n)
+                       * (CAST(epoch_us(window_start) - epoch_us(prev_t)
+                               AS DOUBLE)
+                          / (epoch_us(next_t) - epoch_us(prev_t)))
+           END AS n_filled
+    FROM w
+    """,
+    tables=("events",),
+    scale_note=(
+        "Linear interpolation of missing buckets: dense grid (grid-"
+        "sized, not data-sized) + two IGNORE-NULLS window passes per "
+        "direction — one shuffle on the series key, partition-local "
+        "sorts. Interpolation arithmetic runs on exact integer counts "
+        "and µs epochs, one identical IEEE expression both engines. "
+        "The standard sensor/metric gap-repair pass before modeling."
+    ),
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type counts with interior gaps linearly interpolated
+    (exterior gaps stay null)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "window_start"
+        )
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(types)
+        .join(F.broadcast(hourly), ["window_start", "event_type"], "left")
+        .select("window_start", "event_type", F.col("cnt").alias("n"))
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("n").isNotNull(), F.col("window_start"))
+    wdf = grid.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("prev_n"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("n", ignorenulls=True).over(w_next).alias("next_n"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    frac = (
+        F.unix_micros("window_start") - F.unix_micros("prev_t")
+    ).cast("double") / (F.unix_micros("next_t") - F.unix_micros("prev_t"))
+    lerp = (
+        F.col("prev_n").cast("double")
+        + (F.col("next_n").cast("double") - F.col("prev_n")) * frac
+    )
+    filled = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("prev_n").isNull() | F.col("next_n").isNull(), F.lit(None))
+        .otherwise(lerp)
+    )
+    return wdf.select(
+        "window_start", "event_type", "n", filled.alias("n_filled")
+    )

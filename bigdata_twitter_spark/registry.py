@@ -113,6 +113,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import quantize  # noqa: F401  (new this round)
     from .operators import graph  # noqa: F401  (new this round)
     from .text import pipeline  # noqa: F401  (new this round)
+    from .llm import containment  # noqa: F401  (new this round)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

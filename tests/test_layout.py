@@ -74,3 +74,35 @@ def test_bucketed_tables_match_source(spark, sf_dir):
         spark.table(f"bkt_customer_{tag}").count()
         == load(spark, sf_dir, "customer").count()
     )
+
+
+def test_range_binned_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned rewrite must plan a hash/merge EQUI join on the bin
+    key — never BroadcastNestedLoopJoin (the naive range-join plan)."""
+    df = SPECS["join_range_binned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan
+
+
+def test_range_binned_matches_naive_range_join(spark, sf_dir):
+    """Bin-equi + residual must return exactly the naive range join's
+    pairs (binning is a pure rewrite, not an approximation)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    got = {
+        (r["error_id"], r["event_id"])
+        for r in SPECS["join_range_binned"].fn(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts")
+    )
+    naive = e.crossJoin(errors).filter(
+        (F.col("ts") > F.col("error_ts"))
+        & (F.col("ts") <= F.col("error_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    expect = {(r["error_id"], r["event_id"]) for r in naive.collect()}
+    assert got == expect
