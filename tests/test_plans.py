@@ -1,0 +1,91 @@
+"""Optimizer-property pins: these tests fail if a code change silently
+degrades the physical plan — the properties that matter at 100 TB
+(scan-level filter pushdown, column pruning, broadcast of small dims,
+whole-stage codegen, map-side partial aggregation), independent of
+result correctness (test_parity.py) and wall-clock (bench.py).
+"""
+
+from __future__ import annotations
+
+from bigdata_twitter_spark.registry import load_all_operators
+
+SPECS = load_all_operators()
+
+
+def _plan(spark, sf_dir, key: str) -> str:
+    return (
+        SPECS[key]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_predicate")
+    assert "PushedFilters: [" in plan
+    # At least one real predicate must be pushed (not just the bare
+    # brackets of an empty list).
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+
+
+def test_column_pruning_in_projection(spark, sf_dir):
+    """project_select touches 5 source columns; the scan schema must
+    carry exactly those — not the full 16-column lineitem row."""
+    plan = _plan(spark, sf_dir, "project_select")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") == 5, read_schema
+    for unused in ("l_comment", "l_shipdate", "l_quantity", "l_partkey"):
+        assert unused not in read_schema, read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_flagship_agg_uses_codegen_and_partial_agg(spark, sf_dir):
+    # Execute first: AQE renders codegen spans only in the FINAL plan.
+    df = SPECS["agg_q1_pricing"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    # Whole-stage codegen renders as "*(n)" stage markers in the final
+    # plan; both the partial and final agg must sit inside one.
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    assert "partial" in plan.lower(), plan  # map-side combine present
+
+
+def test_trending_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a global sort followed by limit."""
+    plan = _plan(spark, sf_dir, "trending_topk_terms")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_star_join_pushes_filters_below_joins(spark, sf_dir):
+    """join_star_3way's per-table filters must appear as pushed scan
+    predicates, not post-join filters only."""
+    plan = _plan(spark, sf_dir, "join_star_3way")
+    assert plan.count("PushedFilters: [Is") + plan.count(
+        "PushedFilters: [Equal"
+    ) + plan.count("PushedFilters: [LessThan") + plan.count(
+        "PushedFilters: [GreaterThan"
+    ) >= 2, plan
+
+
+def test_no_cartesian_in_oracle_checked_joins(spark, sf_dir):
+    """Only join_cross (deliberate) may plan a cartesian product."""
+    for key in (
+        "join_inner_equi",
+        "join_outer_left",
+        "join_semi",
+        "join_anti",
+        "join_star_3way",
+        "join_interval_time",
+        "join_range_binned",
+    ):
+        plan = _plan(spark, sf_dir, key)
+        assert "CartesianProduct" not in plan, (key, plan)
