@@ -114,6 +114,8 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import graph  # noqa: F401  (new this round)
     from .text import pipeline  # noqa: F401  (new this round)
     from .llm import containment  # noqa: F401  (new this round)
+    from .llm import audio  # noqa: F401  (new this round)
+    from .sources import binaryfiles  # noqa: F401  (new this round)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

@@ -1,0 +1,86 @@
+"""Raw binary-file ingestion (SURVEY.md §2.N extras): Spark's
+``binaryFile`` source — the actual entry path for image/audio/video
+corpora, where each object lands as one (path, length, content) row
+with the blob as a BinaryType column.
+
+Fixture stand-in: a bounded set of ``<doc_id>.bin`` files is
+materialized once from the documents table (UTF-8 payloads), then
+ingested back through ``format("binaryFile")`` and fingerprinted
+JVM-side.  The oracle computes the same fingerprints from the original
+table — equality proves the file round-trip and the binary scan are
+lossless.
+
+Scale posture: binaryFile lists and splits by FILE (one row per
+object, content never split), so parallelism = object count;
+``pathGlobFilter``/partitioned directory layouts prune listing; blobs
+ride the columnar path into the same mapInPandas decode seams as
+``multimodal_decode_stub``.  The bounded driver-side write here is
+fixture GENERATION only — the operator under test is the scan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_BIN_FILES = 100  # bounded fixture: doc_id < 100
+
+
+@query(
+    "scan_binary_files",
+    sql=f"""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents WHERE doc_id < {N_BIN_FILES}
+    """,
+    tables=("documents",),
+    scale_note=(
+        "binaryFile source: one row per object, blob as BinaryType, "
+        "listing-level pruning via pathGlobFilter; fingerprinting "
+        "(length, sha2) is pure JVM codegen over the content column. "
+        "The ingest front door for 100-TB image/audio corpora — "
+        "parallelism scales with object count, and downstream decode "
+        "reuses the multimodal mapInPandas seams."
+    ),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest <doc_id>.bin files via binaryFile and fingerprint each
+    blob (byte length + sha256) JVM-side."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), "bdt_spark_bin", tag)
+    marker = os.path.join(root, "_ready")
+    if not os.path.exists(marker):
+        # Fixture generation (once per sf): bounded driver-side write of
+        # N small files — stands in for the object store's existing
+        # objects; NOT part of the measured operator.
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < N_BIN_FILES)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(root, f"{r['doc_id']}.bin"), "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.bin$", 1
+    ).cast("bigint")
+    return files.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha_hex"),
+    )
