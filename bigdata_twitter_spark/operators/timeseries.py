@@ -573,3 +573,83 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wdf.select(
         "window_start", "event_type", "n", filled.alias("n_filled")
     )
+
+
+PATH_HEAD = 5
+
+
+@query(
+    "win_session_paths",
+    sql=f"""
+    WITH m AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    n AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS session_id
+        FROM m
+    ),
+    p AS (
+        SELECT user_id, session_id,
+               array_to_string(
+                   list_slice(list(event_type ORDER BY ts, event_id),
+                              1, {PATH_HEAD}), '>') AS path,
+               COUNT(*) AS n_events
+        FROM n GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM p GROUP BY path
+    """,
+    tables=("events",),
+    scale_note=(
+        "User-journey mining: gap-and-island sessionization (one "
+        "user-keyed shuffle, reused by every window here), per-session "
+        "ordered path head via sort_array(collect_list(struct)) — "
+        "bounded at 5 steps so state per session is constant — then a "
+        "path-keyed count whose map-side combine absorbs popular-path "
+        "skew. The 'what do users do' readout of the events genre."
+    ),
+)
+def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency of session-opening event-type paths (first 5 steps per
+    30-min-gap session)."""
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_order)
+    )
+    numbered = e.withColumn(
+        "brk", F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
+    ).withColumn("session_id", F.sum("brk").over(w_run).cast("long"))
+    # struct field order (ts, event_id, type) makes sort_array order by
+    # time with the deterministic event_id tiebreak.
+    path = F.array_join(
+        F.slice(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            1,
+            PATH_HEAD,
+        ),
+        ">",
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        path.alias("path"), F.count("*").alias("n_events")
+    )
+    return sessions.groupBy("path").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+    )

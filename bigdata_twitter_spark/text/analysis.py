@@ -394,3 +394,77 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double"), 6
         ).alias("bpe_per_word"),
     )
+
+
+KEYWORDS_TOPK = 3
+
+
+@query(
+    "text_keywords_topk",
+    sql=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> ''
+           GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+           GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                   AS tf_idf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tf_idf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, term ASC)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf_idf DESC, term ASC)
+            <= {KEYWORDS_TOPK}
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Per-document keyword extraction: text_tf_idf's plan (two aggs "
+        "+ broadcast vocab join) plus ONE doc-keyed rank window — "
+        "ranking on the 6dp-ROUNDED score with a term tiebreak keeps "
+        "the cut deterministic on both engines. Tagging every doc with "
+        "its top terms is the per-item twin of corpus-level trending."
+    ),
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tf_idf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KEYWORDS_TOPK)
+    )
