@@ -34,6 +34,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 # declared design).  The driver evaluates only a prefix of ``queries()``
 # in registration order, so these proven keys yield their window slots
 # to the 52 keys that still lack any driver-side correctness row.
+# The driver evaluates exactly the first 50 ``queries()`` keys per round
+# (CORRECTNESS_r01 cut at key #50 in registration order).  This is the
+# round-2 window: every §2-core key that still lacks a driver-side
+# correctness row, ordered cheap-batch-first.  Keys with no oracle
+# (rows-only checks) and round-1-late extras queue behind it for the
+# round-3 window; round-1-proven keys go last.
+_R2_WINDOW = (
+    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
+    "win_range_frame", "win_ntile_pctrank", "win_ntile_pctrank_dist",
+    "win_dedup_latest", "sort_multikey", "limit_topk_global",
+    "set_intersect", "set_except", "join_skew_salted",
+    "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
+    "trending_topk_terms", "top_active_users", "error_rate_per_day",
+    "ts_gap_fill", "funnel_conversion", "ts_anomaly_zscore",
+    "ts_retention_cohort", "ts_interpolate", "text_tokenize",
+    "text_ngrams", "text_tf_idf", "text_sentiment_lexicon",
+    "text_lang_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
+    "agg_percentiles", "join_bucketed_colocated", "scan_parquet",
+    "scan_json_lines", "sink_parquet", "scan_csv", "sink_json_lines",
+    "source_stream_file", "source_stream_rate", "sink_stream_foreachbatch",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
+    "stream_dedup", "stream_late_data", "stream_stateful_running",
+    "stream_stream_join",
+)
+
 _R1_CHECKED = frozenset(
     {
         "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
@@ -124,9 +150,16 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Demote round-1-proven keys to the back of the check order without
-    # disturbing the relative order within either group.
-    for key in [k for k in list(REGISTRY) if k in _R1_CHECKED]:
-        REGISTRY[key] = REGISTRY.pop(key)
+    # Final check order: the explicit 50-key round-2 window first, then
+    # the remaining driver-unverified keys (round-3 candidates) in
+    # registration order, then round-1-proven keys last.
+    ordered: dict[str, QuerySpec] = {}
+    for key in _R2_WINDOW:
+        ordered[key] = REGISTRY.pop(key)
+    for key in [k for k in list(REGISTRY) if k not in _R1_CHECKED]:
+        ordered[key] = REGISTRY.pop(key)
+    ordered.update(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
 
     return REGISTRY
