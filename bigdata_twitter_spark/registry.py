@@ -30,56 +30,38 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Keys with a green CORRECTNESS_r01.json row (hash-pass or rows-only by
-# declared design).  The driver evaluates only a prefix of ``queries()``
-# in registration order, so these proven keys yield their window slots
-# to the 52 keys that still lack any driver-side correctness row.
 # The driver evaluates exactly the first 50 ``queries()`` keys per round
-# (CORRECTNESS_r01 cut at key #50 in registration order).  This is the
-# round-2 window: every §2-core key that still lacks a driver-side
-# correctness row, ordered cheap-batch-first.  Keys with no oracle
-# (rows-only checks) and round-1-late extras queue behind it for the
-# round-3 window; round-1-proven keys go last.
-_R2_WINDOW = (
-    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
-    "win_range_frame", "win_ntile_pctrank", "win_ntile_pctrank_dist",
-    "win_dedup_latest", "sort_multikey", "limit_topk_global",
-    "set_intersect", "set_except", "join_skew_salted",
-    "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
-    "trending_topk_terms", "top_active_users", "error_rate_per_day",
-    "ts_gap_fill", "funnel_conversion", "ts_anomaly_zscore",
-    "ts_retention_cohort", "ts_interpolate", "text_tokenize",
-    "text_ngrams", "text_tf_idf", "text_sentiment_lexicon",
-    "text_lang_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
-    "agg_percentiles", "join_bucketed_colocated", "scan_parquet",
-    "scan_json_lines", "sink_parquet", "scan_csv", "sink_json_lines",
-    "source_stream_file", "source_stream_rate", "sink_stream_foreachbatch",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session_window",
-    "stream_dedup", "stream_late_data", "stream_stateful_running",
-    "stream_stream_join",
+# (rounds 1 and 2 both cut at key #50 in registration order).  This is
+# the round-3 window: the 22 keys that have never appeared in any
+# driver check window lead (18 of them oracle-SQL-backed, 4 rows-only
+# by declared approx contract), followed by §2.N keys verified exactly
+# once, then eight round-1-verified flagship base keys to fill the 50.
+# After this round every registry key has at least one driver-side
+# CORRECTNESS row and the headline queries carry a second.
+_R3_WINDOW = (
+    # -- 22 never-checked keys (cheap oracle-backed first) --
+    "profile_table", "merge_upsert", "sample_hash_stratified",
+    "win_session_paths", "join_range_binned", "inverted_index",
+    "text_scrub_denylist", "doc_pipeline_e2e", "dedup_components",
+    "dedup_containment", "dedup_embedding", "sim_ivf_topk",
+    "sim_batch_queries_topk", "embed_quantize_int8",
+    "multimodal_frame_sample", "multimodal_audio_chunk",
+    "scan_binary_files", "sink_partitioned_parquet",
+    # rows-only by declared approx/sketch contract:
+    "sim_pairs_bucketed", "agg_approx_percentile", "agg_hll_sketch",
+    "graph_pagerank",
+    # -- §2.N extras with exactly one driver row (r1 or r2) --
+    "dedup_simhash", "multimodal_decode_stub", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "join_skew_salted",
+    "win_ntile_pctrank_dist", "text_token_count_bpe",
+    "stream_stream_join", "scan_csv", "sink_json_lines", "ts_gap_fill",
+    "win_dedup_latest", "agg_percentiles", "join_bucketed_colocated",
+    "funnel_conversion", "ts_anomaly_zscore", "ts_retention_cohort",
+    "ts_interpolate", "text_keywords_topk",
+    # -- round-1-verified flagship base keys (second driver row) --
+    "agg_q1_pricing", "join_star_3way", "join_broadcast", "join_asof",
+    "dedup_exact", "dedup_minhash_lsh", "sim_cosine_topk", "fn_json",
 )
-
-_R1_CHECKED = frozenset(
-    {
-        "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
-        "udtf_table_fn", "fn_string", "fn_date", "fn_math",
-        "fn_conditional", "fn_array", "fn_map", "fn_json", "dedup_exact",
-        "dedup_fuzzy_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "multimodal_bytes", "multimodal_decode_stub", "sim_cosine_topk",
-        "sim_pairs_threshold", "embed_centroid_per_label", "sim_knn_join",
-        "agg_q1_pricing", "agg_global", "agg_count_distinct",
-        "agg_approx_count_distinct", "agg_having", "agg_rollup",
-        "agg_cube", "agg_grouping_sets", "agg_collect_sorted",
-        "agg_pivot", "agg_stats", "project_select", "filter_predicate",
-        "filter_in_between_null", "filter_regex", "distinct_rows",
-        "join_inner_equi", "join_broadcast", "join_outer_left",
-        "join_outer_full", "join_semi", "join_anti", "join_cross",
-        "join_theta_range", "join_interval_time", "join_asof",
-        "join_star_3way", "set_union_all", "set_union_distinct",
-    }
-)
-
 
 def query(
     name: str,
@@ -108,13 +90,10 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Import ORDER is the driver's check order: the harness evaluates the
-    first keys of ``queries()`` in registration order, so the families
-    that lack a CORRECTNESS row from round 1 (windows, sort/limit,
-    time-series, text, set-op tail, sources, streaming) register FIRST.
-    Cheap batch operators lead; the streaming replays (each a full
-    write+restream) come last within that block in case the driver's
-    cutoff is time-based rather than count-based.
+    Imports only POPULATE the registry; the explicit ``_R3_WINDOW``
+    tuple below defines the check-order prefix the driver evaluates
+    (the harness checks the first 50 ``queries()`` keys per round).
+    Keys outside the window follow in registration order.
     """
     from .operators import windows  # noqa: F401
     from .operators import sort_limit  # noqa: F401
@@ -150,13 +129,16 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key round-2 window first, then
-    # the remaining driver-unverified keys (round-3 candidates) in
-    # registration order, then round-1-proven keys last.
+    # Final check order: the explicit 50-key round-3 window first, then
+    # every remaining key in registration order.
+    missing = [k for k in _R3_WINDOW if k not in REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"_R3_WINDOW names unregistered operator keys: {missing}; "
+            "a window key was renamed or its module was dropped"
+        )
     ordered: dict[str, QuerySpec] = {}
-    for key in _R2_WINDOW:
-        ordered[key] = REGISTRY.pop(key)
-    for key in [k for k in list(REGISTRY) if k not in _R1_CHECKED]:
+    for key in _R3_WINDOW:
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()
