@@ -56,19 +56,25 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), "bdt_spark_bin", tag)
     marker = os.path.join(root, "_ready")
     if not os.path.exists(marker):
-        # Fixture generation (once per sf): bounded driver-side write of
-        # N small files — stands in for the object store's existing
-        # objects; NOT part of the measured operator.
+        # Fixture generation (once per sf): bounded executor-side write
+        # of N small files — stands in for the object store's existing
+        # objects; NOT part of the measured operator.  foreachPartition
+        # keeps the rows on the executors (no driver materialization);
+        # each task writes only its own partition's files.
         os.makedirs(root, exist_ok=True)
-        rows = (
+
+        def _write_partition(rows) -> None:
+            for r in rows:
+                path = os.path.join(root, f"{r['doc_id']}.bin")
+                with open(path, "wb") as fh:
+                    fh.write(r["text"].encode("utf-8"))
+
+        (
             load(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < N_BIN_FILES)
             .select("doc_id", "text")
-            .collect()
+            .foreachPartition(_write_partition)
         )
-        for r in rows:
-            with open(os.path.join(root, f"{r['doc_id']}.bin"), "wb") as fh:
-                fh.write(r["text"].encode("utf-8"))
         with open(marker, "w") as fh:
             fh.write("ok")
     files = (
