@@ -56,19 +56,24 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     materialize(specs[keys[0]].fn(spark, sf_dir))
 
-    # Best-of-2 per query: this sandbox shares a host and single runs
+    # Three runs per query: this sandbox shares a host and single runs
     # swing up to 5x on untouched queries (BASELINE.md "Measurement
-    # caveat"); the min of two runs measures the plan, not the
-    # neighbors.  Total = sum of per-query minima.
+    # caveat").  ``value``/``queries`` stay best-of-runs (minimum —
+    # measures the plan, comparable with BENCH_r01/r02); the median-of-3
+    # is reported alongside so host-noise swings are visible instead of
+    # reading as plan regressions.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for key in keys:
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(specs[key].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[key] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[key] = round(min(runs), 4)
+        medians[key] = round(sorted(runs)[1], 4)
     total = round(sum(timings.values()), 4)
+    total_median = round(sum(medians.values()), 4)
 
     print(
         json.dumps(
@@ -78,6 +83,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "value_median_of_3": total_median,
+                "queries_median_of_3": medians,
             }
         )
     )

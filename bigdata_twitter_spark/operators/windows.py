@@ -176,8 +176,11 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tables=("orders",),
     scale_note=(
-        "Global distribution ranks need a single ordered partition — fine for "
-        "result-sized sets; at 100 TB use approx quantiles or bucket first."
+        "Global distribution ranks need a single ordered partition — fine "
+        "for result-sized sets only. The production path at 100 TB is the "
+        "shipped twin win_ntile_pctrank_dist (same oracle, same output): "
+        "range-repartition + local row_number + broadcast cumulative "
+        "offsets, no single-partition window anywhere."
     ),
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
