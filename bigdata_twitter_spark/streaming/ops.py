@@ -55,6 +55,35 @@ def _fresh_dir(label: str) -> str:
     return base
 
 
+# State-store backends for every stateful operator in this module.  On a
+# real cluster RocksDB is the production choice (state spills to local
+# disk instead of executor heap, changelog checkpointing to the cluster
+# FS); the HDFS-backed in-heap store is Spark's default.  Select via
+# ``SPARK_GRAFT_STATE_STORE=rocksdb|hdfs`` (or a full provider class
+# name); unset keeps Spark's default.  The conf is read at query start,
+# so setting it on the session right before ``start()`` is sufficient.
+STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
+
+def apply_state_store_conf(spark: SparkSession) -> None:
+    """Point stateful queries at the env-selected state-store backend."""
+    choice = os.environ.get("SPARK_GRAFT_STATE_STORE")
+    if choice:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS.get(choice.lower(), choice),
+        )
+
+
 # (sf_dir, copies) → materialized replay directory.  Ten streaming
 # operators replay the same fixture; writing it once per process keeps
 # the per-operator cost at "run the stream", not "rewrite the input".
@@ -78,6 +107,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
 
 def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
     path = _replay_dir(spark, sf_dir, copies)
+    apply_state_store_conf(spark)
     return spark.readStream.schema(EVENTS_US_SCHEMA).parquet(path)
 
 
