@@ -31,6 +31,35 @@ from ..tables import load
 SALT_BUCKETS = 16
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    unique_cols: list[str],
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """The reusable salting recipe: join ``fact`` (skewed on
+    ``key_cols``) to a small-but-not-broadcastable ``dim``.
+
+    The fact salt is value-derived (``xxhash64`` of ``unique_cols`` —
+    deterministic and partition-order independent, never
+    ``monotonically_increasing_id``); the dim side is exploded
+    ``×buckets`` so every (key, salt) fact row finds its dim row.  Each
+    hot key's reducer bucket shrinks ``buckets``-fold.  Values are
+    salt-invariant: the result equals the plain join.
+    """
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    fact_salted = fact.withColumn(
+        "salt",
+        F.pmod(F.xxhash64(*unique_cols), F.lit(buckets)).cast("int"),
+    )
+    return fact_salted.join(
+        dim_salted.hint("shuffle_hash"), [*key_cols, "salt"]
+    ).drop("salt")
+
+
 @query(
     "join_skew_salted",
     sql="""
@@ -63,26 +92,13 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("flag_rows"),
     )
-    dim_salted = dim.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
-    )
-    fact = li.select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
-    ).withColumn(
-        "salt",
-        F.pmod(
-            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_BUCKETS)
-        ).cast("int"),
-    )
-    return (
-        fact.join(
-            dim_salted.hint("shuffle_hash"), ["l_returnflag", "salt"]
-        )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_returnflag",
-            "flag_avg_disc",
-            "flag_rows",
-        )
+    fact = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    return salted_join(
+        fact, dim, ["l_returnflag"], ["l_orderkey", "l_linenumber"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "flag_avg_disc",
+        "flag_rows",
     )
