@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""sf1-equivalent scale probe (VERDICT-r2 item 2).
+
+Every number so far is sf0.1 on one node; the 100-TB claims in the
+operators' ``scale_note``s are design arguments.  This probe
+manufactures a 10× dataset from sf0.1 and measures the headline
+queries at both scales, so "wall-time grows ≤~10× and nothing breaks
+on the driver" becomes evidence instead of argument.
+
+Replication is NOT naive row duplication — that would distort the
+workload superlinearly:
+
+* key columns get a per-copy stride offset (``+ i × 10^10``) so join
+  fan-out and group cardinality scale linearly (orders⋈lineitem stays
+  1:N, never N×M across copies);
+* ``documents.text`` is deterministically token-shuffled per copy
+  (sort tokens by ``xxhash64(token, copy)``), so shingle/MinHash
+  near-dup structure is preserved *within* each copy cohort instead of
+  every doc gaining 9 exact twins (which would grow LSH candidate
+  pairs ~×100 — a different workload, not a bigger one);
+* unreplicated dimension tables (region/nation/supplier/part) are
+  copied as-is, mirroring real scale-ups where dims grow slower than
+  facts.
+
+Usage: ``python tools/scale_probe.py [copies]`` (default 10).  Prints
+one JSON line: per-query seconds at sf0.1 and sfN, plus the ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE, materialize  # noqa: E402
+from bigdata_twitter_spark.registry import load_all_operators  # noqa: E402
+from bigdata_twitter_spark.session import get_session  # noqa: E402
+
+KEY_STRIDE = 10_000_000_000  # far above any fixture key at any sf
+
+# table → key columns that take the per-copy stride offset
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation", "supplier", "part"]
+
+
+def shuffled_text(copy: int):
+    """Deterministic per-copy token shuffle of documents.text."""
+    return F.expr(
+        "concat_ws(' ', transform(array_sort(transform(split(text, ' '), "
+        f"t -> struct(xxhash64(t, {copy}) AS h, t AS t))), s -> s.t))"
+    )
+
+
+def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for name in COPY_AS_IS:
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    for name, keys in OFFSET_KEYS.items():
+        base = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        out = f"{out_dir}/{name}.parquet"
+        for i in range(copies):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+            if name == "documents" and i > 0:
+                df = df.withColumn("text", shuffled_text(i))
+            df.write.mode("append").parquet(out)
+
+
+def time_headline(spark, specs, sf_dir: str, runs: int = 2) -> dict[str, float]:
+    keys = [k for k in HEADLINE if k in specs]
+    materialize(specs[keys[0]].fn(spark, sf_dir))  # warmup
+    out: dict[str, float] = {}
+    for key in keys:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            materialize(specs[key].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = os.path.join(tempfile.gettempdir(), f"bdt_scale_x{copies}")
+    spark = get_session(app_name="bdt-scale-probe")
+    specs = load_all_operators()
+
+    t0 = time.perf_counter()
+    build(spark, src, out, copies)
+    build_sec = round(time.perf_counter() - t0, 1)
+
+    base = time_headline(spark, specs, src)
+    scaled = time_headline(spark, specs, out)
+    report = {
+        k: {
+            "sf0.1_sec": base[k],
+            f"x{copies}_sec": scaled[k],
+            "ratio": round(scaled[k] / base[k], 2) if base[k] else None,
+        }
+        for k in base
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "copies": copies,
+                "build_sec": build_sec,
+                "total_sf0.1": round(sum(base.values()), 2),
+                f"total_x{copies}": round(sum(scaled.values()), 2),
+                "total_ratio": round(sum(scaled.values()) / sum(base.values()), 2),
+                "queries": report,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
