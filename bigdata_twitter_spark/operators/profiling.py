@@ -138,3 +138,56 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps")[2].alias("p99"),
         "n",
     )
+
+
+N_HIST_BINS = 10
+
+
+@query(
+    "agg_histogram",
+    sql=f"""
+    WITH m AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    b AS (
+        SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / {N_HIST_BINS})) AS BIGINT),
+                     {N_HIST_BINS - 1}) AS bin,
+               vmin, vmax
+        FROM events, m
+    )
+    SELECT bin,
+           vmin + bin * ((vmax - vmin) / {N_HIST_BINS}) AS bin_lo,
+           vmin + (bin + 1) * ((vmax - vmin) / {N_HIST_BINS}) AS bin_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bin, vmin, vmax
+    """,
+    tables=("events",),
+    scale_note=(
+        "Fixed-width histogram in two passes: a scalar min/max agg "
+        "(bytes) broadcast back onto the scan, then bin assignment as a "
+        "pure codegen expression feeding one two-phase count agg — "
+        "shuffle carries one row per bin. The profile primitive behind "
+        "quality-score threshold tuning at 100 TB; identical float ops "
+        "on both engines keep bin edges bit-equal."
+    ),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bin fixed-width histogram of events.value (exact counts,
+    deterministic bin edges from a broadcast min/max pass)."""
+    e = load(spark, sf_dir, "events")
+    m = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(N_HIST_BINS)
+    binned = e.join(F.broadcast(m)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("bigint"),
+            F.lit(N_HIST_BINS - 1),
+        ).alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    return binned.groupBy("bin", "vmin", "vmax").agg(
+        F.count("*").alias("n")
+    ).select(
+        "bin",
+        (F.col("vmin") + F.col("bin") * width).alias("bin_lo"),
+        (F.col("vmin") + (F.col("bin") + 1) * width).alias("bin_hi"),
+        "n",
+    )

@@ -84,3 +84,47 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
+
+
+SAMPLE_K = 20
+
+
+@query(
+    "sample_exact_k_stratified",
+    sql=f"""
+    SELECT event_id, event_type, value FROM (
+        SELECT event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= {SAMPLE_K}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Exact-k-per-stratum sampling: rank rows inside each stratum by "
+        "their content hash (md5 of the key — a deterministic, "
+        "layout-independent permutation) and keep the first k. The "
+        "fraction-based twin is sample_hash_stratified; exact-k is what "
+        "eval-set construction needs (same k per class regardless of "
+        "class skew). One shuffle on the stratum key; the per-stratum "
+        "top-k never materializes more than k rows per group past the "
+        "window."
+    ),
+)
+def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=20 events per event_type, chosen by content-hash rank
+    (reproducible across runs and cluster layouts)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.select("event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLE_K)
+        .drop("rn")
+    )

@@ -653,3 +653,116 @@ def win_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("n_events").alias("total_events"),
     )
+
+
+# Truncated EWMA: alpha=0.3 over the last 8 events.  The coefficients
+# 0.3 * 0.7^k are exact decimal literals, and BOTH engines evaluate the
+# identical left-associated multiply-add chain, so the doubles are
+# bit-equal — no rounding needed for the hash oracle.
+EWMA_COEFFS = tuple(round(0.3 * 0.7**k, 10) for k in range(8))
+
+
+@query(
+    "ts_ewma",
+    sql=f"""
+    SELECT user_id, event_id, ts,
+           {' + '.join(
+               f"{c!r} * coalesce(lag(value, {k}, 0.0) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), 0.0)"
+               .replace('lag(value, 0, 0.0) OVER '
+                        '(PARTITION BY user_id ORDER BY ts, event_id)',
+                        'value')
+               for k, c in enumerate(EWMA_COEFFS)
+           )} AS ewma
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "Per-user exponentially weighted moving average, truncated to 8 "
+        "terms: a fixed lag-chain of codegen multiply-adds — one shuffle "
+        "on user_id, one partition-local sort, no recursion and no "
+        "per-row Python. The truncation (0.7^8 < 6% residual weight) is "
+        "what makes EWMA vectorizable/window-expressible; the untruncated "
+        "recurrence is inherently sequential and would become the "
+        "stream_stateful_running shape instead. Coefficients are exact "
+        "decimal literals so Spark and DuckDB produce bit-equal doubles."
+    ),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated (8-term) EWMA of event values over time."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = [
+        F.lit(c)
+        * (
+            F.col("value")
+            if k == 0
+            else F.coalesce(F.lag("value", k, 0.0).over(w), F.lit(0.0))
+        )
+        for k, c in enumerate(EWMA_COEFFS)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return e.select("user_id", "event_id", "ts", ewma.alias("ewma"))
+
+
+@query(
+    "ts_downsample_ohlc",
+    sql="""
+    WITH r AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts ASC, event_id ASC) AS rn_first,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY event_type, day
+    """,
+    tables=("events",),
+    scale_note=(
+        "OHLC downsampling (the metrics/observability compaction): one "
+        "shuffle on the (type, day) bucket key, two partition-local "
+        "window passes for deterministic open/close (ts + event_id "
+        "tiebreak — never first()/last() without order), min/max/count "
+        "fold in the same agg. At 100 TB this is the rollup that turns "
+        "raw event streams into dashboard-resolution series; buckets "
+        "shrink output by orders of magnitude so the shuffle carries "
+        "group rows only."
+    ),
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): open/high/low/close of value + count,
+    with deterministic first/last via (ts, event_id) tiebreaks."""
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w_first = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_last = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_first") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )

@@ -137,3 +137,53 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# Compaction: the small-files problem.  Target output size per file;
+# sized so the sf0.01 fixture compacts 64 fragments into a couple of
+# files (at 100 TB the target is 128-512 MB against the same logic).
+COMPACT_TARGET_BYTES = 256 * 1024
+N_FRAGMENTS = 64
+
+
+@query(
+    "sink_compact_small_files",
+    sql="SELECT event_id, user_id, event_type, value FROM events",
+    tables=("events",),
+    scale_note=(
+        "Small-files compaction: a fragmented landing zone (here 64 "
+        "writer-partition shards, the streaming-ingest pathology) is "
+        "rewritten into size-targeted files — file count computed from "
+        "actual input bytes / target size, applied with a round-robin "
+        "repartition so output files are even. At 100 TB compaction is "
+        "what keeps scan task counts ∝ data size instead of ∝ historical "
+        "writer count; the oracle proves the rewrite is lossless. File "
+        "count pinned in tests/test_layout_extra.py."
+    ),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into 64 small files, compact to size-targeted
+    files, and read the compacted result back (lossless)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = _layout_dir(f"frag_events_{tag}")
+    compact = _layout_dir(f"compact_events_{tag}")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    e = load(spark, sf_dir, "events").select(*cols)
+    e.repartition(N_FRAGMENTS).write.mode("overwrite").parquet(frag)
+
+    # Size the compacted layout from real input bytes (driver-side
+    # METADATA listing only — no row ever touches the driver).
+    n_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(frag)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-n_bytes // COMPACT_TARGET_BYTES))  # ceil div
+    (
+        spark.read.parquet(frag)
+        .repartition(int(n_files))
+        .write.mode("overwrite")
+        .parquet(compact)
+    )
+    return spark.read.parquet(compact).select(*cols)

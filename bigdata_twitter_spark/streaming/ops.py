@@ -552,3 +552,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return _run_to_parquet(joined, "ssjoin", out_schema)
+
+
+TOPK_PER_WINDOW = 2
+
+
+@query(
+    "stream_topk_per_window",
+    sql=f"""
+    WITH counts AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n FROM (
+        SELECT window_start, event_type, n,
+               row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type
+               ) AS rk
+        FROM counts
+    ) WHERE rk <= {TOPK_PER_WINDOW}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Streaming trending top-K (the canonical Twitter op, genre "
+        "parity): ranking inside a streaming aggregation is unsupported "
+        "by design, so the plan is the standard two-layer split — the "
+        "STREAM maintains watermarked per-(window, key) counts (state "
+        "bounded by watermark), and the RANK runs batch-side on the "
+        "emitted aggregates (result-sized input, TakeOrdered-per-window). "
+        "At 100 TB the stream layer's shuffle carries group rows only "
+        "and the serving-side rank touches aggregates, never raw events."
+    ),
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per hour window: watermarked streaming counts,
+    then a batch rank over the emitted (result-sized) aggregates."""
+    from pyspark.sql import Window
+
+    agg = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = _run_to_table(agg, "complete").select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    rk = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= TOPK_PER_WINDOW)
+        .drop("rk")
+    )

@@ -1,0 +1,51 @@
+"""Physical pins for the round-3 operators: compaction actually
+reduces file count to the size-derived target, and the histogram's
+binning stays exhaustive."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bigdata_twitter_spark.operators.profiling import N_HIST_BINS
+from bigdata_twitter_spark.registry import load_all_operators
+from bigdata_twitter_spark.sources.layout import (
+    COMPACT_TARGET_BYTES,
+    N_FRAGMENTS,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "*.parquet"))
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    specs = load_all_operators()
+    out = specs["sink_compact_small_files"].fn(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), "bdt_spark_layout")
+    frag = _parquet_files(os.path.join(base, f"frag_events_{tag}"))
+    compact = _parquet_files(os.path.join(base, f"compact_events_{tag}"))
+    assert len(frag) == N_FRAGMENTS
+    # File count must be the size-derived target: ceil(bytes / target).
+    n_bytes = sum(os.path.getsize(f) for f in frag)
+    expected = max(1, -(-n_bytes // COMPACT_TARGET_BYTES))
+    assert len(compact) == expected
+    assert len(compact) < N_FRAGMENTS / 4
+    # Lossless: compacted row count equals the fragmented input's.
+    assert out.count() == spark.read.parquet(*frag).count()
+
+
+def test_histogram_bins_exhaustive(spark, sf_dir):
+    specs = load_all_operators()
+    hist = specs["agg_histogram"].fn(spark, sf_dir).collect()
+    total = sum(r["n"] for r in hist)
+    events = specs["scan_parquet"].fn(spark, sf_dir)
+    assert total == events.count()
+    bins = sorted(r["bin"] for r in hist)
+    assert bins[0] >= 0 and bins[-1] <= N_HIST_BINS - 1
+    # max(value) must land in the top bin via the least() clamp.
+    assert bins[-1] == N_HIST_BINS - 1
