@@ -191,3 +191,45 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vmin") + (F.col("bin") + 1) * width).alias("bin_hi"),
         "n",
     )
+
+
+@query(
+    "agg_mode_per_group",
+    sql="""
+    WITH c AS (
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id AS modal_user, n FROM (
+        SELECT event_type, user_id, n,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY n DESC, user_id
+               ) AS rk
+        FROM c
+    ) WHERE rk = 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Exact per-group mode with a deterministic tiebreak (smallest "
+        "key wins): two-phase count agg on the (group, candidate) pair "
+        "key, then a rank window whose input is already aggregate-sized. "
+        "No collect, no unordered first(). At 100 TB the (group × "
+        "candidate) cardinality is the only memory driver — when that "
+        "explodes, the sketch path is a count-min top-k per group, with "
+        "this exact plan as its validation twin."
+    ),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most active user per event type (exact mode, smallest-id tiebreak)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    rk = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"), "n")
+    )

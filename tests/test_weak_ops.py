@@ -217,3 +217,44 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         )
     # Sanity: ranks form a probability distribution (no lost mass).
     assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-6
+
+
+def test_pca_matches_numpy_exact(spark, sf_dir):
+    """Every projected coordinate from the distributed moment-fold PCA
+    must match an exact numpy PCA over the same rows (same mean
+    centering, same sign canonicalization) to tight float tolerance."""
+    import numpy as np
+
+    from bigdata_twitter_spark.llm.pca import N_COMPONENTS
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r["vec_id"] for r in rows]
+    x = np.array([r["embedding"] for r in rows], dtype="float64")
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:N_COMPONENTS]
+    comps = eigvecs[:, order]
+    for j in range(comps.shape[1]):
+        pivot = comps[np.argmax(np.abs(comps[:, j])), j]
+        if pivot < 0:
+            comps[:, j] = -comps[:, j]
+    expect = {i: (x[k] - mu) @ comps for k, i in enumerate(ids)}
+
+    got = SPECS["embed_pca_project"].fn(spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        e = expect[r["vec_id"]]
+        for j in range(N_COMPONENTS):
+            assert abs(r[f"pc{j + 1}"] - e[j]) <= 1e-6 * max(1.0, abs(e[j])), (
+                r["vec_id"], j, r[f"pc{j + 1}"], e[j],
+            )
+    # The top component must actually carry more variance than the 2nd.
+    p1 = np.array([r["pc1"] for r in got])
+    p2 = np.array([r["pc2"] for r in got])
+    assert p1.var() >= p2.var()
