@@ -254,3 +254,47 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parsed["k"] * 2).alias("k_doubled"),
         F.get_json_object("props", "$.missing").cast("int").alias("k_missing"),
     )
+
+
+@query(
+    "fn_struct",
+    sql="""
+    WITH s AS (
+        SELECT doc_id,
+               struct_pack(lang := lang, src := source, nc := n_chars) AS st
+        FROM documents
+    )
+    SELECT doc_id,
+           st.lang AS lang_val,
+           upper(st.src) AS src_up,
+           st.nc + 1 AS nc_next,
+           to_json(st) AS st_json
+    FROM s
+    """,
+    tables=("documents",),
+    scale_note=(
+        "StructType stays columnar in Tungsten rows (field access is a "
+        "pure projection, no shuffle, codegen end-to-end) — the nested "
+        "tweet-object shape (user.*, entities.*) from SURVEY §1.2 "
+        "exercised as construction, field access, and JSON "
+        "serialization. Both engines build the struct and extract from "
+        "it, so the oracle checks the nested round-trip, not restated "
+        "literals."
+    ),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and to_json round-trip over
+    documents (nested tweet-object analog)."""
+    d = load(spark, sf_dir, "documents")
+    st = F.struct(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("src"),
+        F.col("n_chars").alias("nc"),
+    )
+    return d.select(
+        "doc_id",
+        st["lang"].alias("lang_val"),
+        F.upper(st["src"]).alias("src_up"),
+        (st["nc"] + 1).alias("nc_next"),
+        F.to_json(st).alias("st_json"),
+    )

@@ -89,3 +89,42 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("src") == 1).alias("from_delta"),
         )
     )
+
+
+@query(
+    "cdc_scd2_intervals",
+    sql="""
+    SELECT user_id, event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "SCD Type-2 interval construction: each change event opens a "
+        "validity window closed by the user's next change (lead() over "
+        "the user-keyed, fully tiebroken order) — one shuffle on the "
+        "dimension key, one partition-local sort, no self-join. This is "
+        "the lakehouse dimension-history pattern; at 100 TB the window "
+        "state is one row, and the downstream as-of lookup against "
+        "these intervals is join_asof's plan."
+    ),
+)
+def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) validity intervals per user:
+    every event opens a state interval closed by the next event."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -101,3 +101,40 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(path)
+
+
+@query(
+    "scan_schema_evolution",
+    sql="""
+    SELECT event_id, user_id, value, NULL AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_id % 2 = 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Schema evolution across file generations: generation 1 lacks "
+        "the event_type column, generation 2 adds it; a mergeSchema read "
+        "unifies both with NULL back-fill — no rewrite of the old "
+        "generation. At 100 TB this is how a corpus gains columns: "
+        "merge the footer schemas (a metadata operation), never the "
+        "data. Production posture: pin the merged schema in the table "
+        "catalog so readers don't pay per-query footer merging."
+    ),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read two parquet generations (second adds event_type) with
+    mergeSchema, old rows NULL-padded."""
+    e = load(spark, sf_dir, "events")
+    root = _workdir(spark, f"evolve_{os.path.basename(sf_dir.rstrip('/'))}")
+    gen1 = os.path.join(root, "gen=1")
+    gen2 = os.path.join(root, "gen=2")
+    e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(gen1)
+    e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    ).write.mode("overwrite").parquet(gen2)
+    merged = spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
+    return merged.select("event_id", "user_id", "value", "event_type")

@@ -187,3 +187,50 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(compact)
     )
     return spark.read.parquet(compact).select(*cols)
+
+
+N_CLUSTER_FILES = 8
+CLUSTER_PROBE_USERS = (100, 120)  # selective re-read range
+
+
+@query(
+    "sink_sorted_clustered",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN {CLUSTER_PROBE_USERS[0]} AND {CLUSTER_PROBE_USERS[1]}
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "Range-clustered layout: repartitionByRange(user_id) + "
+        "sortWithinPartitions(user_id, ts) gives every output file a "
+        "narrow, near-disjoint user_id span, so parquet min/max "
+        "statistics turn a selective key predicate into file- and "
+        "row-group-level skipping (disjointness pinned via footer stats "
+        "in tests/test_layout_extra.py). The single-dimension cousin of "
+        "Z-ordering — at 100 TB the dominant-predicate sort key is what "
+        "makes point/range lookups read MBs, not the corpus."
+    ),
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events range-clustered on user_id (sorted within files),
+    then answer a selective user range from the clustered layout."""
+    from ..numerics import dec
+
+    e = load(spark, sf_dir, "events")
+    path = _layout_dir(f"clustered_events_{os.path.basename(sf_dir.rstrip('/'))}")
+    (
+        e.repartitionByRange(N_CLUSTER_FILES, "user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("user_id").between(*CLUSTER_PROBE_USERS)
+    )
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )

@@ -608,3 +608,61 @@ def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPK_PER_WINDOW)
         .drop("rk")
     )
+
+
+N_CKPT_PARTS = 8
+
+
+@query(
+    "stream_checkpoint_resume",
+    sql="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tables=("events",),
+    scale_note=(
+        "Exactly-once across restart: run 1 ingests the first half of "
+        "the input files and commits its progress to the checkpoint; "
+        "run 2 — a NEW query instance on the same checkpoint — must "
+        "process only the files that arrived since, so the union of "
+        "both runs' sink output equals the batch scan with zero "
+        "duplicates and zero loss. This is the recovery contract a "
+        "100-TB ingest pipeline leans on after every executor/driver "
+        "failure; state lives in the checkpoint's offset/commit logs, "
+        "never in the process."
+    ),
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase file-stream ingest sharing one checkpoint: the second
+    (restarted) run resumes from committed offsets — output ≡ batch."""
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{uuid.uuid4().hex[:8]}"
+    staged = _fresh_dir(f"ckpt_stage_{tag}")
+    load(spark, sf_dir, "events").repartition(N_CKPT_PARTS).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    parts = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    src = _fresh_dir(f"ckpt_src_{tag}")
+    ckpt = _fresh_dir(f"ckpt_log_{tag}")
+    out = _fresh_dir(f"ckpt_out_{tag}")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(EVENTS_US_SCHEMA).parquet(src)
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    half = len(parts) // 2
+    for f in parts[:half]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_once()
+    for f in parts[half:]:
+        shutil.copy(os.path.join(staged, f), os.path.join(src, f))
+    run_once()  # restart from the same checkpoint: only new files
+    return spark.read.schema(EVENTS_US_SCHEMA).parquet(out)

@@ -49,3 +49,30 @@ def test_histogram_bins_exhaustive(spark, sf_dir):
     assert bins[0] >= 0 and bins[-1] <= N_HIST_BINS - 1
     # max(value) must land in the top bin via the least() clamp.
     assert bins[-1] == N_HIST_BINS - 1
+
+
+def test_clustered_files_have_disjoint_key_spans(spark, sf_dir):
+    """The range-clustered write must produce files whose user_id
+    min/max footer stats barely overlap — that disjointness is what
+    lets a selective predicate skip files/row groups entirely."""
+    import pyarrow.parquet as pq
+
+    from bigdata_twitter_spark.sources.layout import N_CLUSTER_FILES
+
+    specs = load_all_operators()
+    specs["sink_sorted_clustered"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), "bdt_spark_layout")
+    files = _parquet_files(os.path.join(base, f"clustered_events_{tag}"))
+    assert len(files) == N_CLUSTER_FILES
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("user_id")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    # Adjacent files may share at most their boundary key.
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file spans: {(lo1, hi1)} vs {(lo2, hi2)}"
