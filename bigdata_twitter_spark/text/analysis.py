@@ -468,3 +468,73 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KEYWORDS_TOPK)
     )
+
+
+RARE_BIGRAM_MIN_COUNT = 2
+
+
+@query(
+    "text_bigram_familiarity",
+    sql=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+                   AS bigram
+        FROM t
+    ),
+    counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN counts.n < {RARE_BIGRAM_MIN_COUNT} THEN 1 ELSE 0 END)
+               AS n_rare,
+           CAST(SUM(CASE WHEN counts.n < {RARE_BIGRAM_MIN_COUNT}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS rare_frac
+    FROM bg JOIN counts USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Corpus-LM fluency proxy (the n-gram cousin of perplexity "
+        "filtering): score each doc by the fraction of its bigrams that "
+        "are RARE corpus-wide — gibberish and boilerplate-mangled text "
+        "scores high, fluent text low. Shapes: per-row bigram transform "
+        "(no positional self-join), a vocab²-keyed two-phase count agg, "
+        "one broadcast-joinable count table, one doc-keyed agg. All "
+        "integer counts until a single final division, so the score is "
+        "order-independent and engine-exact — no ln(), no float "
+        "accumulation."
+    ),
+)
+def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rare-bigram fraction against corpus bigram counts
+    (docs with <2 tokens have no bigrams and drop out, same as oracle)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        "           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("n"))
+    rare = F.when(F.col("n") < RARE_BIGRAM_MIN_COUNT, 1).otherwise(0)
+    return (
+        bg.join(F.broadcast(counts), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams")).alias(
+                "rare_frac"
+            ),
+        )
+    )
