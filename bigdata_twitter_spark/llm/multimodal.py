@@ -112,3 +112,106 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return d.mapInPandas(_fake_decode_batches, schema=DECODE_SCHEMA)
+
+
+TARGET_W, TARGET_H = 224, 224  # the standard vision-model input square
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_width int, src_height int, "
+    "out_width int, out_height int, scale double, letterbox boolean, "
+    "resized_checksum bigint"
+)
+
+
+def _fake_resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Aspect-preserving resize-to-224² plumbing over Arrow batches.
+
+    A real implementation swaps the checksum line for PIL/torchvision
+    ``resize``; source dims, scale math, letterbox decision and the
+    typed output schema are the production plumbing.  The fake
+    checksum is a pure function of (payload bytes, output dims) so the
+    oracle can restate it in SQL.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        src_w = (64 + n_bytes % 512).astype("int64")
+        src_h = (64 + (n_bytes * 3) % 512).astype("int64")
+        # floor() on the double ratio in BOTH engines (least/CAST in SQL).
+        scale = pd.concat(
+            [TARGET_W / src_w, TARGET_H / src_h], axis=1
+        ).min(axis=1)
+        import numpy as np
+
+        out_w = np.floor(src_w * scale).astype("int64").clip(upper=TARGET_W)
+        out_h = np.floor(src_h * scale).astype("int64").clip(upper=TARGET_H)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": src_w.astype("int32"),
+                "src_height": src_h.astype("int32"),
+                "out_width": out_w.astype("int32"),
+                "out_height": out_h.astype("int32"),
+                "scale": scale,
+                "letterbox": out_w != out_h,
+                "resized_checksum": n_bytes * 1_000_003 + out_w * 1_003 + out_h,
+            }
+        )
+
+
+@query(
+    "multimodal_image_resize",
+    sql=f"""
+    WITH m AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 512 AS src_w,
+               64 + (octet_length(encode(text)) * 3) % 512 AS src_h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(src_w AS INT) AS src_width,
+           CAST(src_h AS INT) AS src_height,
+           CAST(least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
+                           AS BIGINT), {TARGET_W}) AS INT) AS out_width,
+           CAST(least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
+                           AS BIGINT), {TARGET_H}) AS INT) AS out_height,
+           least({TARGET_W} / CAST(src_w AS DOUBLE),
+                 {TARGET_H} / CAST(src_h AS DOUBLE)) AS scale,
+           least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                    {TARGET_H} / CAST(src_h AS DOUBLE)))
+                      AS BIGINT), {TARGET_W})
+             <> least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
+                           AS BIGINT), {TARGET_H}) AS letterbox,
+           n_bytes * 1000003
+             + least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                        {TARGET_H} / CAST(src_h AS DOUBLE)))
+                          AS BIGINT), {TARGET_W}) * 1003
+             + least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
+                                        {TARGET_H} / CAST(src_h AS DOUBLE)))
+                          AS BIGINT), {TARGET_H}) AS resized_checksum
+    FROM m
+    """,
+    tables=("documents",),
+    scale_note=(
+        "The third multimodal seam the brief names: aspect-preserving "
+        "resize-to-model-input (224²) as Arrow-batched mapInPandas — "
+        "scale math, letterbox decision and typed schema are real; only "
+        "the pixel op is a deterministic fake a PIL/torchvision call "
+        "replaces. Batch memory is bounded by "
+        "arrow.maxRecordsPerBatch × target dims, independent of source "
+        "blob size — the property that keeps 100-TB image preprocessing "
+        "OOM-free."
+    ),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: fake-decoded source dims → aspect-preserving
+    224² scale/letterbox metadata + deterministic resized checksum."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d.mapInPandas(_fake_resize_batches, schema=RESIZE_SCHEMA)
