@@ -132,11 +132,11 @@ def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens()).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = (
-        toks.distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # tf is already distinct on (doc_id, term), so document frequency
+    # derives from it directly instead of a second distinct() pass over
+    # the token explosion (Catalyst prunes the unused tf count from the
+    # df branch, so the plans stay independent but equivalent-cost).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
         tf.join(F.broadcast(df), "term")
