@@ -150,3 +150,81 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _workdir(spark, f"sink_orders_{os.path.basename(sf_dir.rstrip('/'))}")
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+TOPK_HASHTAGS = 10
+
+
+@query(
+    "tweet_hashtag_topk",
+    sql=f"""
+    WITH tags AS (
+        SELECT event_type AS tag FROM events
+        UNION ALL
+        SELECT 'k' || CAST(json_extract(props, '$.k') AS VARCHAR) AS tag
+        FROM events
+    ),
+    counts AS (SELECT tag, COUNT(*) AS n FROM tags GROUP BY tag)
+    SELECT tag, n FROM counts
+    ORDER BY n DESC, tag
+    LIMIT {TOPK_HASHTAGS}
+    """,
+    tables=("events",),
+    scale_note=(
+        "THE genre query on THE genre data model: events are rendered "
+        "as v1.1-shaped nested tweet NDJSON (user struct, "
+        "entities.hashtags array-of-structs), re-read against the "
+        "declared TWEET_SCHEMA (schema-on-read, no inference pass), "
+        "hashtags exploded, counted, TakeOrdered top-10. The oracle "
+        "computes the same counts relationally from the source events — "
+        "equality proves the whole nested JSON round-trip (to_json → "
+        "NDJSON files → from-schema parse → dot-path/explode access) is "
+        "lossless. At 100 TB: NDJSON splits by line, the tag count is a "
+        "two-phase agg whose hot keys are absorbed by map-side combine, "
+        "and top-K never sorts the full tag table."
+    ),
+)
+def tweet_hashtag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending hashtags over a tweet-shaped NDJSON archive built from
+    the event log and parsed with the canonical TWEET_SCHEMA."""
+    e = load(spark, sf_dir, "events")
+    tweet = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.date_format("ts", "EEE MMM dd HH:mm:ss Z yyyy").alias(
+                "created_at"
+            ),
+            F.concat(F.lit("event "), F.col("event_type")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.struct(
+                F.col("user_id").alias("id"),
+                F.concat(F.lit("u"), F.col("user_id")).alias("screen_name"),
+                (F.col("user_id") % 1000).alias("followers_count"),
+            ).alias("user"),
+            F.struct(
+                F.array(
+                    F.struct(F.col("event_type").alias("text")),
+                    F.struct(
+                        F.concat(
+                            F.lit("k"),
+                            F.get_json_object("props", "$.k"),
+                        ).alias("text")
+                    ),
+                ).alias("hashtags")
+            ).alias("entities"),
+        )
+    )
+    path = _workdir(
+        spark, f"tweets_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e.select(tweet.alias("value")).write.mode("overwrite").text(path)
+    tweets = spark.read.schema(TWEET_SCHEMA).json(path)
+    tags = tweets.select(
+        F.explode(F.col("entities.hashtags")).alias("h")
+    ).select(F.col("h.text").alias("tag"))
+    return (
+        tags.groupBy("tag")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tag")
+        .limit(TOPK_HASHTAGS)
+    )

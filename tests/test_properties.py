@@ -1,0 +1,116 @@
+"""Property-based invariants (hypothesis) for the composable recipes.
+
+The oracle suite checks fixed fixtures; these properties must hold on
+ARBITRARY inputs: salting never changes join results, keep-latest
+merging is idempotent and last-writer-wins, and gap-and-island
+sessionization respects its gap bound. Small deadline-free settings —
+each example builds Spark DataFrames."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (few → collisions)
+        st.integers(min_value=0, max_value=1_000_000),  # unique-ish id
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, rows):
+    from bigdata_twitter_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(f"k{k}", i, v) for k, (i, v) in
+         ((k, (idx, v)) for idx, (k, _, v) in enumerate(rows))],
+        ["key", "rid", "v"],
+    )
+    dim = fact.groupBy("key").agg(F.count("*").alias("kn"))
+    salted = salted_join(fact, dim, ["key"], ["rid"], buckets=4)
+    plain = fact.join(dim, ["key"])
+    cols = ["key", "rid", "kn"]
+    assert sorted(map(tuple, salted.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_keep_latest_idempotent_and_last_wins(spark, rows):
+    df = spark.createDataFrame(
+        [(k, ts, idx) for idx, (k, ts, _) in enumerate(rows)],
+        ["key", "ts", "seq"],
+    )
+    w = Window.partitionBy("key").orderBy(F.col("ts").desc(), F.col("seq").desc())
+    latest = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {(r["key"], r["ts"], r["seq"]) for r in latest.collect()}
+    # Model: per key, max by (ts, seq).
+    expect = {}
+    for idx, (k, ts, _) in enumerate(rows):
+        if k not in expect or (ts, idx) > expect[k]:
+            expect[k] = (ts, idx)
+    assert got == {(k, ts, seq) for k, (ts, seq) in expect.items()}
+    # Idempotence: compacting the compacted snapshot is a no-op.
+    again = (
+        latest.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert {(r["key"], r["ts"], r["seq"]) for r in again.collect()} == got
+
+
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=25),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_sessionization_respects_gap_bound(spark, ts_lists):
+    gap = 100
+    data = [
+        (uid, ts, idx)
+        for uid, tss in enumerate(ts_lists)
+        for idx, ts in enumerate(tss)
+    ]
+    df = spark.createDataFrame(data, ["user_id", "ts", "seq"])
+    w = Window.partitionBy("user_id").orderBy("ts", "seq")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = df.withColumn(
+        "brk",
+        F.when(F.col("ts") - F.lag("ts").over(w) > gap, 1).otherwise(0),
+    ).withColumn("session_id", F.sum("brk").over(run))
+    rows = sess.orderBy("user_id", "ts", "seq").collect()
+    by_session = {}
+    for r in rows:
+        by_session.setdefault((r["user_id"], r["session_id"]), []).append(r["ts"])
+    for (uid, _), tss in by_session.items():
+        # Within a session, consecutive gaps never exceed the bound.
+        assert all(b - a <= gap for a, b in zip(tss, tss[1:]))
+    # Across consecutive sessions of one user, the boundary gap exceeds it.
+    per_user = {}
+    for (uid, sid), tss in sorted(by_session.items()):
+        per_user.setdefault(uid, []).append((sid, tss))
+    for uid, sessions in per_user.items():
+        for (_, a), (_, b) in zip(sessions, sessions[1:]):
+            assert b[0] - a[-1] > gap
