@@ -30,6 +30,10 @@ from .params import (  # noqa: F401  (re-exported for compatibility)
     SIMHASH_MAX_HAMMING,
 )
 
+# sf_dir → persisted band table of the last dedup_minhash_lsh call
+# (freed on the next call; see the persist note inside the operator).
+_BANDS_PERSISTED: dict[str, DataFrame] = {}
+
 
 def _shingles_expr() -> F.Column:
     """Distinct token 3-gram shingles per document (text pre-lowered).
@@ -220,6 +224,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
+    # Persist the (docs × bands)-sized band table: the self-join consumes
+    # it twice and Catalyst does not reuse the exchange across the two
+    # aliases, so without the cache the whole shingle-explode + 32-hash
+    # + min-agg subtree runs twice (measured ~20% of operator wall at
+    # sf0.1, more at 10×). 3 longs per row — MEMORY_AND_DISK-safe at any
+    # scale that fits the cluster's cache tier.
+    prev = _BANDS_PERSISTED.pop(sf_dir, None)
+    if prev is not None:
+        prev.unpersist()
+    bands = bands.persist()
+    _BANDS_PERSISTED[sf_dir] = bands
     a = bands.alias("a")
     b = bands.alias("b")
     return (
