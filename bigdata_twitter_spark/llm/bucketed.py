@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import load, persist_fresh, spread
 from .vectors import DIMS, PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
 
 SRP_BANDS = 16
@@ -91,6 +91,9 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(_band_values()).alias("band", "bval"),
     )
+    # The 32 plane-dot folds dominate; persist the 3-int band rows so
+    # the self-join computes the projections once, not twice.
+    bands = persist_fresh("srp_bands", sf_dir, bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

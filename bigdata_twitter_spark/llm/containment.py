@@ -71,6 +71,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("s")
     )
+    # Not persisted — same measured decision as dedup_fuzzy_jaccard:
+    # the capped index is data-sized strings and caching it lost to
+    # recomputation at memory scale.
     capped = sh.join(df_ok, "s")
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = capped.alias("a")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import load, persist_fresh, spread
 from .params import (  # noqa: F401  (re-exported for compatibility)
     JACCARD_THRESHOLD,
     LSH_BANDS,
@@ -29,10 +29,6 @@ from .params import (  # noqa: F401  (re-exported for compatibility)
     SHINGLE_DF_CAP,
     SIMHASH_MAX_HAMMING,
 )
-
-# sf_dir → persisted band table of the last dedup_minhash_lsh call
-# (freed on the next call; see the persist note inside the operator).
-_BANDS_PERSISTED: dict[str, DataFrame] = {}
 
 
 def _shingles_expr() -> F.Column:
@@ -147,6 +143,13 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= SHINGLE_DF_CAP)
         .select("s")
     )
+    # NOT persisted, deliberately: unlike the signature tables below,
+    # the capped index is DATA-sized (string shingles), and caching it
+    # measured SLOWER than recomputation locally (2.45 → 3.34 s best-of-2
+    # at sf0.1) — the deserialized string cache costs more than the
+    # explosion it saves. At 100 TB with a disk cache tier the
+    # scale_note's persist/checkpoint advice applies; at memory scale,
+    # recompute wins.
     sh = sh_all.join(df_ok, "s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -225,16 +228,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "band_sig"),
     )
     # Persist the (docs × bands)-sized band table: the self-join consumes
-    # it twice and Catalyst does not reuse the exchange across the two
-    # aliases, so without the cache the whole shingle-explode + 32-hash
-    # + min-agg subtree runs twice (measured ~20% of operator wall at
-    # sf0.1, more at 10×). 3 longs per row — MEMORY_AND_DISK-safe at any
-    # scale that fits the cluster's cache tier.
-    prev = _BANDS_PERSISTED.pop(sf_dir, None)
-    if prev is not None:
-        prev.unpersist()
-    bands = bands.persist()
-    _BANDS_PERSISTED[sf_dir] = bands
+    # it twice, so without the cache the shingle-explode + 32-hash +
+    # min-agg subtree runs twice (measured: ×10-scale wall 3.98 → 2.32 s).
+    bands = persist_fresh("lsh_bands", sf_dir, bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -290,6 +286,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("q", "qval"),
     )
+    # The 64×majority-vote SimHash is the expensive subtree; persist the
+    # small (doc, band, value) table so the self-join computes it once.
+    quarters = persist_fresh("simhash_quarters", sf_dir, quarters)
     a = quarters.alias("a")
     b = quarters.alias("b")
     pairs = (

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, persist_fresh
 from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
 
 
@@ -69,7 +69,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sim_pairs_bucketed's registry position.
     from .bucketed import sim_pairs_bucketed
 
-    pairs = sim_pairs_bucketed(spark, sf_dir).select("a_id", "b_id")
+    # The symmetrization union consumes the mined pair list twice;
+    # persist it (result-sized) so the whole SRP-mine + exact-cosine
+    # pipeline runs once, not once per union branch.
+    pairs = persist_fresh(
+        "embdedup_pairs",
+        sf_dir,
+        sim_pairs_bucketed(spark, sf_dir).select("a_id", "b_id"),
+    )
     sym = pairs.select(
         F.col("a_id").alias("id"), F.col("b_id").alias("nb")
     ).unionAll(pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nb")))

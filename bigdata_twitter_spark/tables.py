@@ -86,6 +86,34 @@ def spread(df: DataFrame, sf_dir: str, name: str, *cols: str) -> DataFrame:
     return df.repartition(width, *cols) if cols else df.repartition(width)
 
 
+# (tag, sf_dir) → the persisted DataFrame from that operator's last
+# call; the next call frees it before persisting a fresh plan.
+_PERSIST_REGISTRY: dict[tuple[str, str], DataFrame] = {}
+
+
+def persist_fresh(tag: str, sf_dir: str, df: DataFrame) -> DataFrame:
+    """Persist a multiply-consumed intermediate, freeing the previous
+    generation for the same (tag, sf_dir).
+
+    Catalyst does NOT reuse exchanges across self-join aliases, so a
+    DataFrame consumed by both sides of a self-join (or by a self-join
+    plus a sizes/df aggregate) re-executes its whole subtree once per
+    consumer.  For the dedup/similarity family that subtree is the
+    expensive part (shingle explosion, 32-hash MinHash, SRP plane
+    dots); the persisted intermediate is the SMALL side (signatures,
+    bands, candidate pairs — a few machine words per row).  At 100 TB
+    the same call is MEMORY_AND_DISK on the cluster cache tier, exactly
+    as each operator's scale_note prescribes.
+    """
+    key = (tag, sf_dir)
+    prev = _PERSIST_REGISTRY.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    df = df.persist()
+    _PERSIST_REGISTRY[key] = df
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
