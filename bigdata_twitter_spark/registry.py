@@ -32,14 +32,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver evaluates exactly the first 50 ``queries()`` keys per round
 # (rounds 1 and 2 both cut at key #50 in registration order).  This is
-# the round-3 window: the 22 keys that have never appeared in any
-# driver check window lead (18 of them oracle-SQL-backed, 4 rows-only
-# by declared approx contract), followed by §2.N keys verified exactly
-# once, then eight round-1-verified flagship base keys to fill the 50.
-# After this round every registry key has at least one driver-side
-# CORRECTNESS row and the headline queries carry a second.
+# the round-3 window: ALL 39 keys that have never appeared in any
+# driver check window lead (34 of them oracle-SQL-backed, 5 rows-only
+# by declared approx/sketch contract), then eleven round-1-verified
+# flagship base keys fill the 50.  After this round every registry key
+# has at least one driver-side CORRECTNESS row and the headline
+# queries carry a second.
 _R3_WINDOW = (
-    # -- 22 never-checked keys (cheap oracle-backed first) --
+    # -- 22 keys unchecked since round 2 (oracle-backed first) --
     "profile_table", "merge_upsert", "sample_hash_stratified",
     "win_session_paths", "join_range_binned", "inverted_index",
     "text_scrub_denylist", "doc_pipeline_e2e", "dedup_components",
@@ -47,21 +47,24 @@ _R3_WINDOW = (
     "sim_batch_queries_topk", "embed_quantize_int8",
     "multimodal_frame_sample", "multimodal_audio_chunk",
     "scan_binary_files", "sink_partitioned_parquet",
+    # -- 14 oracle-backed keys new this round --
+    "ts_ewma", "ts_downsample_ohlc", "win_streak_longest",
+    "text_bigram_familiarity", "sample_exact_k_stratified",
+    "tweet_hashtag_topk", "scan_schema_evolution",
+    "stream_topk_per_window", "stream_checkpoint_resume",
+    "cdc_scd2_intervals", "agg_histogram", "agg_mode_per_group",
+    "sink_compact_small_files", "sink_sorted_clustered", "fn_struct",
+    "multimodal_image_resize",
     # rows-only by declared approx/sketch contract:
     "sim_pairs_bucketed", "agg_approx_percentile", "agg_hll_sketch",
-    "graph_pagerank",
-    # -- §2.N extras with exactly one driver row (r1 or r2) --
-    "dedup_simhash", "multimodal_decode_stub", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "join_skew_salted",
-    "win_ntile_pctrank_dist", "text_token_count_bpe",
-    "stream_stream_join", "scan_csv", "sink_json_lines", "ts_gap_fill",
-    "win_dedup_latest", "agg_percentiles", "join_bucketed_colocated",
-    "funnel_conversion", "ts_anomaly_zscore", "ts_retention_cohort",
-    "ts_interpolate", "text_keywords_topk",
+    "graph_pagerank", "embed_pca_project",
     # -- round-1-verified flagship base keys (second driver row) --
     "agg_q1_pricing", "join_star_3way", "join_broadcast", "join_asof",
     "dedup_exact", "dedup_minhash_lsh", "sim_cosine_topk", "fn_json",
+    "agg_stats", "trending_topk_terms", "text_tf_idf",
 )
+
+assert len(_R3_WINDOW) == 50, len(_R3_WINDOW)
 
 def query(
     name: str,

@@ -4,11 +4,14 @@ Every operator loads inputs through :func:`load` — never a raw
 ``spark.read.parquet`` — so the two verified landmines (SURVEY.md §1.4)
 are fixed in exactly one place:
 
-1. ``events.ts`` is parquet TIMESTAMP(NANOS); with the legacy conf it
-   arrives as LongType nanoseconds.  DuckDB reads the same column as
-   TIMESTAMP (µs) by exact truncation, so we convert with *integer*
-   division (``ts div 1000`` → ``timestamp_micros``).  Float division
-   corrupts 118/1000 rows at sf0.001 — never use it.
+1. ``events.ts`` has shipped in two encodings across driver rounds:
+   TIMESTAMP(NANOS) (arrives as LongType nanoseconds under the legacy
+   conf; DuckDB truncates the same column to µs, so we match with
+   *integer* division ``ts div 1000`` → ``timestamp_micros`` — float
+   division corrupts 118/1000 rows at sf0.001) and, since round 3,
+   plain timestamp[us] (arrives as TIMESTAMP_NTZ; cast to TIMESTAMP,
+   value-identical under the UTC session TZ).  The loader dispatches
+   on the arriving dtype so operators always see TimestampType µs.
 2. All loads run through :func:`session.configure` so a driver-owned
    session gets the required runtime confs.
 
@@ -50,9 +53,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns → µs with integer division ONLY (SURVEY.md §1.4.2); the
-        # result is semantically identical to what DuckDB's oracle sees.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns → µs with integer division ONLY (SURVEY.md §1.4.2);
+            # identical to DuckDB's truncating nanos read.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type != "timestamp":
+            # timestamp[us] fixtures arrive as TIMESTAMP_NTZ; the cast
+            # is value-preserving under the UTC session timezone.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -488,7 +488,8 @@ RARE_BIGRAM_MIN_COUNT = 2
     counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
     SELECT bg.doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(CASE WHEN counts.n < {RARE_BIGRAM_MIN_COUNT} THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN counts.n < {RARE_BIGRAM_MIN_COUNT}
+                         THEN 1 ELSE 0 END) AS BIGINT)
                AS n_rare,
            CAST(SUM(CASE WHEN counts.n < {RARE_BIGRAM_MIN_COUNT}
                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
