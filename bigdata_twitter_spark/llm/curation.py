@@ -1,0 +1,359 @@
+"""Training-data curation operators: sequence packing, benchmark
+decontamination, and boilerplate scoring (SURVEY.md §2.N growth,
+LLM-pipeline family).
+
+All three are the batch shapes a 100-TB pretraining pipeline actually
+runs between dedup and tokenization:
+
+- ``pack_token_budget``   — concatenate-then-chunk sequence packing:
+  assign every document a packed-sequence id from its global token
+  start offset.  The global running sum is computed DISTRIBUTED
+  (fixed-width doc_id buckets → per-bucket window cumsum + a tiny
+  broadcast bucket-offset table), never as one unpartitioned window.
+- ``text_contamination_overlap`` — n-gram overlap screening of the
+  corpus against a held-out eval split; the eval shingle set is
+  dim-sized and broadcast, the corpus side streams map-side.
+- ``text_boilerplate_ngrams`` — corpus-frequent 5-gram boilerplate
+  fraction per doc (the remove-template-text cousin of the rare-bigram
+  fluency score): two-phase distinct-doc counts, broadcast frequent
+  set, one doc-keyed agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Tokens-per-packed-sequence budget (a context-window stand-in; real
+# pipelines use 2k/4k/8k — the plan shape is budget-independent).
+PACK_BUDGET = 512
+
+# Fixed doc_id bucket width for the distributed running sum.  At 100 TB
+# pick width so each bucket holds ~1 task's worth of docs; correctness
+# does not depend on the choice.
+PACK_BUCKET_WIDTH = 100
+
+# Eval split membership for contamination screening (every 23rd doc).
+EVAL_MOD = 23
+
+NGRAM_N = 5
+
+# A 5-gram is boilerplate when it appears in at least this many
+# DISTINCT documents.
+BOILERPLATE_MIN_DOCS = 3
+
+# Shared Spark/DuckDB tokenization: lowercase, split on single spaces,
+# drop empties — identical semantics on both engines.
+_SPARK_TOKS = "filter(split(lower(text), ' '), x -> x <> '')"
+_DUCK_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+# Word 5-grams over the token list; empty below NGRAM_N tokens.  The
+# size guard matters on the Spark side: sequence(1, n) with n <= 0
+# would generate a DESCENDING sequence, not an empty one.
+_SPARK_NGRAMS = (
+    "CASE WHEN size(toks) >= {n} THEN"
+    " transform(sequence(1, size(toks) - {n1}),"
+    "           i -> concat_ws(' ', slice(toks, i, {n})))"
+    " ELSE CAST(array() AS array<string>) END"
+).format(n=NGRAM_N, n1=NGRAM_N - 1)
+
+_DUCK_NGRAMS = (
+    "list_transform(range(1, greatest(len(toks) - {n2} + 1, 1)),"
+    " i -> array_to_string(list_slice(toks, i, i + {n2}), ' '))"
+).format(n2=NGRAM_N - 1)
+
+
+@query(
+    "pack_token_budget",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_id
+    FROM c
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Sequence packing (concatenate-then-chunk): every doc gets its "
+        "global token start offset and seq_id = offset // budget.  The "
+        "running sum is distributed: fixed-width doc_id buckets give a "
+        "bucket-local window cumsum (each bucket one partition's work) "
+        "plus a bucket-totals table that is tiny (n_docs / width rows), "
+        "cumsum'd and broadcast back.  No unpartitioned window "
+        "anywhere, so the plan parallelizes to any executor count; the "
+        "oracle states the same arithmetic as one global window, which "
+        "DuckDB can afford at sf."
+    ),
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign docs to packed training sequences by global token offset.
+
+    Distributed exact running sum: bucket = doc_id // width; within-
+    bucket cumsum via a bucket-partitioned window; bucket start offsets
+    via a cumsum over the (tiny) per-bucket totals, broadcast-joined
+    back. Identical to the oracle's single global window by associativity
+    of addition.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(f"size({_SPARK_TOKS})").cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET_WIDTH).cast("bigint").alias("bucket"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
+    local = t.withColumn(
+        "local_end", F.sum("n_tokens").over(in_bucket)
+    )
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_total"))
+    over_buckets = Window.orderBy("bucket")
+    offsets = totals.withColumn(
+        "bucket_offset",
+        F.sum("bucket_total").over(over_buckets) - F.col("bucket_total"),
+    ).select("bucket", "bucket_offset")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("bucket_offset") + F.col("local_end") - F.col("n_tokens"))
+            .alias("start_offset"),
+            (
+                (F.col("bucket_offset") + F.col("local_end") - F.col("n_tokens"))
+                / PACK_BUDGET
+            )
+            .cast("bigint")
+            .alias("seq_id"),
+        )
+    )
+
+
+@query(
+    "text_contamination_overlap",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest({_DUCK_NGRAMS}) AS gram FROM t
+        WHERE len(toks) >= {NGRAM_N}
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    corpus AS (
+        SELECT DISTINCT doc_id, gram FROM grams
+        WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT corpus.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN eval_grams.gram IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN eval_grams.gram IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS contamination_frac
+    FROM corpus LEFT JOIN eval_grams USING (gram)
+    GROUP BY corpus.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Benchmark decontamination: score every training doc by the "
+        "fraction of its distinct 5-grams that also occur in the eval "
+        "split.  The eval shingle set is eval-sized (benchmarks are "
+        "MBs, not TBs) — deduplicated once and BROADCAST, so the "
+        "corpus side is a map-side probe: no shuffle of corpus grams "
+        "by gram key, one doc-keyed agg.  Integer counts until the "
+        "final division."
+    ),
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct-5-gram overlap fraction vs the eval split
+    (docs with doc_id % EVAL_MOD == 0)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(_SPARK_TOKS)
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = grams.filter(is_eval).select("gram").distinct()
+    corpus = grams.filter(~is_eval).distinct()
+    hit = F.when(F.col("eg").isNotNull(), 1).otherwise(0)
+    return (
+        corpus.join(
+            F.broadcast(eval_grams.withColumn("eg", F.lit(1))),
+            "gram",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_grams")).alias(
+                "contamination_frac"
+            ),
+        )
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest({_DUCK_NGRAMS}) AS gram FROM t
+        WHERE len(toks) >= {NGRAM_N}
+    ),
+    freq AS (
+        SELECT gram FROM grams
+        GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN freq.gram IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN freq.gram IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS boiler_frac
+    FROM grams LEFT JOIN freq USING (gram)
+    GROUP BY grams.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Boilerplate detection: 5-grams present in >= K distinct docs "
+        "are template text; each doc is scored by its boilerplate-gram "
+        "occurrence fraction.  Distinct-doc counting is a two-phase "
+        "agg on (gram, doc_id) then gram; the surviving frequent set "
+        "is heavy-hitter-sized, so it broadcasts and the re-score pass "
+        "is map-side.  At 100 TB the HAVING threshold scales with "
+        "corpus size (frac-of-docs, not absolute) and the frequent set "
+        "stays bounded by Zipf — same shape, one constant changed."
+    ),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 5-gram occurrences that are corpus-frequent
+    (appear in >= BOILERPLATE_MIN_DOCS distinct docs)."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(_SPARK_TOKS)
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")
+    )
+    freq = (
+        grams.distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .select("gram")
+    )
+    hit = F.when(F.col("fg").isNotNull(), 1).otherwise(0)
+    return (
+        grams.join(
+            F.broadcast(freq.withColumn("fg", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+# PII scrubbing: conservative patterns that parse identically under
+# Java regex (Spark) and RE2 (DuckDB) — lowercase alphabetics, explicit
+# classes, no lookaround.
+EMAIL_RE = r"[a-z0-9.]+@[a-z0-9-]+\.[a-z][a-z]+"
+PHONE_RE = r"\+1-555-[0-9][0-9][0-9][0-9]"
+
+_AUGMENT_SQL = (
+    "concat(text, ' reach user', CAST(doc_id AS VARCHAR), "
+    "'@example.com or +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+_AUGMENT_SPARK = (
+    "concat(text, ' reach user', CAST(doc_id AS STRING), "
+    "'@example.com or +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+)
+
+
+@query(
+    "text_pii_scrub",
+    sql="""
+    WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT)
+                   AS n_phones,
+               regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                              '{phone}', '<PHONE>', 'g') AS scrubbed
+        FROM aug
+    )
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+           md5(scrubbed) AS scrubbed_md5
+    FROM s
+    """.format(aug=_AUGMENT_SQL, email=EMAIL_RE, phone=PHONE_RE),
+    tables=("documents",),
+    scale_note=(
+        "PII redaction (emails + phone numbers, per-type audit "
+        "counts): two chained whole-stage-codegen regexp passes, zero "
+        "shuffles, row-local — fuses with the feeding scan at 100 TB. "
+        "The fixture corpus carries no organic PII, so deterministic "
+        "doc_id-derived PII is injected identically on both engines "
+        "first; the scrubbed text is asserted by md5, keeping the "
+        "checked row narrow. Patterns are chosen to parse identically "
+        "under Java regex and RE2 (no lookaround, explicit classes)."
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact injected emails/phones; per-type counts + md5 of result."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_AUGMENT_SPARK)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

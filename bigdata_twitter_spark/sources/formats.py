@@ -71,6 +71,40 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_day
+    FROM orders
+    """,
+    tables=("orders",),
+    scale_note=(
+        "ORC round-trip (Spark's second columnar at-rest format, "
+        "zero extra dependencies): write orders as ORC, re-read, and "
+        "hash-match the parquet original — proves writer options, "
+        "type mapping, and the vectorized ORC reader end-to-end. ORC "
+        "splits by stripe exactly as parquet splits by row-group, so "
+        "scan parallelism at 100 TB is identical; predicate pushdown "
+        "and column pruning work through the same DataSource V2 path."
+    ),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: write orders to ORC, read back (days serialized as
+    yyyy-MM-dd strings so both engines agree exactly)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_day"),
+    )
+    path = _workdir(spark, f"orc_orders_{os.path.basename(sf_dir.rstrip('/'))}")
+    o.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
     "sink_json_lines",
     sql="""
     SELECT event_type,

@@ -89,3 +89,27 @@ def test_no_cartesian_in_oracle_checked_joins(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, key)
         assert "CartesianProduct" not in plan, (key, plan)
+
+
+def test_pack_token_budget_has_no_global_data_window(spark, sf_dir):
+    """The packing cumsum must stay bucket-partitioned: the only
+    unpartitioned window may run over the tiny per-bucket totals, and
+    the bucket-offset join must broadcast (no shuffle of the doc side
+    beyond the bucket-keyed window exchange)."""
+    plan = _plan(spark, sf_dir, "pack_token_budget")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    windows = [
+        ln for ln in plan.splitlines() if "Window " in ln or "Window[" in ln
+    ]
+    partitioned = [ln for ln in windows if "bucket" in ln]
+    assert partitioned, plan  # the doc-sized cumsum is bucket-keyed
+    # Global (unpartitioned) windows: allowed only on the totals side,
+    # which is recognizable by aggregating bucket_total.
+    for ln in windows:
+        if ln not in partitioned:
+            assert "bucket_total" in ln, ln
+
+
+def test_contamination_eval_set_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_contamination_overlap")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -114,3 +114,22 @@ def test_sessionization_respects_gap_bound(spark, ts_lists):
     for uid, sessions in per_user.items():
         for (_, a), (_, b) in zip(sessions, sessions[1:]):
             assert b[0] - a[-1] > gap
+
+
+def test_pack_token_budget_bucket_width_invariance(spark, sf_dir, monkeypatch):
+    """The distributed running sum must equal the single-window global
+    cumsum for ANY bucket width — associativity is the whole argument
+    for the scale shape, so pin it across widths (1 = one bucket per
+    doc, huge = effectively one global bucket)."""
+    from bigdata_twitter_spark.llm import curation
+
+    def run():
+        return {
+            (r["doc_id"], r["n_tokens"], r["start_offset"], r["seq_id"])
+            for r in curation.pack_token_budget(spark, sf_dir).collect()
+        }
+
+    baseline = run()
+    for width in (1, 7, 10_000_000):
+        monkeypatch.setattr(curation, "PACK_BUCKET_WIDTH", width)
+        assert run() == baseline, f"width={width} changed the packing"
