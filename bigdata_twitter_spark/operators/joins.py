@@ -389,3 +389,50 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "error_ts", "event_id", "ts", "event_type", "user_id")
     )
+
+
+ASOF_TOLERANCE_SQL = "INTERVAL 1 HOUR"
+
+
+@query(
+    "join_asof_tolerance",
+    sql=f"""
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           (SELECT max(c.ts) FROM events c
+             WHERE c.user_id = e.user_id AND c.event_type = 'click'
+               AND c.ts <= e.ts
+               AND c.ts >= e.ts - {ASOF_TOLERANCE_SQL}) AS last_click_ts
+    FROM events e
+    """,
+    tables=("events",),
+    scale_note=(
+        "Tolerance-bounded as-of join (pandas merge_asof semantics): "
+        "identical plan to join_asof — one user_id shuffle, one "
+        "partition-local sort, a RANGE-frame running max — plus a "
+        "row-local staleness comparison that NULLs matches older than "
+        "the tolerance. No extra shuffle, no self-join; at 100 TB the "
+        "tolerance also bounds state when the same shape runs as a "
+        "watermarked stream-stream join."
+    ),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most recent click at-or-before each event, NULL if older than
+    the 1-hour tolerance."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    last_click = F.max(click_ts).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            last_click >= F.col("ts") - F.expr(ASOF_TOLERANCE_SQL),
+            last_click,
+        ).alias("last_click_ts"),
+    )

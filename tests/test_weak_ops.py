@@ -258,3 +258,41 @@ def test_pca_matches_numpy_exact(spark, sf_dir):
     p1 = np.array([r["pc1"] for r in got])
     p2 = np.array([r["pc2"] for r in got])
     assert p1.var() >= p2.var()
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """Spark's deterministic Lloyd assignment must equal an exact numpy
+    re-run of the identical algorithm (same init, same iteration count,
+    same smallest-cid tiebreak); distances agree to float tolerance."""
+    import numpy as np
+
+    from bigdata_twitter_spark.llm.kmeans import ITERS, K
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = X[:K].copy()
+    for _ in range(ITERS):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the first (smallest cid)
+        for c in range(K):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    best = d.min(axis=1)
+    expect = {v: (int(a), float(b)) for v, a, b in zip(ids, assign, best)}
+
+    got = SPECS["cluster_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    assert len(got) == len(ids)
+    for r in got:
+        ea, eb = expect[r["vec_id"]]
+        assert r["cluster"] == ea, (r["vec_id"], r["cluster"], ea)
+        assert abs(r["dist6"] - round(eb, 6)) <= 1e-6, (r["vec_id"],)

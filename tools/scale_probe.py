@@ -84,8 +84,16 @@ def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
             df.write.mode("append").parquet(out)
 
 
+def probe_keys(specs) -> list[str]:
+    """HEADLINE by default; override with $SPARK_GRAFT_PROBE_KEYS
+    (comma-separated registry keys) to probe another family."""
+    env = os.environ.get("SPARK_GRAFT_PROBE_KEYS")
+    wanted = [k.strip() for k in env.split(",")] if env else HEADLINE
+    return [k for k in wanted if k in specs]
+
+
 def time_headline(spark, specs, sf_dir: str, runs: int = 2) -> dict[str, float]:
-    keys = [k for k in HEADLINE if k in specs]
+    keys = probe_keys(specs)
     materialize(specs[keys[0]].fn(spark, sf_dir))  # warmup
     out: dict[str, float] = {}
     for key in keys:
