@@ -358,3 +358,85 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n))
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "agg_unpivot_melt",
+    sql="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(l_discount AS DOUBLE) FROM lineitem
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Wide-to-long unpivot (melt) via Spark's native df.unpivot — a "
+        "single row-local Expand node in codegen (one input row fans "
+        "out to 3 output rows in the same task), zero shuffles, no "
+        "UNION re-scan: the oracle's 3-branch UNION ALL reads the "
+        "table three times, the engine reads it ONCE. At 100 TB "
+        "that's the difference between one corpus pass and three."
+    ),
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt three lineitem measures into (measure, val) long form."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+@query(
+    "agg_argmax_minby",
+    sql="""
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id DESC) AS rmax,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rmin
+        FROM events
+    )
+    SELECT event_type,
+           max(CASE WHEN rmax = 1 THEN event_id END) AS argmax_event_id,
+           max(CASE WHEN rmax = 1 THEN value END) AS max_value,
+           max(CASE WHEN rmin = 1 THEN event_id END) AS argmin_event_id,
+           max(CASE WHEN rmin = 1 THEN value END) AS min_value
+    FROM r GROUP BY event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "max_by/min_by with a deterministic (value, event_id) struct "
+        "ordinal — one two-phase hash agg, no window, no sort: the "
+        "argmax travels with the partial aggregate, so the shuffle "
+        "payload is one row per (partition, group). The oracle states "
+        "the same tiebreak via rank windows because ANSI SQL lacks a "
+        "tiebroken arg_max; the engine-side agg is the plan that "
+        "scales (windows would sort every partition at 100 TB)."
+    ),
+)
+def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type argmax/argmin of value with smallest/largest-id ties
+    resolved deterministically via struct ordinals."""
+    e = load(spark, sf_dir, "events")
+    ord_max = F.struct(F.col("value"), F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", ord_max).alias("argmax_event_id"),
+        F.max("value").alias("max_value"),
+        F.min_by("event_id", ord_max).alias("argmin_event_id"),
+        F.min("value").alias("min_value"),
+    )
