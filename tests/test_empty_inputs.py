@@ -1,0 +1,61 @@
+"""Empty-input robustness: operators must run and keep a STABLE schema
+on zero-row tables (at 100 TB a partition-pruned or freshly-created
+dataset is routinely empty — an operator that crashes or changes shape
+on empty input breaks every downstream consumer of its schema).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from bigdata_twitter_spark.registry import load_all_operators
+from bigdata_twitter_spark.tables import TABLE_NAMES, load
+
+SPECS = load_all_operators()
+
+# Representative per-row / per-group operators across the families —
+# all of these must yield EXACTLY zero rows on empty inputs.
+ZERO_ROW_KEYS = [
+    "project_select",
+    "filter_predicate",
+    "agg_q1_pricing",
+    "join_star_3way",
+    "join_asof_tolerance",
+    "win_rank_topk_per_group",
+    "ts_tumbling_counts",
+    "text_tokenize",
+    "text_boilerplate_ngrams",
+    "text_pii_scrub",
+    "dedup_exact",
+    "set_union_all",
+    "pack_token_budget",
+    "agg_argmax_minby",
+    "agg_unpivot_melt",
+    "embed_matryoshka_truncate",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir):
+    out = os.path.join(tempfile.gettempdir(), "bdt_spark_empty_sf")
+    marker = os.path.join(out, "_built")
+    if not os.path.exists(marker):
+        for name in TABLE_NAMES:
+            load(spark, sf_dir, name).limit(0).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"{name}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+@pytest.mark.parametrize("key", ZERO_ROW_KEYS)
+def test_zero_rows_and_stable_schema(spark, sf_dir, empty_sf_dir, key):
+    fn = SPECS[key].fn
+    empty_df = fn(spark, empty_sf_dir)
+    assert empty_df.count() == 0
+    # The schema on empty input must be the schema on real input —
+    # downstream consumers bind to it before seeing any data.
+    assert empty_df.schema == fn(spark, sf_dir).schema
