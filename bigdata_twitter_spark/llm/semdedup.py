@@ -1,0 +1,96 @@
+"""Semantic dedup via learned clusters (the SemDeDup recipe, Abbas et
+al. 2023, arXiv:2303.09540 — public method): restrict the pairwise
+similarity search to k-means cluster members instead of LSH buckets,
+then apply the keep-first rule within each cluster.
+
+This completes the dedup modality set: exact hash, shingle-Jaccard,
+MinHash-LSH, SimHash, containment, SRP-LSH embedding dedup, and
+connected-components clustering are the siblings; this one uses
+LEARNED structure (cluster_kmeans_lloyd's centroids) rather than a
+random hash family, which is what the published semantic-dedup
+pipelines actually deploy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load, persist_fresh
+from .vectors import PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
+
+
+@query(
+    "dedup_semantic_cluster",
+    sql=None,  # depends on the iterative k-means fixed point — not
+    # SQL-expressible; tests/test_weak_ops.py re-runs the identical
+    # algorithm (numpy Lloyd + in-cluster pairs) and pins equality.
+    tables=("embeddings",),
+    scale_note=(
+        "SemDeDup shape: pair search bounded to k-means cluster "
+        "members — candidates ≈ n²/K for balanced clusters, and K "
+        "grows with n in production (K ≈ n/target_cluster_size keeps "
+        "candidates ≈ n × target, linear — same argument as the LSH "
+        "band-width adaptation in bucketed.py, but with LEARNED "
+        "buckets that put paraphrases together far more often than "
+        "random hyperplanes). One cluster-keyed self-join shuffle, "
+        "exact cosine on candidates only, one groupBy for the "
+        "keep-first rule. The centroids come from the shared "
+        "cluster_kmeans_lloyd model pass."
+    ),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP/DROP per embedding under cosine ≥ 0.4 within its k-means
+    cluster, deterministic keep-first (min vec_id) rule; returns
+    (vec_id, cluster, n_sem_dups, is_kept)."""
+    # Lazily imported so this module never re-anchors the k-means
+    # registry position.
+    from .kmeans import cluster_kmeans_lloyd
+
+    assign = persist_fresh(
+        "semdedup_assign",
+        sf_dir,
+        cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster"),
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    av = assign.alias("a")
+    bv = assign.alias("b")
+    cand = av.join(
+        bv,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    pairs = (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .filter(
+            _spark_cosine("a_emb", "b_emb") >= PAIR_COSINE_THRESHOLD
+        )
+        .select("a_id", "b_id")
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("vec_id"), F.col("b_id").alias("nb")
+    ).unionAll(
+        pairs.select(F.col("b_id").alias("vec_id"), F.col("a_id").alias("nb"))
+    )
+    neigh = sym.groupBy("vec_id").agg(
+        F.count("*").alias("n_sem_dups"), F.min("nb").alias("mn")
+    )
+    return (
+        assign.join(neigh, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("n_sem_dups", F.lit(0).cast("bigint")).alias(
+                "n_sem_dups"
+            ),
+            (F.col("mn").isNull() | (F.col("mn") > F.col("vec_id"))).alias(
+                "is_kept"
+            ),
+        )
+    )

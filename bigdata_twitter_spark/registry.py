@@ -122,7 +122,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import graph  # noqa: F401  (new this round)
     from .text import pipeline  # noqa: F401  (new this round)
     from .llm import containment  # noqa: F401  (new this round)
-    from .llm import curation, kmeans  # noqa: F401  (round 3)
+    from .llm import curation, kmeans, semdedup  # noqa: F401  (round 3)
     from .llm import pca  # noqa: F401  (round 3)
     from .llm import audio  # noqa: F401  (new this round)
     from .sources import binaryfiles  # noqa: F401  (new this round)

@@ -296,3 +296,66 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         ea, eb = expect[r["vec_id"]]
         assert r["cluster"] == ea, (r["vec_id"], r["cluster"], ea)
         assert abs(r["dist6"] - round(eb, 6)) <= 1e-6, (r["vec_id"],)
+
+
+def test_semantic_dedup_matches_numpy(spark, sf_dir):
+    """dedup_semantic_cluster must equal a numpy re-run of the full
+    pipeline: identical Lloyd clustering, in-cluster cosine pairs at
+    the shared threshold, keep-first rule."""
+    import numpy as np
+
+    from bigdata_twitter_spark.llm.kmeans import ITERS, K
+    from bigdata_twitter_spark.llm.vectors import PAIR_COSINE_THRESHOLD
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = X[:K].copy()
+    for _ in range(ITERS):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(K):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+
+    norms = np.sqrt((X**2).sum(axis=1))
+    cos = (X @ X.T) / np.outer(norms, norms)
+    n = len(ids)
+    n_dups = np.zeros(n, dtype=int)
+    min_nb = np.full(n, np.inf)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] != assign[j]:
+                continue
+            # Match the engine exactly: cosine rounded to 6dp
+            # (llm/vectors.py convention) before thresholding.
+            if round(cos[i, j], 6) >= PAIR_COSINE_THRESHOLD:
+                n_dups[i] += 1
+                n_dups[j] += 1
+                min_nb[i] = min(min_nb[i], ids[j])
+                min_nb[j] = min(min_nb[j], ids[i])
+    expect = {
+        int(ids[i]): (
+            int(assign[i]),
+            int(n_dups[i]),
+            bool(np.isinf(min_nb[i]) or min_nb[i] > ids[i]),
+        )
+        for i in range(n)
+    }
+
+    got = SPECS["dedup_semantic_cluster"].fn(spark, sf_dir).collect()
+    assert len(got) == n
+    for r in got:
+        ec, en, ek = expect[r["vec_id"]]
+        assert (r["cluster"], r["n_sem_dups"], r["is_kept"]) == (ec, en, ek), (
+            r["vec_id"], (r["cluster"], r["n_sem_dups"], r["is_kept"]), (ec, en, ek),
+        )
