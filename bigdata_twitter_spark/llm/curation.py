@@ -357,3 +357,87 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# Contrastive negative sampling: strides through the md5-ordered
+# permutation of documents.  Pairwise-coprime-ish fixed offsets; k
+# negatives per anchor.
+NEG_STRIDES = (37, 101, 257)
+
+
+@query(
+    "sample_negative_pairs",
+    sql=f"""
+    WITH r AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                    - 1 AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT a.doc_id,
+           s.k,
+           b.doc_id AS neg_doc_id
+    FROM r a
+    CROSS JOIN (VALUES {", ".join(f"({i + 1}, {s})" for i, s in enumerate(NEG_STRIDES))})
+         AS s(k, stride)
+    JOIN r b ON b.rk = (a.rk + s.stride) % a.n
+    WHERE b.doc_id <> a.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Contrastive negatives (training-pair assembly): each anchor "
+        "gets 3 pseudo-random negatives at fixed strides through the "
+        "md5-ordered permutation — deterministic across runs/layouts "
+        "(md5 of the stringified key is byte-equal on both engines), "
+        "no RNG state, uniform-in-expectation pairing. The global rank "
+        "is computed DISTRIBUTED (16 md5-nibble buckets → bucket-local "
+        "row_number + broadcast bucket-count offsets, the "
+        "pack_token_budget idiom — no unpartitioned window); the "
+        "negative lookup is one rank-keyed self-join shuffle. Strides "
+        "wrap modulo n, so every anchor gets exactly 3 negatives "
+        "(self-collisions are impossible while n > max stride)."
+    ),
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic contrastive negatives per document via fixed
+    strides in the md5 permutation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    d = d.withColumn(
+        "bucket", F.conv(F.substring("h", 1, 1), 16, 10).cast("int")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("h")
+    local = d.withColumn("lrk", F.row_number().over(in_bucket))
+    sizes = d.groupBy("bucket").agg(F.count("*").alias("bn"))
+    over_buckets = Window.orderBy("bucket")
+    offsets = sizes.withColumn(
+        "boff", F.sum("bn").over(over_buckets) - F.col("bn")
+    ).select("bucket", "boff")
+    n_total = d.count()  # one scalar (catalog stats at 100 TB)
+    ranked = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("boff") + F.col("lrk") - 1).cast("bigint").alias("rk"),
+        )
+    )
+    strides = F.array(*[F.lit(s) for s in NEG_STRIDES])
+    anchors = ranked.select(
+        "doc_id",
+        "rk",
+        F.posexplode(strides).alias("k0", "stride"),
+    ).select(
+        "doc_id",
+        ((F.col("rk") + F.col("stride")) % F.lit(n_total)).alias("neg_rk"),
+        (F.col("k0") + 1).cast("int").alias("k"),
+    )
+    negs = ranked.select(
+        F.col("rk").alias("neg_rk"), F.col("doc_id").alias("neg_doc_id")
+    )
+    return (
+        anchors.join(negs, "neg_rk")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "k", "neg_doc_id")
+    )

@@ -12,9 +12,20 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load
 
-K = 8
+K_MIN = 8
+K_MAX = 128
+TARGET_CLUSTER_SIZE = 250
 ITERS = 3
 DIM = 64
+
+
+def k_for(n: int) -> int:
+    """K ≈ n / target cluster size, clamped — keeps expected cluster
+    occupancy (and any in-cluster pairwise work downstream, e.g.
+    dedup_semantic_cluster) bounded as the corpus grows.  At the
+    fixture scales (n ≤ 2000) this stays at K_MIN, so driver rows and
+    numpy pins are geometry-stable."""
+    return max(K_MIN, min(K_MAX, -(-n // TARGET_CLUSTER_SIZE)))
 
 
 def _dist_structs(centroids: list[list[float]]) -> F.Column:
@@ -44,7 +55,8 @@ def _dist_structs(centroids: list[list[float]]) -> F.Column:
     tables=("embeddings",),
     scale_note=(
         "Lloyd k-means the way MLlib runs it: centroids are MODEL "
-        "STATE (K×DIM floats) — collected to the driver once per "
+        "STATE (K×DIM floats, K ≈ n/250 clamped to [8, 128] so "
+        "cluster occupancy stays bounded at scale) — collected once per "
         "iteration and broadcast back as literals, never a data-sized "
         "collect. Assignment is map-side whole-stage-codegen "
         "(zip_with/aggregate HOFs, no UDF, no explode); the only "
@@ -57,13 +69,14 @@ def _dist_structs(centroids: list[list[float]]) -> F.Column:
     ),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration deterministic Lloyd k-means (K=8, init = first K
-    vectors by vec_id); returns (vec_id, cluster, dist6)."""
+    """3-iteration deterministic Lloyd k-means (K = k_for(n), init =
+    first K vectors by vec_id); returns (vec_id, cluster, dist6)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb = emb.persist()
     try:
+        k = k_for(emb.count())  # scalar; catalog stats at 100 TB
         init_rows = (
-            emb.orderBy("vec_id").limit(K).select("embedding").collect()
+            emb.orderBy("vec_id").limit(k).select("embedding").collect()
         )
         centroids = [list(map(float, r["embedding"])) for r in init_rows]
 

@@ -266,7 +266,7 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     same smallest-cid tiebreak); distances agree to float tolerance."""
     import numpy as np
 
-    from bigdata_twitter_spark.llm.kmeans import ITERS, K
+    from bigdata_twitter_spark.llm.kmeans import ITERS, k_for
     from bigdata_twitter_spark.tables import load
 
     rows = (
@@ -277,6 +277,7 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     rows.sort(key=lambda r: r["vec_id"])
     ids = [r["vec_id"] for r in rows]
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    K = k_for(len(ids))
     cent = X[:K].copy()
     for _ in range(ITERS):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -304,7 +305,7 @@ def test_semantic_dedup_matches_numpy(spark, sf_dir):
     the shared threshold, keep-first rule."""
     import numpy as np
 
-    from bigdata_twitter_spark.llm.kmeans import ITERS, K
+    from bigdata_twitter_spark.llm.kmeans import ITERS, k_for
     from bigdata_twitter_spark.llm.vectors import PAIR_COSINE_THRESHOLD
     from bigdata_twitter_spark.tables import load
 
@@ -316,6 +317,7 @@ def test_semantic_dedup_matches_numpy(spark, sf_dir):
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    K = k_for(len(ids))
     cent = X[:K].copy()
     for _ in range(ITERS):
         d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
