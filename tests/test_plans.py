@@ -113,3 +113,27 @@ def test_pack_token_budget_has_no_global_data_window(spark, sf_dir):
 def test_contamination_eval_set_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_contamination_overlap")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_negative_sampling_rank_stays_bucketed(spark, sf_dir):
+    """sample_negative_pairs' md5 rank must follow the distributed
+    pattern: the doc-sized window is bucket-partitioned; any
+    unpartitioned window runs only over the 16-row bucket-count side."""
+    plan = _plan(spark, sf_dir, "sample_negative_pairs")
+    windows = [
+        ln for ln in plan.splitlines() if "Window " in ln or "Window[" in ln
+    ]
+    assert windows, plan
+    partitioned = [ln for ln in windows if "bucket" in ln and "bn" not in ln]
+    assert partitioned, plan
+    for ln in windows:
+        if ln not in partitioned:
+            assert "bn" in ln, ln  # the tiny bucket-totals cumsum
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
+    """The pair search must join on the cluster key (bounded occupancy),
+    never a cartesian."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
+    assert "CartesianProduct" not in plan, plan
+    assert "cluster" in plan, plan
