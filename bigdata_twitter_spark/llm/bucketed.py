@@ -23,10 +23,14 @@ by the declared rows-only/recall-pinned contract.  At the fixture
 scales (n ≤ 2000) r stays small enough that the empirical recall of
 all ≥0.4 pairs remains 100% (pinned in tests/test_weak_ops.py).
 
-A HOT-BUCKET CAP additionally skips degenerate buckets (adversarial
-or all-zero vectors collapsing into one value) so no single bucket
-can reintroduce the quadratic term; capped buckets lose nothing in
-expectation because their pairs re-collide in other bands.
+A HOT-BUCKET CAP additionally skips degenerate buckets so no single
+bucket can reintroduce the quadratic term.  Honest limitation: pairs
+of IDENTICAL vectors share every band, so a >cap group of exact
+copies is dropped entirely (the re-collide-in-other-bands recovery
+only helps near-collisions).  That case belongs to exact dedup, which
+runs BEFORE near-dup mining in any real pipeline (hash the vector
+bytes — dedup_exact's shape on the embedding column); this operator's
+contract is near-duplicate pair mining over an exact-deduped corpus.
 
 Scale posture: the plane set is a compile-time constant (seeded PRNG,
 no runtime randomness), the sign/band computation is per-row JVM

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, persist_fresh
 
 # Tokens-per-packed-sequence budget (a context-window stand-in; real
 # pipelines use 2k/4k/8k — the plan shape is budget-independent).
@@ -184,8 +184,13 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").withColumn(
         "toks", F.expr(_SPARK_TOKS)
     )
-    grams = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")
+    # Both branches (eval set + corpus) consume the tokenize/explode
+    # subtree — the dominant cost; persist it once (few machine words
+    # per gram row; MEMORY_AND_DISK on a cluster cache tier at scale).
+    grams = persist_fresh(
+        "contamination_grams",
+        sf_dir,
+        d.select("doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")),
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
@@ -256,8 +261,12 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").withColumn(
         "toks", F.expr(_SPARK_TOKS)
     )
-    grams = d.select(
-        "doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")
+    # The frequent-set pass and the re-score pass both consume the
+    # gram explode; persist it once (same argument as contamination).
+    grams = persist_fresh(
+        "boilerplate_grams",
+        sf_dir,
+        d.select("doc_id", F.explode(F.expr(_SPARK_NGRAMS)).alias("gram")),
     )
     freq = (
         grams.distinct()

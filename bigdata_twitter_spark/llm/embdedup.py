@@ -9,12 +9,18 @@ keep-first rule (drop a doc iff a similar doc with a smaller id
 exists), which is the stateless decision a 100-TB dedup pass actually
 applies; cluster-exact resolution is ``dedup_components``'s job.
 
-Candidate pairs come from the SRP-LSH bucketed miner
-(``sim_pairs_bucketed``) — the production path, shuffle ∝ vectors ×
-bands — never the O(n²) cross-join.  The miner scores candidates with
-EXACT cosine and the local suite pins its pair set equal to the exact
-self-join's at this threshold (tests/test_weak_ops.py), so the DuckDB
-oracle can state the exact computation and still hash-match.
+Candidate pairs are mined HYBRID by corpus size, the same way AQE
+picks a join strategy from stats: at or below ``EXACT_PAIRS_MAX``
+vectors the exact thresholded self-join runs (O(n²) but trivially
+affordable, and the DuckDB oracle is exact BY CONSTRUCTION — no
+recall precondition to expire); above it, the SRP-LSH bucketed miner
+(``sim_pairs_bucketed``, shuffle ∝ vectors × bands) takes over as the
+production path.  The cutover matters because the miner's band width
+now ADAPTS to corpus size (llm/bucketed.py): at the τ = 0.4 mining
+threshold wider bands trade recall below 100%, which would silently
+invalidate an exact oracle — the hybrid keeps the oracle-checked
+regime exact and the at-scale regime honest (where the driver oracle
+never runs; recall there is governed by the declared LSH contract).
 """
 
 from __future__ import annotations
@@ -25,6 +31,9 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load, persist_fresh
 from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
+
+# Exact pair mining at or below this many vectors; LSH-bucketed above.
+EXACT_PAIRS_MAX = 4000
 
 
 @query(
@@ -52,30 +61,35 @@ from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
     """,
     tables=("documents", "embeddings"),
     scale_note=(
-        "Embedding near-dup keep/drop: candidates from SRP-LSH buckets "
-        "(shuffle ∝ vectors × 16 bands, never vectors²), exact cosine on "
-        "candidates only, then one groupBy over the pair list for the "
-        "keep-first rule and one key-equi join back to documents. The "
-        "oracle restates the exact all-pairs computation — valid because "
-        "the miner's recall at this threshold is pinned to 100% by the "
-        "local cross-check."
+        "Embedding near-dup keep/drop, hybrid by corpus stats: exact "
+        "thresholded self-join at/below EXACT_PAIRS_MAX vectors (the "
+        "oracle-checked regime — exact by construction), SRP-LSH "
+        "buckets above (shuffle ∝ vectors × bands, declared-recall "
+        "LSH contract; the driver oracle never runs there). Then one "
+        "groupBy over the pair list for the keep-first rule and one "
+        "key-equi join back to documents."
     ),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEEP/DROP per embedded document under embedding-cosine ≥ 0.4
     near-duplication with the deterministic keep-first (min doc_id)
     rule; ``n_dups`` counts each doc's near-duplicate neighbors."""
-    # Lazily imported: a module-level import must not re-anchor
-    # sim_pairs_bucketed's registry position.
+    # Lazily imported: module-level imports must not re-anchor the
+    # miners' registry positions.
     from .bucketed import sim_pairs_bucketed
+    from .similarity import sim_pairs_threshold
 
+    n = load(spark, sf_dir, "embeddings").count()  # catalog stats at scale
+    miner = (
+        sim_pairs_threshold if n <= EXACT_PAIRS_MAX else sim_pairs_bucketed
+    )
     # The symmetrization union consumes the mined pair list twice;
-    # persist it (result-sized) so the whole SRP-mine + exact-cosine
-    # pipeline runs once, not once per union branch.
+    # persist it (result-sized) so the whole mining pipeline runs
+    # once, not once per union branch.
     pairs = persist_fresh(
         "embdedup_pairs",
         sf_dir,
-        sim_pairs_bucketed(spark, sf_dir).select("a_id", "b_id"),
+        miner(spark, sf_dir).select("a_id", "b_id"),
     )
     sym = pairs.select(
         F.col("a_id").alias("id"), F.col("b_id").alias("nb")

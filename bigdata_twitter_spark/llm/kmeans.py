@@ -79,6 +79,13 @@ def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb.orderBy("vec_id").limit(k).select("embedding").collect()
         )
         centroids = [list(map(float, r["embedding"])) for r in init_rows]
+        if not centroids:
+            # Empty corpus: run the normal plan against one dummy
+            # centroid — zero rows out, and the schema (incl.
+            # nullability) is identical to the non-empty path.
+            # (array_min over an EMPTY struct array would type as VOID
+            # and break the cid extraction.)
+            centroids = [[0.0] * DIM]
 
         for _ in range(ITERS):
             assigned = emb.withColumn(

@@ -102,12 +102,13 @@ MATRYOSHKA_DIMS = 16
     SELECT vec_id, label,
            round(sqrt(ss_full), 6) AS norm_full,
            round(sqrt(ss_trunc), 6) AS norm_trunc,
-           round(ss_trunc / ss_full, 6) AS energy_kept,
-           array_to_string(list_transform(range(1, 4),
-               i -> CAST(CAST(round(CAST(embedding[i] AS DOUBLE)
-                              / sqrt(ss_trunc) * 1000000, 0) AS BIGINT)
-                         AS VARCHAR)), ',')
-               AS head3_renormed
+           round(ss_trunc / nullif(ss_full, 0), 6) AS energy_kept,
+           CASE WHEN ss_trunc > 0 THEN
+               array_to_string(list_transform(range(1, 4),
+                   i -> CAST(CAST(round(CAST(embedding[i] AS DOUBLE)
+                                  / sqrt(ss_trunc) * 1000000, 0) AS BIGINT)
+                             AS VARCHAR)), ',')
+           END AS head3_renormed
     FROM s
     """,
     tables=("embeddings",),
@@ -144,16 +145,21 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer micro-units: CAST(double AS STRING) renders small values
     # in scientific notation on Spark but decimal on DuckDB, so the
     # coordinates are emitted as round(x * 1e6) bigints instead.
+    # Zero guards: all-zero truncations/rows yield NULL instead of a
+    # division by zero (engines disagree on casting inf to BIGINT).
     head3 = F.expr(
+        "CASE WHEN ss_trunc > 0 THEN "
         "array_join(transform(slice(embedding, 1, 3), "
         "x -> CAST(CAST(round(CAST(x AS DOUBLE) / sqrt(ss_trunc) "
-        "* 1000000, 0) AS BIGINT) AS STRING)), ',')"
+        "* 1000000, 0) AS BIGINT) AS STRING)), ',') END"
     )
     return s.select(
         "vec_id",
         "label",
         F.round(F.sqrt("ss_full"), 6).alias("norm_full"),
         F.round(F.sqrt("ss_trunc"), 6).alias("norm_trunc"),
-        F.round(F.col("ss_trunc") / F.col("ss_full"), 6).alias("energy_kept"),
+        F.round(
+            F.col("ss_trunc") / F.nullif(F.col("ss_full"), F.lit(0.0)), 6
+        ).alias("energy_kept"),
         head3.alias("head3_renormed"),
     )

@@ -32,14 +32,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver evaluates exactly the first 50 ``queries()`` keys per round
 # (rounds 1 and 2 both cut at key #50 in registration order).  This is
-# the round-3 window: ALL 39 keys that have never appeared in any
-# driver check window lead (34 of them oracle-SQL-backed, 5 rows-only
-# by declared approx/sketch contract), then eleven round-1-verified
-# flagship base keys fill the 50.  After this round every registry key
-# has at least one driver-side CORRECTNESS row and the headline
-# queries carry a second.
+# the round-3 window: ALL 39 keys that entered round 3 without a
+# driver CORRECTNESS row lead (34 of them oracle-SQL-backed, 5
+# rows-only by declared approx/sketch contract), then eleven
+# round-1-verified flagship base keys fill the 50.  Operators ADDED
+# during round 3 itself (curation/k-means/semdedup/ORC/unpivot/...)
+# queue behind key #50 in registration order and get their first
+# driver row in the round-4 window — only the local parity suite
+# covers them this round.
 _R3_WINDOW = (
-    # -- 22 keys unchecked since round 2 (oracle-backed first) --
+    # -- 18 keys unchecked since round 2 (oracle-backed) --
     "profile_table", "merge_upsert", "sample_hash_stratified",
     "win_session_paths", "join_range_binned", "inverted_index",
     "text_scrub_denylist", "doc_pipeline_e2e", "dedup_components",
@@ -47,7 +49,7 @@ _R3_WINDOW = (
     "sim_batch_queries_topk", "embed_quantize_int8",
     "multimodal_frame_sample", "multimodal_audio_chunk",
     "scan_binary_files", "sink_partitioned_parquet",
-    # -- 14 oracle-backed keys new this round --
+    # -- 16 oracle-backed keys that entered round 3 unchecked --
     "ts_ewma", "ts_downsample_ohlc", "win_streak_longest",
     "text_bigram_familiarity", "sample_exact_k_stratified",
     "tweet_hashtag_topk", "scan_schema_evolution",

@@ -35,19 +35,20 @@ ZERO_ROW_KEYS = [
     "agg_argmax_minby",
     "agg_unpivot_melt",
     "embed_matryoshka_truncate",
+    "cluster_kmeans_lloyd",
+    "dedup_semantic_cluster",
 ]
 
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, sf_dir):
-    out = os.path.join(tempfile.gettempdir(), "bdt_spark_empty_sf")
-    marker = os.path.join(out, "_built")
-    if not os.path.exists(marker):
-        for name in TABLE_NAMES:
-            load(spark, sf_dir, name).limit(0).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out, f"{name}.parquet"))
-        open(marker, "w").close()
+    # Fresh per-run dir: a cached fixture would go stale across
+    # checkouts (schema/encoding changes) and race parallel workers.
+    out = tempfile.mkdtemp(prefix="bdt_spark_empty_sf_")
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).limit(0).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
     return out
 
 

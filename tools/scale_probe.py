@@ -107,8 +107,17 @@ def probe_keys(specs) -> list[str]:
     """HEADLINE by default; override with $SPARK_GRAFT_PROBE_KEYS
     (comma-separated registry keys) to probe another family."""
     env = os.environ.get("SPARK_GRAFT_PROBE_KEYS")
-    wanted = [k.strip() for k in env.split(",")] if env else HEADLINE
-    return [k for k in wanted if k in specs]
+    wanted = [k.strip() for k in env.split(",") if k.strip()] if env else HEADLINE
+    keys = [k for k in wanted if k in specs]
+    unknown = [k for k in wanted if k not in specs]
+    if unknown:
+        print(f"warning: unknown probe keys skipped: {unknown}", file=sys.stderr)
+    if not keys:
+        raise SystemExit(
+            f"no valid probe keys (requested {wanted!r}); "
+            "check SPARK_GRAFT_PROBE_KEYS against the registry"
+        )
+    return keys
 
 
 def time_headline(spark, specs, sf_dir: str, runs: int = 2) -> dict[str, float]:
