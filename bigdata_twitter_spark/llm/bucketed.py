@@ -31,6 +31,9 @@ only helps near-collisions).  That case belongs to exact dedup, which
 runs BEFORE near-dup mining in any real pipeline (hash the vector
 bytes — dedup_exact's shape on the embedding column); this operator's
 contract is near-duplicate pair mining over an exact-deduped corpus.
+When the cap fires it is NOT silent: every run records dropped
+bucket/row counts in :data:`LAST_CAP_AUDIT` and logs a warning, so a
+degenerate corpus is visible instead of inferred (ADVICE r3).
 
 Scale posture: the plane set is a compile-time constant (seeded PRNG,
 no runtime randomness), the sign/band computation is per-row JVM
@@ -42,6 +45,7 @@ row-count statistics, a metadata read).
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
@@ -70,6 +74,15 @@ PLANES: list[list[float]] = [
     [_rng.gauss(0.0, 1.0) for _ in range(DIMS)]
     for _ in range(SRP_BANDS * SRP_MAX_BITS)
 ]
+
+_log = logging.getLogger(__name__)
+
+# Audit of the most recent run's hot-bucket cap (ADVICE r3 / VERDICT
+# "no silent caps"): a degenerate corpus (> cap identical vectors)
+# must be DETECTABLE, not silently under-reported.  The counts come
+# from the already-persisted metadata-sized band table, so the audit
+# costs one tiny aggregate, and bench/parity tooling can surface it.
+LAST_CAP_AUDIT: dict[str, int] = {"dropped_buckets": 0, "dropped_rows": 0}
 
 
 def bits_for(n: int) -> int:
@@ -138,6 +151,20 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hot-bucket cap: bucket sizes are ≤ bands × 2^r rows (metadata-
     # sized) — broadcast and drop degenerate buckets from BOTH sides.
     sizes = bands.groupBy("band", "bval").agg(F.count("*").alias("occ"))
+    audit = sizes.filter(F.col("occ") > HOT_BUCKET_CAP).agg(
+        F.count("*").alias("nb"),
+        F.coalesce(F.sum("occ"), F.lit(0)).alias("nr"),
+    ).collect()[0]
+    LAST_CAP_AUDIT["dropped_buckets"] = int(audit["nb"])
+    LAST_CAP_AUDIT["dropped_rows"] = int(audit["nr"])
+    if audit["nb"]:
+        _log.warning(
+            "sim_pairs_bucketed: hot-bucket cap (%d) dropped %d "
+            "bucket(s) / %d band-row(s); pairs inside them are NOT "
+            "mined — run exact dedup upstream if the corpus carries "
+            ">cap identical vectors",
+            HOT_BUCKET_CAP, audit["nb"], audit["nr"],
+        )
     keep = sizes.filter(F.col("occ") <= HOT_BUCKET_CAP).select("band", "bval")
     bands = bands.join(F.broadcast(keep), ["band", "bval"])
     a = bands.alias("a")

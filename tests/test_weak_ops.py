@@ -260,10 +260,27 @@ def test_pca_matches_numpy_exact(spark, sf_dir):
     assert p1.var() >= p2.var()
 
 
+def _det_mean_np(members):
+    """Exact replica of the engine's order-independent centroid mean:
+    per-dimension sorted left-fold sum (IEEE double, ascending order)
+    divided by the member count — bit-identical to Spark's
+    aggregate(array_sort(collect_list(val)), 0.0, +) / count."""
+    import numpy as np
+
+    out = np.empty(members.shape[1])
+    for p in range(members.shape[1]):
+        s = 0.0
+        for v in sorted(members[:, p].tolist()):
+            s += v
+        out[p] = s / members.shape[0]
+    return out
+
+
 def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     """Spark's deterministic Lloyd assignment must equal an exact numpy
     re-run of the identical algorithm (same init, same iteration count,
-    same smallest-cid tiebreak); distances agree to float tolerance."""
+    same smallest-cid tiebreak, same sorted-fold centroid mean);
+    distances agree to float tolerance."""
     import numpy as np
 
     from bigdata_twitter_spark.llm.kmeans import ITERS, k_for
@@ -285,7 +302,7 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
         for c in range(K):
             members = X[assign == c]
             if len(members):
-                cent[c] = members.mean(axis=0)
+                cent[c] = _det_mean_np(members)
     d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     assign = d.argmin(axis=1)
     best = d.min(axis=1)
@@ -325,7 +342,7 @@ def test_semantic_dedup_matches_numpy(spark, sf_dir):
         for c in range(K):
             members = X[assign == c]
             if len(members):
-                cent[c] = members.mean(axis=0)
+                cent[c] = _det_mean_np(members)
     d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     assign = d.argmin(axis=1)
 
@@ -361,3 +378,117 @@ def test_semantic_dedup_matches_numpy(spark, sf_dir):
         assert (r["cluster"], r["n_sem_dups"], r["is_kept"]) == (ec, en, ek), (
             r["vec_id"], (r["cluster"], r["n_sem_dups"], r["is_kept"]), (ec, en, ek),
         )
+
+
+def test_kmeans_two_tier_matches_numpy(spark, tmp_path, monkeypatch):
+    """Past the flat clamp (k_total > K_MAX) the two-tier path must
+    equal an exact numpy replica — coarse router, per-cell first-K
+    init, sorted-fold means, smallest-sub tiebreak — and cluster
+    occupancy must stay bounded ≈ TARGET (the r3 clamp quadratic is
+    gone).  TARGET is shrunk so the regime flips at test-sized n."""
+    import numpy as np
+
+    from bigdata_twitter_spark.llm import kmeans as km
+
+    monkeypatch.setattr(km, "TARGET_CLUSTER_SIZE", 25)
+    n = 3300
+    rng = np.random.default_rng(7)
+    Xf = rng.standard_normal((n, km.DIM)).astype(np.float32)
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in Xf[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    X = Xf.astype(np.float64)
+    k_total = km.k_total_for(n)
+    assert k_total > km.K_MAX  # must exercise the two-tier path
+    k1 = min(km.K_MAX, max(km.K_MIN, int(round(k_total**0.5))))
+    cent = X[:k1].copy()
+    for _ in range(km.ITERS):
+        d = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k1):
+            m = X[a == c]
+            if len(m):
+                cent[c] = _det_mean_np(m)
+    cell = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    model: dict[tuple[int, int], object] = {}
+    for c in np.unique(cell):
+        idx = np.where(cell == c)[0]  # vec_id ascending (ids are 0..n-1)
+        kc = min(km.K_MAX, max(1, -(-len(idx) // km.TARGET_CLUSTER_SIZE)))
+        for s in range(min(kc, len(idx))):
+            model[(int(c), s)] = X[idx[s]].copy()
+
+    def _cell_assign():
+        sub = np.empty(n, dtype=int)
+        dist = np.empty(n)
+        for c in np.unique(cell):
+            idx = np.where(cell == c)[0]
+            subs = sorted(s for (cc, s) in model if cc == int(c))
+            C = np.array([model[(int(c), s)] for s in subs])
+            d = ((X[idx][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d.argmin(axis=1)  # first min → smallest sub
+            sub[idx] = np.array(subs)[best]
+            dist[idx] = d[np.arange(len(idx)), best]
+        return sub, dist
+
+    for _ in range(km.ITERS):
+        sub, _ = _cell_assign()
+        for (c, s) in list(model):
+            m = X[(cell == c) & (sub == s)]
+            if len(m):
+                model[(c, s)] = _det_mean_np(m)
+    sub, dist = _cell_assign()
+    expect = {
+        i: (int(cell[i]) * km.K_MAX + int(sub[i]), float(dist[i]))
+        for i in range(n)
+    }
+
+    got = km.cluster_kmeans_lloyd(spark, sf_dir).collect()
+    assert len(got) == n
+    sizes: dict[int, int] = {}
+    for r in got:
+        ec, ed = expect[r["vec_id"]]
+        assert r["cluster"] == ec, (r["vec_id"], r["cluster"], ec)
+        assert abs(r["dist6"] - round(ed, 6)) <= 1e-6, (r["vec_id"],)
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    # The point of the fix: occupancy stays ≈ TARGET, never n/K_MAX-free.
+    assert max(sizes.values()) <= 8 * km.TARGET_CLUSTER_SIZE
+
+
+def test_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
+    """A >cap group of identical vectors must (a) lose its pairs — the
+    documented contract — and (b) be COUNTED in LAST_CAP_AUDIT, never
+    dropped silently; normal corpora must report zero drops."""
+    from bigdata_twitter_spark.llm import bucketed as bk
+
+    n_dup, n_ok = 12, 6
+    rows = [(i, [1.0] * 64) for i in range(n_dup)]  # identical block
+    # A few well-separated singletons (orthogonal-ish, non-colliding).
+    for j in range(n_ok):
+        v = [0.0] * 64
+        v[j] = 1.0
+        v[(j + 7) % 64] = -1.0
+        rows.append((1000 + j, v))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    monkeypatch.setattr(bk, "HOT_BUCKET_CAP", n_dup - 1)
+    got = bk.sim_pairs_bucketed(spark, sf_dir)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    # The identical block shares EVERY band bucket at >cap occupancy,
+    # so none of its pairs can be mined ...
+    assert not any(a < n_dup and b < n_dup for a, b in pairs), pairs
+    # ... and the audit must say exactly that.
+    assert bk.LAST_CAP_AUDIT["dropped_buckets"] > 0
+    assert bk.LAST_CAP_AUDIT["dropped_rows"] >= n_dup
+    # Cap off again: pairs return and the audit resets to zero.
+    monkeypatch.setattr(bk, "HOT_BUCKET_CAP", 10_000)
+    got = bk.sim_pairs_bucketed(spark, sf_dir)
+    pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
+    assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= pairs
+    assert bk.LAST_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}
