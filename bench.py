@@ -40,6 +40,19 @@ HEADLINE = [
     "fn_json",
 ]
 
+# Streaming keys (added r4 per VERDICT r3 #7): each runs a real
+# Structured Streaming query (availableNow file replay + sink
+# read-back), so streaming regressions become visible round-over-round.
+# Timed ONCE each (microbatch + checkpoint machinery dominates; there
+# is no plan-vs-noise ambiguity to median away) and reported under
+# separate keys so ``value`` stays comparable with the r01–r03
+# batch-only bar.
+HEADLINE_STREAMING = [
+    "stream_tumbling_agg",
+    "stream_stream_join",
+    "stream_topk_per_window",
+]
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -75,6 +88,12 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     total_median = round(sum(medians.values()), 4)
 
+    stream_timings: dict[str, float] = {}
+    for key in (k for k in HEADLINE_STREAMING if k in specs):
+        t0 = time.perf_counter()
+        materialize(specs[key].fn(spark, sf_dir))
+        stream_timings[key] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -85,6 +104,8 @@ def main() -> None:
                 "sf": sf,
                 "value_median_of_3": total_median,
                 "queries_median_of_3": medians,
+                "queries_streaming": stream_timings,
+                "value_streaming": round(sum(stream_timings.values()), 4),
             }
         )
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import sys
 import tempfile
 import uuid
 from decimal import Decimal
@@ -668,12 +669,97 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(EVENTS_US_SCHEMA).parquet(out)
 
 
-def _tws_available() -> bool:
-    """transformWithStateInPandas needs a working google.protobuf for
-    its state-server protocol; this container ships a broken stub, so
-    the operator registers only where the import succeeds (brief rule:
-    gate missing deps behind an import-try, never crash the registry).
+_VENDOR_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "vendor")
+)
+
+
+def _ensure_protobuf() -> None:
+    """Make ``google.protobuf`` importable everywhere Spark runs Python.
+
+    transformWithStateInPandas speaks protobuf to the JVM state server
+    (pyspark's generated StateMessage_pb2).  Containers without a
+    protobuf install get the repo's vendored clean-room mini runtime
+    (vendor/google/protobuf — wire format + descriptor subset, public
+    spec only).  A real installation always wins: the vendor dir is
+    APPENDED to sys.path / PYTHONPATH, never prepended.  PYTHONPATH
+    matters because the pb2 import happens inside Python *workers*,
+    which inherit the driver's environment in local mode.
     """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    if _VENDOR_DIR not in sys.path:
+        sys.path.append(_VENDOR_DIR)
+    pp = os.environ.get("PYTHONPATH", "")
+    if _VENDOR_DIR not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pp}{os.pathsep}{_VENDOR_DIR}" if pp else _VENDOR_DIR
+        )
+
+
+# Application ids whose workers already received the vendor zip.
+_VENDOR_SHIPPED: set[str] = set()
+
+
+def _ship_vendor(spark: SparkSession) -> None:
+    """Ship the vendored protobuf runtime to Spark's Python workers.
+
+    The pb2 import happens inside worker processes spawned by the JVM,
+    which inherit the JVM's environment — set before this module could
+    touch PYTHONPATH.  ``addPyFile`` is the mechanism that works
+    regardless of launch order: workers add shipped archives to their
+    own sys.path at bootstrap.  No-op when a real google.protobuf is
+    importable without the vendor dir (workers then resolve it the
+    normal way).
+    """
+    if _real_protobuf_present():
+        return
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _VENDOR_SHIPPED:
+        return
+    zip_base = os.path.join(
+        tempfile.gettempdir(), "bdt_spark_vendor_protobuf"
+    )
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(zip_base, "zip", _VENDOR_DIR)
+    # Task workers: shipped archive lands on every node's sys.path.
+    sc.addPyFile(zip_path)
+    # Streaming runner workers (the TWS driver worker) don't receive
+    # pyFiles; their PYTHONPATH is merged from the PythonFunction's
+    # envVars, which pyspark reads from sc.environment at UDF-creation
+    # time — so a late update here still reaches them.
+    env = sc.environment
+    pp = env.get("PYTHONPATH", "")
+    if _VENDOR_DIR not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = (
+            f"{pp}{os.pathsep}{_VENDOR_DIR}" if pp else _VENDOR_DIR
+        )
+    _VENDOR_SHIPPED.add(app)
+
+
+def _real_protobuf_present() -> bool:
+    import importlib.util
+
+    spec = importlib.util.find_spec("google.protobuf")
+    return spec is not None and _VENDOR_DIR not in (spec.origin or "")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs a google.protobuf for its
+    state-server protocol; the vendored mini runtime (see
+    :func:`_ensure_protobuf`) supplies one where the container has
+    none, so this gate now opens everywhere.  It still degrades to
+    not-registering (rather than crashing the registry) if even the
+    vendored import fails — e.g. a foreign 'google' namespace package
+    shadowing the vendor dir.
+    """
+    _ensure_protobuf()
     try:
         from google.protobuf import descriptor  # noqa: F401
 
@@ -731,6 +817,23 @@ def _make_max_tracker():
 
 def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running count/max/argmax via transformWithStateInPandas."""
+    _ship_vendor(spark)
+    # transformWithState keeps each state variable in its own column
+    # family — a RocksDB-provider capability; the default HDFS-backed
+    # store rejects it.  Pin RocksDB for this query, restore after.
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, STATE_STORE_PROVIDERS["rocksdb"])
+    try:
+        return _run_transform_with_state(spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
+
+
+def _run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _fresh_dir(f"tws_{os.path.basename(sf_dir.rstrip('/'))}")
     out_schema = (
         "user_id long, n_events long, max_value double, max_event_id long"
@@ -756,7 +859,28 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_raise(q)
-    return spark.read.parquet(out)
+    # Update-mode emits one row per key per microbatch; if the replay
+    # splits into several batches (maxFilesPerTrigger, file layout) the
+    # sink holds stale intermediate per-key rows.  Resolve to the LAST
+    # emission per key at read-back: n_events is strictly increasing
+    # per key, so the lexicographic max of the state struct is the
+    # final state.  This is the correctness contract — not an
+    # assumption that availableNow ran as one batch (ADVICE r3).
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "max_value", "max_event_id")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.max_value").alias("max_value"),
+            F.col("s.max_event_id").alias("max_event_id"),
+        )
+    )
 
 
 if _tws_available():
@@ -782,8 +906,11 @@ if _tws_available():
             "per-key input, update-mode emission, RocksDB-backable via "
             "the same SPARK_GRAFT_STATE_STORE toggle. State is O(1) "
             "per user; one shuffle on user_id; finite replay ≡ the "
-            "batch argmax oracle. Registered only where "
-            "google.protobuf imports (the TWS state protocol needs "
-            "it); this container's protobuf is a broken stub."
+            "batch argmax oracle (read-back keeps the LAST emission "
+            "per key, so multi-microbatch replays stay correct). The "
+            "TWS state protocol needs google.protobuf: where the "
+            "container has none, the repo's vendored clean-room mini "
+            "runtime (vendor/google/protobuf) supplies the wire "
+            "format, so the key registers everywhere."
         ),
     )(stream_transform_with_state)
