@@ -58,7 +58,19 @@ from .vectors import DIMS, PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
 
 SRP_BANDS = 16
 SRP_MIN_BITS = 2  # fixture-scale geometry (recall pinned at 100%)
-SRP_MAX_BITS = 8  # near-dup regime keeps >99.9% recall even here
+# r clamps at 16 bits = linear candidate growth up to n ≈ 250 × 2^16
+# ≈ 16M vectors per job (beyond that, shard the corpus).  The previous
+# clamp of 8 reintroduced quadratic candidates past ~64k vectors — the
+# ×100 probe (round 4) hit it: occupancy grew 4× past the clamp and
+# the candidate distinct spilled >50 GB.  Same bug class as the r3
+# fixed-width bands and the K=128 k-means clamp; the fix is the same:
+# let the geometry keep adapting.  Recall trade-off is per-REGIME, not
+# per-n: at the near-dup operating point (cosine ≥ ~0.85, the 100-TB
+# dedup use) 16 bands × r≤16 bits keeps recall high; the fixture-scale
+# τ=0.4 contract holds because r stays small at fixture n.  Mining
+# τ=0.4 pairs at 16M vectors is NOT a supported operating point (no
+# LSH family does that cheaply — bands needed grow exponentially in r).
+SRP_MAX_BITS = 16
 TARGET_BUCKET_OCC = 250  # expected vectors per (band, value) bucket
 HOT_BUCKET_CAP = 20 * TARGET_BUCKET_OCC
 _SRP_SEED = 20260813

@@ -128,3 +128,89 @@ def cdc_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# Synthetic snapshot pair for the diff: v1 misses every 7th key
+# (later inserts), v2 misses every 5th (deletes) and re-prices every
+# 3rd (updates).  Both snapshots are pure functions of the orders
+# table, so the diff stays DuckDB-oracle-checkable.
+V1_SKIP_MOD = 7
+V2_SKIP_MOD = 5
+UPDATE_MOD = 3
+
+
+@query(
+    "cdc_snapshot_diff",
+    sql=f"""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % {V1_SKIP_MOD} <> 0
+    ), v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {UPDATE_MOD} = 0
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % {V2_SKIP_MOD} <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           v1.o_totalprice AS old_totalprice,
+           v2.o_totalprice AS new_totalprice
+    FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+    WHERE v1.o_orderkey IS NULL
+       OR v2.o_orderkey IS NULL
+       OR v1.o_totalprice <> v2.o_totalprice
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Change-data-feed by snapshot diff (the fallback CDC when no "
+        "changelog exists): ONE full-outer sort-merge join on the "
+        "primary key, unchanged rows filtered before anything else "
+        "consumes the feed. At 100 TB both snapshots arrive "
+        "partition-pruned to the compared partition set and the join "
+        "is co-partitioned if the snapshots share bucketing (see "
+        "join_bucketed_colocated); output size tracks the churn rate, "
+        "not the snapshot size."
+    ),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level insert/update/delete feed between two derived
+    snapshots of the orders table."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % V1_SKIP_MOD != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_totalprice")
+    )
+    v2 = o.filter(F.col("o_orderkey") % V2_SKIP_MOD != 0).select(
+        "o_orderkey",
+        # An exact-in-binary delta (+1000.0): float*1.1 then round(.., 2)
+        # is NOT bit-identical between Spark (BigDecimal HALF_UP) and
+        # DuckDB (libm) on some values; addition of an exact constant is.
+        F.when(
+            F.col("o_orderkey") % UPDATE_MOD == 0,
+            F.col("o_totalprice") + F.lit(1000.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_totalprice"),
+    )
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_totalprice").isNull(), F.lit("insert"))
+        .when(F.col("new_totalprice").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.filter(
+            F.col("old_totalprice").isNull()
+            | F.col("new_totalprice").isNull()
+            | (F.col("old_totalprice") != F.col("new_totalprice"))
+        )
+        .select(
+            "o_orderkey",
+            change.alias("change_type"),
+            "old_totalprice",
+            "new_totalprice",
+        )
+    )

@@ -149,3 +149,105 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") >= PART_OFFSET).alias("is_part"),
         F.round("rank", RANK_DP).alias("rank"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    sql="""
+    WITH pp AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ), tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pp e1
+        JOIN pp e2 ON e2.a = e1.b
+        JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), vx AS (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT v AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM vx GROUP BY v
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Exact per-vertex triangle counts on the part co-purchase "
+        "graph via DEGREE ORIENTATION (compact-forward): each "
+        "undirected edge is oriented low-(degree,id) -> high, wedges "
+        "are enumerated only between a vertex's OUT-neighbors (out-"
+        "degree is bounded by ~sqrt(2E) under this orientation, so "
+        "wedge count is O(E^1.5) instead of sum-of-deg^2), then closed "
+        "with one edge-keyed join. The oracle enumerates naively by "
+        "a<b<c — same triangle set, hash-identical counts. All joins "
+        "are edge-keyed shuffles; the degree table is vertex-sized "
+        "(broadcastable); no driver-side adjacency."
+    ),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts in the co-purchase graph
+    (parts are adjacent when they appear in the same order)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("b"),
+    )
+    edges = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("b")),
+        )
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # Orient low (deg, id) -> high (deg, id); ties broken by id, and
+    # a != b always, so the orientation is total and acyclic.
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "deg_dst"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    o1 = oriented.select(
+        F.col("src").alias("ctr"), F.col("dst").alias("n1"),
+        F.col("deg_dst").alias("d1"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("ctr"), F.col("dst").alias("n2"),
+        F.col("deg_dst").alias("d2"),
+    )
+    # Out-neighbor pairs ordered by the same (deg, id) key, so each
+    # wedge (n1, n2) matches the oriented closing edge n1 -> n2.
+    wedges = o1.join(o2, "ctr").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("n1") < F.col("n2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("n1"), F.col("dst").alias("n2")
+    )
+    tri = wedges.join(closing, ["n1", "n2"]).select("ctr", "n1", "n2")
+    vx = tri.select(
+        F.explode(F.array("ctr", "n1", "n2")).alias("p_partkey")
+    )
+    out = vx.groupBy("p_partkey").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    return out

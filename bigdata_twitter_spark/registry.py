@@ -130,6 +130,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import audio  # noqa: F401  (new this round)
     from .sources import binaryfiles  # noqa: F401  (new this round)
 
+    # Round-4 additions (queue behind the 50-key window; first driver
+    # row lands in the round-5 rotation).
+    from .text import quality_rules  # noqa: F401  (round 4)
+    from .llm import incremental, knngraph, sharding  # noqa: F401  (round 4)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401

