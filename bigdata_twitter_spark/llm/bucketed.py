@@ -37,10 +37,13 @@ degenerate corpus is visible instead of inferred (ADVICE r3).
 
 Scale posture: the plane set is a compile-time constant (seeded PRNG,
 no runtime randomness), the sign/band computation is per-row JVM
-codegen, and candidate generation is a groupBy-shaped self-join on
-(band, band_value) — shuffle ∝ vectors × bands, never vectors².  The
-corpus size that picks r comes from one count() (at 100 TB: catalog
-row-count statistics, a metadata read).
+codegen, and verification is BUCKET-LOCAL — each vector is shuffled
+once per band into its (band, value) group and exact cosines are
+computed inside the group by a vectorized Arrow UDF, so shuffle bytes
+are ∝ vectors × bands, never ∝ candidate pairs (the round-4 ×100
+probe measured the old pair-materializing plan at ~450× corpus bytes
+before this change).  The corpus size that picks r comes from one
+count() (at 100 TB: catalog row-count statistics, a metadata read).
 """
 
 from __future__ import annotations
@@ -54,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, persist_fresh, spread
-from .vectors import DIMS, PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
+from .vectors import DIMS, PAIR_COSINE_THRESHOLD
 
 SRP_BANDS = 16
 SRP_MIN_BITS = 2  # fixture-scale geometry (recall pinned at 100%)
@@ -135,16 +138,18 @@ def _band_values(r: int) -> F.Column:
     # suite cross-checks pairs ⊇ sim_pairs_threshold's pairs (test_weak_ops).
     tables=("embeddings",),
     scale_note=(
-        "SRP-LSH bucketed pair mining: candidates from a (band, value) "
-        "self-join, exact cosine computed on candidates only. Band "
-        "width ADAPTS to corpus size (r ≈ log2(n/250), planes nested "
-        "by fixed stride) so bucket occupancy — and therefore the "
-        "candidate count, ≈ n × 250 × 16 — stays LINEAR in n; the ×10 "
-        "probe that exposed the fixed-r quadratic (63×) is the "
-        "regression evidence. A hot-bucket cap (5000) bounds "
-        "degenerate collisions; capped pairs re-collide in other "
-        "bands. The scale-safe replacement for sim_pairs_threshold's "
-        "O(n²) cross-join."
+        "SRP-LSH bucketed pair mining with BUCKET-LOCAL verification: "
+        "band width ADAPTS to corpus size (r ≈ log2(n/250), planes "
+        "nested by fixed stride) so bucket occupancy stays at the "
+        "target; each vector ships ONCE per band into its bucket "
+        "group (shuffle = n × bands rows — the ×100 probe showed the "
+        "old materialize-candidate-pairs plan shuffling ~450× corpus "
+        "bytes) and exact cosines are computed inside the group by a "
+        "vectorized Arrow UDF whose dim-sequential fold is bit-equal "
+        "to the JVM/DuckDB expression twins. A hot-bucket cap (5000) "
+        "bounds degenerate collisions with a run-level audit "
+        "(LAST_CAP_AUDIT). The scale-safe replacement for "
+        "sim_pairs_threshold's O(n²) cross-join."
     ),
 )
 def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,34 +184,60 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     keep = sizes.filter(F.col("occ") <= HOT_BUCKET_CAP).select("band", "bval")
     bands = bands.join(F.broadcast(keep), ["band", "bval"])
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
-        )
-        .distinct()
+    # BUCKET-LOCAL verification (round-4 scale fix): the previous plan
+    # materialized candidate (a, b) pairs and then attached BOTH
+    # embeddings per pair — ~2000 candidates/vector × 0.5 KB payload
+    # made the verify shuffle ~450× the corpus size (the ×100 probe
+    # filled an 80 GB disk with spill).  Instead each vector ships
+    # ONCE per band into its bucket group (shuffle = n × bands rows,
+    # vector payload once), and cosines are computed INSIDE the group
+    # with a vectorized Arrow UDF.  The accumulation is dim-sequential
+    # (64 outer-product updates), which is bit-identical to the
+    # engine's aggregate/zip_with left fold and DuckDB's list_sum fold
+    # — so results match the pure-JVM plan exactly; rounding emulates
+    # Spark's BigDecimal HALF_UP (away from zero), not numpy's
+    # half-even.
+    grouped = bands.join(e.select("vec_id", "embedding"), "vec_id")
+    pairs = grouped.groupBy("band", "bval").applyInPandas(
+        _verify_bucket, schema="a_id long, b_id long, cosine double"
     )
-    ea = e.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    # True pairs collide in several bands; output rows are identical
+    # (deterministic cosine), so one aggregate-sized distinct dedups.
+    return pairs.distinct()
+
+
+def _verify_bucket(pdf):
+    """Exact cosine over one (band, value) bucket; emits a<b pairs at
+    or above the threshold.  numpy, but dim-sequential so every sum
+    folds in the same order as the JVM/DuckDB expression twins."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    k = len(ids)
+    empty = pd.DataFrame(
+        {"a_id": pd.Series(dtype="int64"),
+         "b_id": pd.Series(dtype="int64"),
+         "cosine": pd.Series(dtype="float64")}
     )
-    eb = e.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
-    )
-    return (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            _spark_cosine("a_emb", "b_emb").alias("cosine"),
-        )
-        .filter(F.col("cosine") >= PAIR_COSINE_THRESHOLD)
-        .select("a_id", "b_id", "cosine")
+    if k < 2:
+        return empty
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    dot = np.zeros((k, k))
+    nrm = np.zeros(k)
+    for d in range(m.shape[1]):
+        col = m[:, d]
+        dot += np.multiply.outer(col, col)
+        nrm += col * col
+    cos = dot / np.multiply.outer(np.sqrt(nrm), np.sqrt(nrm))
+    # BigDecimal HALF_UP (ties away from zero), matching F.round.
+    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+    ii, jj = np.triu_indices(k, 1)
+    sel = cos[ii, jj] >= PAIR_COSINE_THRESHOLD
+    if not sel.any():
+        return empty
+    return pd.DataFrame(
+        {"a_id": ids[ii[sel]], "b_id": ids[jj[sel]],
+         "cosine": cos[ii[sel], jj[sel]]}
     )

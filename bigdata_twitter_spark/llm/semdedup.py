@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, persist_fresh
-from .vectors import PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
 
 
 @query(
@@ -34,18 +33,21 @@ from .vectors import PAIR_COSINE_THRESHOLD, spark_cosine as _spark_cosine
         "candidates ≈ n × target, linear — same argument as the LSH "
         "band-width adaptation in bucketed.py, but with LEARNED "
         "buckets that put paraphrases together far more often than "
-        "random hyperplanes). One cluster-keyed self-join shuffle, "
-        "exact cosine on candidates only, one groupBy for the "
-        "keep-first rule. The centroids come from the shared "
-        "cluster_kmeans_lloyd model pass."
+        "random hyperplanes). Verification is CLUSTER-LOCAL: each "
+        "vector ships once into its cluster group and exact cosines "
+        "are computed inside the group by the shared vectorized Arrow "
+        "UDF (bucketed.py) — shuffle ∝ n, never ∝ pairs × vector "
+        "payload. One groupBy for the keep-first rule; centroids come "
+        "from the shared cluster_kmeans_lloyd model pass."
     ),
 )
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEEP/DROP per embedding under cosine ≥ 0.4 within its k-means
     cluster, deterministic keep-first (min vec_id) rule; returns
     (vec_id, cluster, n_sem_dups, is_kept)."""
-    # Lazily imported so this module never re-anchors the k-means
-    # registry position.
+    # Lazily imported so this module never re-anchors the k-means /
+    # bucketed-LSH registry positions.
+    from .bucketed import _verify_bucket
     from .kmeans import cluster_kmeans_lloyd
 
     assign = persist_fresh(
@@ -54,22 +56,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster"),
     )
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    av = assign.alias("a")
-    bv = assign.alias("b")
-    cand = av.join(
-        bv,
-        (F.col("a.cluster") == F.col("b.cluster"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id")
-    )
-    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
-    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    # CLUSTER-LOCAL verification (round-4, same fix as bucketed.py):
+    # each vector ships once into its cluster group and cosines are
+    # computed inside the group — shuffle ∝ n, never ∝ candidate
+    # pairs with vector payloads attached per pair.
     pairs = (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
-        .filter(
-            _spark_cosine("a_emb", "b_emb") >= PAIR_COSINE_THRESHOLD
+        assign.join(emb, "vec_id")
+        .groupBy("cluster")
+        .applyInPandas(
+            _verify_bucket, schema="a_id long, b_id long, cosine double"
         )
         .select("a_id", "b_id")
     )

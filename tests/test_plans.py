@@ -137,3 +137,19 @@ def test_semantic_dedup_join_is_cluster_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
     assert "CartesianProduct" not in plan, plan
     assert "cluster" in plan, plan
+
+
+def test_lsh_verification_is_bucket_local(spark, sf_dir):
+    """sim_pairs_bucketed must verify INSIDE bucket groups (Arrow UDF
+    over groupBy band/bval) — never materialize candidate pairs and
+    join vector payloads onto them (the x100-probe disk-filler)."""
+    plan = _plan(spark, sf_dir, "sim_pairs_bucketed")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # The only joins allowed are the broadcast keep-filter and the
+    # vector attach — no pair-level self-join survives in the plan.
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_verification_is_cluster_local(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
+    assert "FlatMapGroupsInPandas" in plan, plan
