@@ -1,0 +1,171 @@
+"""ANN recall evaluation (SURVEY.md §2.N, round 4): measure
+recall@K of the IVF-probed search against exact brute force, per
+query — the acceptance gate every production ANN deployment runs
+before (and continuously while) trusting approximate search.
+
+Both sides are deterministic (rounded cosines, vec_id/clabel
+tiebreaks), so the WHOLE evaluation — exact top-K, IVF-restricted
+top-K, and the per-query hit counts — is restated in the DuckDB
+oracle: an ANN *quality metric* that is itself hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .ivf import _CENTROID_SQL, IVF_PROBES
+from .vectors import duck_cosine, spark_cosine
+
+EVAL_K = 10
+QUERY_MOD = 50  # vec_id % 50 == 0 -> the held-out query probe set
+
+
+@query(
+    "ann_recall_eval",
+    sql=f"""
+    WITH {_CENTROID_SQL},
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {duck_cosine('e.embedding', 'q.qv')} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid
+        ) WHERE rn <= {EVAL_K}
+    ),
+    assign AS (
+        SELECT vec_id, clabel FROM (
+            SELECT e.vec_id, cl.clabel,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine('e.embedding', 'cl.cvec')} DESC,
+                                cl.clabel) AS rnk
+            FROM embeddings e, cl
+        ) WHERE rnk = 1
+    ),
+    probes AS (
+        SELECT qid, clabel FROM (
+            SELECT q.qid, cl.clabel,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {duck_cosine('q.qv', 'cl.cvec')} DESC,
+                                cl.clabel) AS rnk
+            FROM q, cl
+        ) WHERE rnk <= {IVF_PROBES}
+    ),
+    ivf AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {duck_cosine('e.embedding', 'q.qv')} DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probes p ON p.clabel = a.clabel
+            JOIN q ON p.qid = q.qid AND e.vec_id <> q.qid
+        ) WHERE rn <= {EVAL_K}
+    )
+    SELECT exact.qid AS query_id,
+           CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(ivf.vec_id) AS DOUBLE) / {EVAL_K}, 6) AS recall
+    FROM exact
+    LEFT JOIN ivf ON exact.qid = ivf.qid AND exact.vec_id = ivf.vec_id
+    GROUP BY exact.qid
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Recall@10 of IVF-probed ANN vs exact ground truth, per "
+        "query: the query set is a broadcast-sized hash sample, the "
+        "exact side is ONE corpus scan scoring all queries map-side "
+        "(queries × corpus, queries small by construction), the IVF "
+        "side touches only probed buckets, and the hit count is a "
+        "(query, neighbor)-keyed join of two K-row-per-query sets. "
+        "At 100 TB this runs on a sampled query set exactly as here — "
+        "recall estimation never needs every vector as a query."
+    ),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of 2-probe IVF search vs exact brute force."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    w_q = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    exact = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", spark_cosine("embedding", "qv").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("qid", "vec_id")
+    )
+    # Per-label centroids (IVF codebook) — tiny, broadcast.
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy("clabel").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda x: x["cv"],
+        ).alias("cvec")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("clabel")
+    )
+    assign = (
+        e.join(F.broadcast(cvec))
+        .select("vec_id", "clabel",
+                spark_cosine("embedding", "cvec").alias("c_cos"))
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "clabel")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("q_cos").desc(), F.col("clabel")
+    )
+    probes = (
+        q.join(F.broadcast(cvec))
+        .select("qid", "clabel", spark_cosine("qv", "cvec").alias("q_cos"))
+        .withColumn("rnk", F.row_number().over(w_probe))
+        .filter(F.col("rnk") <= IVF_PROBES)
+        .select("qid", "clabel")
+    )
+    ivf = (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(probes), "clabel")
+        .join(F.broadcast(q.select("qid", "qv")), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", spark_cosine("embedding", "qv").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= EVAL_K)
+        .select(
+            F.col("qid").alias("ivf_qid"), F.col("vec_id").alias("ivf_vec")
+        )
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("qid") == F.col("ivf_qid"))
+            & (F.col("vec_id") == F.col("ivf_vec")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("ivf_vec").cast("bigint").alias("n_hits"),
+            F.round(F.count("ivf_vec").cast("double") / EVAL_K, 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -447,3 +447,63 @@ def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", ord_max).alias("argmin_event_id"),
         F.min("value").alias("min_value"),
     )
+
+
+@query(
+    "agg_q3_shipping",
+    sql="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tables=("customer", "orders", "lineitem"),
+    scale_note=(
+        "TPC-H-Q3-shaped shipping-priority composite: both dimension-"
+        "side filters (mktsegment, orderdate) cut BEFORE any join; "
+        "only the filtered customer KEYS are broadcast (orders takes "
+        "a map-side broadcast join, never a shuffle for the dim); "
+        "orders⋈lineitem shuffles once on the shared orderkey; the "
+        "final top-10 is TakeOrderedAndProject (per-partition heaps, "
+        "no global sort). Revenue accumulates in exact DECIMAL so the "
+        "two-phase agg parallelizes without float-order drift."
+    ),
+)
+def agg_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped BUILDING-segment orders by revenue as of
+    1998-01-01 (TPC-H Q3 shape on the fixture schema)."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    # Broadcast ONLY the filtered customer keys into orders (map-side
+    # semi-reduction); the single real shuffle is orders⋈lineitem on
+    # their shared orderkey.
+    oc = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    return (
+        l.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

@@ -134,6 +134,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     # row lands in the round-5 rotation).
     from .text import quality_rules  # noqa: F401  (round 4)
     from .llm import incremental, knngraph, sharding  # noqa: F401  (round 4)
+    from .llm import recall  # noqa: F401  (round 4)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

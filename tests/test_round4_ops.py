@@ -250,3 +250,77 @@ def test_embed_dim_stats_vs_numpy(specs, spark, sf_dir, emb_pdf):
     np.testing.assert_allclose(out["std"], m.std(axis=0, ddof=1), atol=2e-6)
     np.testing.assert_allclose(out.min_v, m.min(axis=0), atol=2e-6)
     np.testing.assert_allclose(out.max_v, m.max(axis=0), atol=2e-6)
+
+
+def test_q3_shipping_vs_pandas(specs, spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    cut = pd.Timestamp("1998-01-01")
+    keep_orders = o[
+        (o.o_orderdate < cut)
+        & o.o_custkey.isin(c[c.c_mktsegment == "BUILDING"].c_custkey)
+    ]
+    rows = li[(li.l_shipdate > cut) & li.l_orderkey.isin(keep_orders.o_orderkey)]
+    rows = rows.assign(
+        rev=(rows.l_extendedprice.round(2) * (1 - rows.l_discount).round(2))
+    )
+    agg = (
+        rows.groupby("l_orderkey").rev.sum().round(2)
+        .sort_values(ascending=False)
+    )
+    want = agg.head(10)
+    out = specs["agg_q3_shipping"].fn(spark, sf_dir).toPandas()
+    assert len(out) == min(10, len(agg))
+    got = dict(zip(out.l_orderkey, out.revenue))
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=0.02), k
+    # Every emitted order must belong to the filtered BUILDING set.
+    assert set(out.l_orderkey) <= set(keep_orders.o_orderkey)
+
+
+def test_ann_recall_eval_vs_numpy(specs, spark, sf_dir, emb_pdf):
+    out = specs["ann_recall_eval"].fn(spark, sf_dir).toPandas()
+    m = np.array(emb_pdf.embedding.tolist(), dtype=np.float64)
+    ids = emb_pdf.vec_id.to_numpy()
+    labels = emb_pdf.label.to_numpy()
+    norms = np.linalg.norm(m, axis=1)
+    unit = m / norms[:, None]
+
+    # IVF codebook: per-label mean (rounded 6dp, like the operator).
+    clabels = sorted(set(labels))
+    cents = np.array(
+        [np.round(m[labels == cl].mean(axis=0), 6) for cl in clabels]
+    )
+    cunit = cents / np.linalg.norm(cents, axis=1)[:, None]
+    assign_sim = np.round(unit @ cunit.T, 6)
+    # argmax with smallest-clabel tiebreak == plain argmax on ties-first.
+    assign = np.array([clabels[int(r.argmax())] for r in assign_sim])
+
+    qmask = ids % 50 == 0
+    expect = {}
+    for qi in np.where(qmask)[0]:
+        sims = np.round(unit @ unit[qi], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if i != qi),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        exact = {ids[i] for i in order[:10]}
+        qsim = np.round(cunit @ unit[qi], 6)
+        probe_order = sorted(
+            range(len(clabels)), key=lambda j: (-qsim[j], clabels[j])
+        )
+        probed = {clabels[j] for j in probe_order[:2]}
+        cand = [
+            i for i in range(len(ids))
+            if i != qi and assign[i] in probed
+        ]
+        cand.sort(key=lambda i: (-sims[i], ids[i]))
+        ivf = {ids[i] for i in cand[:10]}
+        expect[ids[qi]] = len(exact & ivf)
+    got = dict(zip(out.query_id, out.n_hits))
+    assert got == expect
+    assert (out.recall == out.n_hits / 10).all()
+    # The evaluation must be non-degenerate: some recall lost and some
+    # retained across the query set.
+    assert out.recall.max() > 0
