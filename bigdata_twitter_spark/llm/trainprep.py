@@ -1,0 +1,182 @@
+"""End-to-end training-data preparation pipeline (SURVEY.md §2.N,
+round 4): the flagship composite that chains the curation family —
+Gopher quality gate → repetition cut → corpus-LM perplexity filter →
+source-mixture sampling → exact dedup → deterministic shuffle-shard —
+into ONE Catalyst plan, ending in per-shard document/token accounting.
+
+This is the "switch your pipeline to this engine" demonstration: every
+stage is a registered operator reused AS the composition (the
+functions below call the same code the individual keys run), and the
+whole chain is restated in a single DuckDB WITH-chain, so the
+composite is hash-verified end to end — filters, hashes, window
+tiebreaks, shard arithmetic and all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Corpus-calibrated cut points (sf0.01 quantiles: dup_bigram_frac p90
+# ≈ 0.065, avg_nll p95 ≈ 3.424): the repetition cut drops the most
+# repetitive ~10-15%, the perplexity cut the most surprising ~5%.
+REP_MAX_DUP = 0.06
+NLL_MAX = 3.42
+N_SHARDS = 16
+
+
+@query(
+    "train_pipeline_e2e",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, source, lower(text) AS ltext,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id, source, ltext,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               round(CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS mwl,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) AS dr,
+               len(list_filter(toks, x -> x IN ('the', 'a'))) AS sw
+        FROM t
+    ), g AS (
+        SELECT doc_id, source, ltext, n_words FROM m
+        WHERE n_words BETWEEN 20 AND 80 AND mwl BETWEEN 2.0 AND 8.0
+          AND dr >= 0.25 AND sw >= 1
+    ), gr AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1])) AS gram
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ), grc AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM gr GROUP BY 1, 2
+    ), rep AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   round(CAST(SUM(cnt - 1) AS DOUBLE) / SUM(cnt), 6) AS dup
+            FROM grc GROUP BY doc_id
+        ) WHERE dup <= {REP_MAX_DUP}
+    ), tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ), cnt AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk
+    ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt
+    ), lp AS (
+        SELECT tk, round(-ln(CAST(c + 1 AS DOUBLE) / (n + v)), 8) AS nll
+        FROM cnt, tot
+    ), px AS (
+        SELECT doc_id FROM (
+            SELECT tok.doc_id, round(AVG(nll), 6) AS a
+            FROM tok JOIN lp USING (tk) GROUP BY tok.doc_id
+        ) WHERE a <= {NLL_MAX}
+    ), mix AS (
+        SELECT g.doc_id, g.ltext, g.n_words
+        FROM g JOIN rep USING (doc_id) JOIN px USING (doc_id)
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                   AS INT)
+              < CASE WHEN CAST(substr(source, 4) AS INT) <= 4 THEN 16
+                     WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 8
+                     ELSE 4 END
+    ), ded AS (
+        SELECT doc_id, n_words FROM (
+            SELECT doc_id, n_words,
+                   row_number() OVER (
+                       PARTITION BY md5(ltext) ORDER BY doc_id) AS rn
+            FROM mix
+        ) WHERE rn = 1
+    ), rk AS (
+        SELECT n_words,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS BIGINT)
+                   AS r
+        FROM ded
+    )
+    SELECT CAST(r % {N_SHARDS} AS INT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens
+    FROM rk GROUP BY 1
+    """,
+    tables=("documents",),
+    scale_note=(
+        "The whole curation chain is ONE Catalyst plan: three per-doc "
+        "signal tables (gopher = map-only codegen; repetition = one "
+        "(doc, gram) partial-agg shuffle; perplexity = vocab-sized "
+        "model broadcast back onto tokens) inner-joined on doc_id, a "
+        "map-side mixture filter, one content-hash window for exact "
+        "dedup, and the distributed md5-rank for sharding. Selectivity "
+        "compounds stage over stage, so the expensive later stages see "
+        "only survivors; no stage materializes to disk between steps. "
+        "At 100 TB each signal table is doc-keyed and co-shuffles on "
+        "doc_id — AQE coalesces the three joins into one exchange "
+        "reuse; the final accounting output is shard-count-sized."
+    ),
+)
+def train_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality → repetition → perplexity → mixture → dedup → shard:
+    per-shard (n_docs, n_tokens) accounting of the surviving corpus."""
+    # Compose the REGISTERED stage operators (lazy imports keep
+    # registry anchoring in load_all_operators' hands).
+    from .sharding import _md5_global_rank
+    from ..text.quality_rules import (
+        text_gopher_quality,
+        text_perplexity_unigram,
+        text_repetition_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    g = (
+        text_gopher_quality(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words")
+    )
+    rep = (
+        text_repetition_stats(spark, sf_dir)
+        .filter(F.col("dup_bigram_frac") <= REP_MAX_DUP)
+        .select("doc_id")
+    )
+    px = (
+        text_perplexity_unigram(spark, sf_dir)
+        .filter(F.col("avg_nll") <= NLL_MAX)
+        .select("doc_id")
+    )
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num <= 4, F.lit(16))
+        .when(src_num <= 9, F.lit(8))
+        .otherwise(F.lit(4))
+    )
+    mix = (
+        d.select("doc_id", "source", F.lower("text").alias("ltext"))
+        .join(g, "doc_id")
+        .join(rep, "doc_id")
+        .join(px, "doc_id")
+        .filter(nib < rate)
+    )
+    w_dedup = Window.partitionBy(F.md5("ltext")).orderBy("doc_id")
+    ded = (
+        mix.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_words")
+    )
+    ranked = _md5_global_rank(ded, "doc_id").join(ded, "doc_id")
+    return (
+        ranked.groupBy(
+            (F.col("rk") % N_SHARDS).cast("int").alias("shard_id")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_tokens"),
+        )
+    )

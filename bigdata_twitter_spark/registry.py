@@ -135,6 +135,8 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .text import quality_rules  # noqa: F401  (round 4)
     from .llm import incremental, knngraph, sharding  # noqa: F401  (round 4)
     from .llm import recall  # noqa: F401  (round 4)
+    from .sources import versioned  # noqa: F401  (round 4)
+    from .llm import trainprep  # noqa: F401  (round 4)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

@@ -324,3 +324,64 @@ def test_ann_recall_eval_vs_numpy(specs, spark, sf_dir, emb_pdf):
     # The evaluation must be non-degenerate: some recall lost and some
     # retained across the query set.
     assert out.recall.max() > 0
+
+
+def test_time_travel_commits_and_isolation(specs, spark, sf_dir):
+    import json
+    import os
+    import tempfile
+
+    out = (
+        specs["table_time_travel"].fn(spark, sf_dir).toPandas()
+        .set_index("version")
+    )
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # Merge-on-read resolves to exactly one row per key in BOTH versions.
+    assert out.loc[0].n_rows == n and out.loc[1].n_rows == n
+    assert out.loc[0].n_from_delta == 0
+    assert out.loc[1].n_from_delta == (n + 3) // 4  # event_id % 4 == 0
+    # v1's resolved sum moved by exactly BUMP per corrected row.
+    assert out.loc[1].sum_value - out.loc[0].sum_value == pytest.approx(
+        50.0 * out.loc[1].n_from_delta, abs=1e-6
+    )
+    # Commit cost is O(delta): the delta commit wrote only the
+    # corrected rows; the base files were not rewritten.
+    root = os.path.join(
+        tempfile.gettempdir(), "bdt_spark_versioned", "events_mor"
+    )
+    assert spark.read.parquet(os.path.join(root, "delta1")).count() == (
+        out.loc[1].n_from_delta
+    )
+    with open(os.path.join(root, "_manifests", "v0.json")) as fh:
+        assert json.load(fh)["files"] == ["base"]
+    with open(os.path.join(root, "_manifests", "v1.json")) as fh:
+        assert json.load(fh)["files"] == ["base", "delta1"]
+
+
+def test_train_pipeline_composes_stage_operators(specs, spark, sf_dir, docs_pdf):
+    """The composite must equal the composition of its REGISTERED
+    stage operators applied in sequence."""
+    import hashlib
+
+    out = specs["train_pipeline_e2e"].fn(spark, sf_dir).toPandas()
+    g = specs["text_gopher_quality"].fn(spark, sf_dir).toPandas()
+    rep = specs["text_repetition_stats"].fn(spark, sf_dir).toPandas()
+    px = specs["text_perplexity_unigram"].fn(spark, sf_dir).toPandas()
+    mix = specs["data_mixture_sample"].fn(spark, sf_dir).toPandas()
+    keep = (
+        set(g[g.keep].doc_id)
+        & set(rep[rep.dup_bigram_frac <= 0.06].doc_id)
+        & set(px[px.avg_nll <= 3.42].doc_id)
+        & set(mix.doc_id)
+    )
+    texts = dict(zip(docs_pdf.doc_id, docs_pdf.text))
+    best: dict[str, int] = {}
+    for d in sorted(keep):
+        h = hashlib.md5(texts[d].lower().encode()).hexdigest()
+        best.setdefault(h, d)
+    survivors = set(best.values())
+    assert out.n_docs.sum() == len(survivors)
+    words = dict(zip(g.doc_id, g.n_words))
+    assert out.n_tokens.sum() == sum(words[d] for d in survivors)
+    # Round-robin sharding balances within one document.
+    assert out.n_docs.max() - out.n_docs.min() <= 1
