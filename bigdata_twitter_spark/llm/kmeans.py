@@ -136,7 +136,7 @@ def _flat_lloyd(
     return centroids
 
 
-def _kmeans_oracle_sql() -> str:
+def _kmeans_chain() -> str:
     """Unrolled ITERS-step DuckDB Lloyd — the flat regime written out
     (VERDICT r3 #5): init = first K by vec_id, per-iteration argmin
     with the (dist, cid) tiebreak, per-cluster per-dimension mean with
@@ -190,16 +190,34 @@ def _kmeans_oracle_sql() -> str:
         FROM {prev} o LEFT JOIN m{it} n ON o.cid = n.cid
     )"""
         prev = f"c{it}"
-    sql += f"""
-    SELECT vec_id, CAST(cid AS INT) AS cluster, round(d, 6) AS dist6
-    FROM (
-        SELECT p.vec_id, c.cid, {dist} AS d,
-               row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY {dist}, c.cid) AS rn
-        FROM p CROSS JOIN {prev} c
-    ) WHERE rn = 1
-    """
+    sql += f""",
+    fa AS (
+        SELECT vec_id, e, cid, round(d, 6) AS dist6
+        FROM (
+            SELECT p.vec_id, p.e, c.cid, {dist} AS d,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM p CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    )"""
     return sql
+
+
+def kmeans_assign_cte() -> str:
+    """The full WITH-chain above, ending in CTE ``fa(vec_id, e, cid,
+    dist6)`` — the final assignment table.  Shared by the k-means
+    oracle below and dedup_semantic_cluster's oracle (llm/semdedup.py),
+    so both keys verify against the SAME unrolled fixed point."""
+    return _kmeans_chain()
+
+
+def _kmeans_oracle_sql() -> str:
+    return (
+        _kmeans_chain()
+        + """
+    SELECT vec_id, CAST(cid AS INT) AS cluster, dist6 FROM fa
+    """
+    )
 
 
 @query(

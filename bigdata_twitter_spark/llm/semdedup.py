@@ -18,13 +18,45 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, persist_fresh
+from .kmeans import kmeans_assign_cte
+from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
+
+
+def _semdedup_oracle_sql() -> str:
+    """Hash-grade oracle (round 4, was rows-only): reuse the k-means
+    oracle's unrolled fixed-point CTE chain (llm/kmeans.py — the two
+    keys verify against the SAME assignment), then restate the
+    in-cluster pair mining and keep-first rule.  Flat-regime valid,
+    which covers every driver/parity scale; the numpy full-pipeline
+    pin in tests/test_weak_ops.py still covers the two-tier regime."""
+    return (
+        kmeans_assign_cte()
+        + f""",
+    pr AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM fa a JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {duck_cosine('a.e', 'b.e')} >= {PAIR_COSINE_THRESHOLD}
+    ),
+    sym AS (
+        SELECT a_id AS vec_id, b_id AS nb FROM pr
+        UNION ALL
+        SELECT b_id AS vec_id, a_id AS nb FROM pr
+    ),
+    ng AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n, MIN(nb) AS mn
+        FROM sym GROUP BY vec_id
+    )
+    SELECT fa.vec_id, CAST(fa.cid AS INT) AS cluster,
+           CAST(COALESCE(ng.n, 0) AS BIGINT) AS n_sem_dups,
+           (ng.mn IS NULL OR ng.mn > fa.vec_id) AS is_kept
+    FROM fa LEFT JOIN ng ON fa.vec_id = ng.vec_id
+    """
+    )
 
 
 @query(
     "dedup_semantic_cluster",
-    sql=None,  # depends on the iterative k-means fixed point — not
-    # SQL-expressible; tests/test_weak_ops.py re-runs the identical
-    # algorithm (numpy Lloyd + in-cluster pairs) and pins equality.
+    sql=_semdedup_oracle_sql(),
     tables=("embeddings",),
     scale_note=(
         "SemDeDup shape: pair search bounded to k-means cluster "

@@ -297,7 +297,7 @@ def test_ann_recall_eval_vs_numpy(specs, spark, sf_dir, emb_pdf):
     # argmax with smallest-clabel tiebreak == plain argmax on ties-first.
     assign = np.array([clabels[int(r.argmax())] for r in assign_sim])
 
-    qmask = ids % 50 == 0
+    qmask = (ids % 50 == 0) & (ids < 2000)
     expect = {}
     for qi in np.where(qmask)[0]:
         sims = np.round(unit @ unit[qi], 6)
