@@ -53,6 +53,20 @@ HEADLINE_STREAMING = [
     "stream_topk_per_window",
 ]
 
+# LLM-pipeline keys (added r4): the bucketed-LSH / semantic-dedup /
+# curation-composite family got its scale machinery rewritten this
+# round (bucket-local Arrow verification); timing them under separate
+# JSON keys makes regressions in that family visible without touching
+# the batch total's comparability with the r01-r03 bar.  Timed once
+# each (these are the heavyweight multi-stage plans; the batch set
+# keeps the best-of-3 treatment).
+HEADLINE_LLM = [
+    "sim_pairs_bucketed",
+    "dedup_embedding",
+    "dedup_semantic_cluster",
+    "train_pipeline_e2e",
+]
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -94,6 +108,12 @@ def main() -> None:
         materialize(specs[key].fn(spark, sf_dir))
         stream_timings[key] = round(time.perf_counter() - t0, 4)
 
+    llm_timings: dict[str, float] = {}
+    for key in (k for k in HEADLINE_LLM if k in specs):
+        t0 = time.perf_counter()
+        materialize(specs[key].fn(spark, sf_dir))
+        llm_timings[key] = round(time.perf_counter() - t0, 4)
+
     print(
         json.dumps(
             {
@@ -106,6 +126,8 @@ def main() -> None:
                 "queries_median_of_3": medians,
                 "queries_streaming": stream_timings,
                 "value_streaming": round(sum(stream_timings.values()), 4),
+                "queries_llm": llm_timings,
+                "value_llm": round(sum(llm_timings.values()), 4),
             }
         )
     )
