@@ -32,25 +32,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver evaluates exactly the first 50 ``queries()`` keys per round
 # (rounds 1-3 all cut at key #50 in registration order).  This is the
-# round-4 window: the 12 keys added mid-round-3 that have NEVER been in
-# a driver check window lead (10 oracle-SQL-backed, 2 rows-only by
-# declared numpy-pin contract), which converts 139/151 driver-verified
-# into 151/151.  The remaining 38 slots hold the oldest-verified cohort
-# — keys whose only driver row is round 1 — so every key's most recent
-# driver check is at most two rounds old.  Left out (still r1-verified):
-# agg_approx_count_distinct + dedup_simhash (rows-only by contract, a
-# re-check re-records the same weak grade) and multimodal_decode_stub
-# (deterministic stub).  Operators ADDED during round 4 queue behind
-# key #50 and get their first driver row in the round-5 window.
+# round-4 window: EVERY key with no driver CORRECTNESS row in any round
+# leads — the 12 added mid-round-3 plus the 15 added in round 4 (26 of
+# the 27 oracle-SQL-backed; cluster_kmeans_lloyd and
+# dedup_semantic_cluster were promoted to hash-grade CTE oracles this
+# round) — so after this round's check every registry key has at least
+# one driver row.  The remaining 23 slots hold the oldest-verified
+# cohort (keys whose only driver row is round 1).  Left out (still
+# r1-verified): the rest of the r1 cohort, agg_approx_count_distinct +
+# dedup_simhash (rows-only by contract, a re-check re-records the same
+# weak grade) and multimodal_decode_stub (deterministic stub).
 _R4_WINDOW = (
-    # -- 12 keys with no driver CORRECTNESS row in any round --
+    # -- 12 keys added mid-round-3, never driver-checked --
     "agg_argmax_minby", "agg_unpivot_melt", "join_asof_tolerance",
     "scan_orc", "pack_token_budget", "text_contamination_overlap",
     "text_boilerplate_ngrams", "text_pii_scrub",
     "sample_negative_pairs", "embed_matryoshka_truncate",
-    # rows-only by declared numpy-pin contract:
     "cluster_kmeans_lloyd", "dedup_semantic_cluster",
-    # -- 38 keys whose only driver row is round 1 (second driver row) --
+    # -- 15 keys added in round 4, never driver-checked --
+    "stream_transform_with_state",
+    "text_gopher_quality", "text_repetition_stats",
+    "text_perplexity_unigram", "cdc_snapshot_diff",
+    "graph_triangle_count", "train_shuffle_shard",
+    "data_mixture_sample", "dedup_incremental_snapshot",
+    "knn_graph_topk", "embed_dim_stats", "agg_q3_shipping",
+    "ann_recall_eval", "table_time_travel", "train_pipeline_e2e",
+    # -- 23 keys whose only driver row is round 1 (second driver row) --
     "project_select", "filter_predicate", "filter_in_between_null",
     "filter_regex", "distinct_rows",
     "join_inner_equi", "join_outer_left", "join_outer_full",
@@ -59,12 +66,6 @@ _R4_WINDOW = (
     "agg_global", "agg_count_distinct", "agg_having", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "agg_pivot",
     "set_union_all", "set_union_distinct",
-    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
-    "fn_map",
-    "dedup_fuzzy_jaccard", "sim_knn_join", "sim_pairs_threshold",
-    "embed_centroid_per_label", "multimodal_bytes",
-    "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
-    "udtf_table_fn",
 )
 
 assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
