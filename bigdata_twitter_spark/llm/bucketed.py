@@ -210,6 +210,8 @@ def _verify_bucket(pdf):
     """Exact cosine over one (band, value) bucket; emits a<b pairs at
     or above the threshold.  numpy, but dim-sequential so every sum
     folds in the same order as the JVM/DuckDB expression twins."""
+    from decimal import Decimal, ROUND_HALF_UP
+
     import numpy as np
     import pandas as pd
 
@@ -231,13 +233,32 @@ def _verify_bucket(pdf):
         dot += np.multiply.outer(col, col)
         nrm += col * col
     cos = dot / np.multiply.outer(np.sqrt(nrm), np.sqrt(nrm))
-    # BigDecimal HALF_UP (ties away from zero), matching F.round.
-    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
     ii, jj = np.triu_indices(k, 1)
-    sel = cos[ii, jj] >= PAIR_COSINE_THRESHOLD
-    if not sel.any():
+    raw = cos[ii, jj]
+    # Rounding must EXACTLY match Spark's F.round on double —
+    # BigDecimal.valueOf(d) (shortest decimal repr) then setScale(6,
+    # HALF_UP).  Python's repr is the same shortest-repr algorithm and
+    # Decimal.quantize(HALF_UP) the same scaling, so the per-value loop
+    # below is bit-identical; no vectorized emulation is (floor(x*1e6
+    # + .5) diverges ~1 ulp from the shortest-repr path at x.xxxxx5
+    # boundaries).  A 1e-6 guard band bounds the loop to near-output
+    # size: values below τ − 1e-6 cannot round up to τ.
+    cand = raw >= PAIR_COSINE_THRESHOLD - 1e-6
+    if not cand.any():
+        return empty
+    q6 = Decimal("0.000001")
+    r6 = np.fromiter(
+        (
+            float(Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP))
+            for x in raw[cand]
+        ),
+        dtype=np.float64,
+        count=int(cand.sum()),
+    )
+    keep = r6 >= PAIR_COSINE_THRESHOLD
+    if not keep.any():
         return empty
     return pd.DataFrame(
-        {"a_id": ids[ii[sel]], "b_id": ids[jj[sel]],
-         "cosine": cos[ii[sel], jj[sel]]}
+        {"a_id": ids[ii[cand][keep]], "b_id": ids[jj[cand][keep]],
+         "cosine": r6[keep]}
     )

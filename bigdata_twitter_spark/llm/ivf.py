@@ -41,6 +41,44 @@ _CENTROID_SQL = f"""
 """
 
 
+def ivf_index(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF index builder: (cvec, assign).
+
+    ``cvec`` = per-label centroid vectors (rounded 6dp, broadcast-
+    sized codebook); ``assign`` = every vector's nearest-centroid
+    bucket with the (cosine desc, clabel) tiebreak.  ann_recall_eval
+    (llm/recall.py) evaluates THIS index — one definition, so a change
+    to centroid rounding / tiebreaks cannot desynchronize the recall
+    metric from the index sim_ivf_topk actually serves."""
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+    )
+    cvec = cent.groupBy("clabel").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda x: x["cv"],
+        ).alias("cvec")
+    )
+    # Assignment: nearest centroid per vector (sim_knn_join's rnk=1).
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("clabel")
+    )
+    assign = (
+        e.join(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            "clabel",
+            spark_cosine("embedding", "cvec").alias("c_cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "clabel")
+    )
+    return cvec, assign
+
+
 @query(
     "sim_ivf_topk",
     sql=f"""
@@ -89,32 +127,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 nearest vectors to the vec_id=0 query, searching only the
     2 nearest IVF (per-label centroid) buckets."""
     e = load(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
-    )
-    cvec = cent.groupBy("clabel").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
-            lambda x: x["cv"],
-        ).alias("cvec")
-    )
-    # Assignment: nearest centroid per vector (sim_knn_join's rnk=1).
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("clabel")
-    )
-    assign = (
-        e.join(F.broadcast(cvec))
-        .select(
-            "vec_id",
-            "clabel",
-            spark_cosine("embedding", "cvec").alias("c_cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "clabel")
-    )
+    cvec, assign = ivf_index(e)
     # Probe list: the query's IVF_PROBES nearest centroids.
     q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")

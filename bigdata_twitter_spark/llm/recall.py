@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
-from .ivf import _CENTROID_SQL, IVF_PROBES
+from .ivf import _CENTROID_SQL, IVF_PROBES, ivf_index
 from .vectors import duck_cosine, spark_cosine
 
 EVAL_K = 10
@@ -119,29 +119,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= EVAL_K)
         .select("qid", "vec_id")
     )
-    # Per-label centroids (IVF codebook) — tiny, broadcast.
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
-    )
-    cvec = cent.groupBy("clabel").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
-            lambda x: x["cv"],
-        ).alias("cvec")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("clabel")
-    )
-    assign = (
-        e.join(F.broadcast(cvec))
-        .select("vec_id", "clabel",
-                spark_cosine("embedding", "cvec").alias("c_cos"))
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "clabel")
-    )
+    # The SHARED IVF index definition (llm/ivf.py) — the recall metric
+    # evaluates exactly the index sim_ivf_topk serves.
+    cvec, assign = ivf_index(e)
     w_probe = Window.partitionBy("qid").orderBy(
         F.col("q_cos").desc(), F.col("clabel")
     )

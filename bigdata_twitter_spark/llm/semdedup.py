@@ -18,8 +18,24 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load, persist_fresh
-from .kmeans import kmeans_assign_cte
+from .kmeans import TARGET_CLUSTER_SIZE, kmeans_assign_cte
 from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
+
+import logging
+
+_log = logging.getLogger(__name__)
+
+# Hot-cluster cap, the cluster-keyed analog of bucketed.py's
+# HOT_BUCKET_CAP: k-means targets ~TARGET_CLUSTER_SIZE occupancy, but
+# a degenerate corpus (one tight mode) can still put an unbounded
+# member count in one cluster, and the group-local verifier builds
+# O(k²) matrices per group — so clusters past the cap are EXCLUDED
+# from pair mining (members surface as is_kept=true, n_sem_dups=0),
+# never silently: LAST_CLUSTER_AUDIT records the counts and a warning
+# fires, matching the repo's no-silent-caps posture.  The oracle
+# applies the identical cap.
+CLUSTER_CAP = 20 * TARGET_CLUSTER_SIZE
+LAST_CLUSTER_AUDIT: dict[str, int] = {"dropped_clusters": 0, "dropped_rows": 0}
 
 
 def _semdedup_oracle_sql() -> str:
@@ -32,9 +48,14 @@ def _semdedup_oracle_sql() -> str:
     return (
         kmeans_assign_cte()
         + f""",
+    ok AS (
+        SELECT cid FROM fa GROUP BY cid HAVING COUNT(*) <= {CLUSTER_CAP}
+    ),
     pr AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        FROM fa a JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        FROM fa a
+        JOIN ok ON a.cid = ok.cid
+        JOIN fa b ON a.cid = b.cid AND a.vec_id < b.vec_id
         WHERE {duck_cosine('a.e', 'b.e')} >= {PAIR_COSINE_THRESHOLD}
     ),
     sym AS (
@@ -88,12 +109,32 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_kmeans_lloyd(spark, sf_dir).select("vec_id", "cluster"),
     )
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Hot-cluster cap (the HOT_BUCKET_CAP analog): cluster sizes are a
+    # K-row aggregate — audit oversized clusters, then exclude them
+    # from mining on both engines.
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("occ"))
+    audit = sizes.filter(F.col("occ") > CLUSTER_CAP).agg(
+        F.count("*").alias("nc"),
+        F.coalesce(F.sum("occ"), F.lit(0)).alias("nr"),
+    ).collect()[0]
+    LAST_CLUSTER_AUDIT["dropped_clusters"] = int(audit["nc"])
+    LAST_CLUSTER_AUDIT["dropped_rows"] = int(audit["nr"])
+    if audit["nc"]:
+        _log.warning(
+            "dedup_semantic_cluster: hot-cluster cap (%d) excluded %d "
+            "cluster(s) / %d vector(s) from pair mining; their members "
+            "pass through as is_kept=true — run exact dedup upstream "
+            "if the corpus carries >cap identical vectors",
+            CLUSTER_CAP, audit["nc"], audit["nr"],
+        )
+    keep_cl = sizes.filter(F.col("occ") <= CLUSTER_CAP).select("cluster")
     # CLUSTER-LOCAL verification (round-4, same fix as bucketed.py):
     # each vector ships once into its cluster group and cosines are
     # computed inside the group — shuffle ∝ n, never ∝ candidate
     # pairs with vector payloads attached per pair.
     pairs = (
-        assign.join(emb, "vec_id")
+        assign.join(F.broadcast(keep_cl), "cluster")
+        .join(emb, "vec_id")
         .groupBy("cluster")
         .applyInPandas(
             _verify_bucket, schema="a_id long, b_id long, cosine double"

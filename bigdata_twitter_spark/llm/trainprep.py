@@ -20,12 +20,27 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load
 
+# Stage constants come FROM the stage operators' modules so a
+# recalibration there cannot silently desynchronize this oracle from
+# the Spark composite (which calls those operators).  Module-level
+# import is order-safe: every key these modules register sits in the
+# explicit _R4_WINDOW, whose position is fixed regardless of import
+# order.
+from ..text.quality_rules import (  # noqa: E402
+    MAX_MEAN_WORD_LEN,
+    MAX_WORDS,
+    MIN_DISTINCT_RATIO,
+    MIN_MEAN_WORD_LEN,
+    MIN_WORDS,
+    STOPWORDS,
+)
+from .sharding import N_SHARDS, TIER_RATES  # noqa: E402
+
 # Corpus-calibrated cut points (sf0.01 quantiles: dup_bigram_frac p90
 # ≈ 0.065, avg_nll p95 ≈ 3.424): the repetition cut drops the most
 # repetitive ~10-15%, the perplexity cut the most surprising ~5%.
 REP_MAX_DUP = 0.06
 NLL_MAX = 3.42
-N_SHARDS = 16
 
 
 @query(
@@ -42,12 +57,13 @@ N_SHARDS = 16
                      / greatest(len(toks), 1), 6) AS mwl,
                round(CAST(len(list_distinct(toks)) AS DOUBLE)
                      / greatest(len(toks), 1), 6) AS dr,
-               len(list_filter(toks, x -> x IN ('the', 'a'))) AS sw
+               len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS sw
         FROM t
     ), g AS (
         SELECT doc_id, source, ltext, n_words FROM m
-        WHERE n_words BETWEEN 20 AND 80 AND mwl BETWEEN 2.0 AND 8.0
-          AND dr >= 0.25 AND sw >= 1
+        WHERE n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+          AND mwl BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+          AND dr >= {MIN_DISTINCT_RATIO} AND sw >= 1
     ), gr AS (
         SELECT doc_id,
                unnest(list_transform(
@@ -83,9 +99,11 @@ N_SHARDS = 16
         FROM g JOIN rep USING (doc_id) JOIN px USING (doc_id)
         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1))
                    AS INT)
-              < CASE WHEN CAST(substr(source, 4) AS INT) <= 4 THEN 16
-                     WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 8
-                     ELSE 4 END
+              < CASE WHEN CAST(substr(source, 4) AS INT) <= 4
+                     THEN {TIER_RATES["high"]}
+                     WHEN CAST(substr(source, 4) AS INT) <= 9
+                     THEN {TIER_RATES["mid"]}
+                     ELSE {TIER_RATES["low"]} END
     ), ded AS (
         SELECT doc_id, n_words FROM (
             SELECT doc_id, n_words,
@@ -123,8 +141,7 @@ N_SHARDS = 16
 def train_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality → repetition → perplexity → mixture → dedup → shard:
     per-shard (n_docs, n_tokens) accounting of the surviving corpus."""
-    # Compose the REGISTERED stage operators (lazy imports keep
-    # registry anchoring in load_all_operators' hands).
+    # Compose the REGISTERED stage operators.
     from .sharding import _md5_global_rank
     from ..text.quality_rules import (
         text_gopher_quality,
@@ -153,9 +170,9 @@ def train_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     src_num = F.substring("source", 4, 10).cast("int")
     rate = (
-        F.when(src_num <= 4, F.lit(16))
-        .when(src_num <= 9, F.lit(8))
-        .otherwise(F.lit(4))
+        F.when(src_num <= 4, F.lit(TIER_RATES["high"]))
+        .when(src_num <= 9, F.lit(TIER_RATES["mid"]))
+        .otherwise(F.lit(TIER_RATES["low"]))
     )
     mix = (
         d.select("doc_id", "source", F.lower("text").alias("ltext"))

@@ -131,8 +131,8 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import audio  # noqa: F401  (new this round)
     from .sources import binaryfiles  # noqa: F401  (new this round)
 
-    # Round-4 additions (queue behind the 50-key window; first driver
-    # row lands in the round-5 rotation).
+    # Round-4 additions (all 15 hold leading _R4_WINDOW slots above, so
+    # their FIRST driver row lands in this round's check).
     from .text import quality_rules  # noqa: F401  (round 4)
     from .llm import incremental, knngraph, sharding  # noqa: F401  (round 4)
     from .llm import recall  # noqa: F401  (round 4)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -36,6 +37,12 @@ from ..tables import load
 
 DELTA_MOD = 4  # every 4th event gets a corrected row in commit 1
 DELTA_BUMP = 50.0  # exact-in-binary value delta (cross-engine safe)
+
+# Physical-layout record of the most recent run (the working directory
+# is removed after the summary materializes), so tests can assert the
+# commit-cost claims — delta file row count, manifest contents —
+# without racing the cleanup.
+LAST_RUN_INFO: dict = {}
 
 
 @query(
@@ -72,9 +79,14 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-commit versioned events table; per-version resolved stats
     read back through the manifests (v0 read AFTER v1 committed)."""
     e = load(spark, sf_dir, "events")
-    root = os.path.join(
-        tempfile.gettempdir(), "bdt_spark_versioned", "events_mor"
-    )
+    # Unique per call: a fixed shared path let concurrent runs (parity
+    # harness + pytest, or two scale factors) overwrite each other's
+    # base files mid-read.  The table is materialized to its 2-row
+    # summary before the directory is removed, so laziness cannot
+    # outlive the files.
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_mor_")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     base = e.select(*cols, F.lit(0).alias("commit"))
     delta = (
@@ -103,14 +115,29 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn")
         )
 
-    outs = []
+    rows = []
     for v in (0, 1):
         snap = read_as_of(v)
-        outs.append(
+        rows.append(
             snap.agg(
                 F.count("*").cast("bigint").alias("n_rows"),
                 dsum("value").alias("sum_value"),
                 F.sum("commit").cast("bigint").alias("n_from_delta"),
-            ).select(F.lit(v).alias("version"), "*")
+            )
+            .select(F.lit(v).alias("version"), "*")
+            .collect()[0]
         )
-    return outs[0].unionByName(outs[1])
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "manifests": manifests,
+            "delta_rows": spark.read.parquet(
+                os.path.join(root, "delta1")
+            ).count(),
+        }
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, sum_value double, n_from_delta bigint",
+    )

@@ -327,9 +327,7 @@ def test_ann_recall_eval_vs_numpy(specs, spark, sf_dir, emb_pdf):
 
 
 def test_time_travel_commits_and_isolation(specs, spark, sf_dir):
-    import json
-    import os
-    import tempfile
+    from bigdata_twitter_spark.sources.versioned import LAST_RUN_INFO
 
     out = (
         specs["table_time_travel"].fn(spark, sf_dir).toPandas()
@@ -345,17 +343,9 @@ def test_time_travel_commits_and_isolation(specs, spark, sf_dir):
         50.0 * out.loc[1].n_from_delta, abs=1e-6
     )
     # Commit cost is O(delta): the delta commit wrote only the
-    # corrected rows; the base files were not rewritten.
-    root = os.path.join(
-        tempfile.gettempdir(), "bdt_spark_versioned", "events_mor"
-    )
-    assert spark.read.parquet(os.path.join(root, "delta1")).count() == (
-        out.loc[1].n_from_delta
-    )
-    with open(os.path.join(root, "_manifests", "v0.json")) as fh:
-        assert json.load(fh)["files"] == ["base"]
-    with open(os.path.join(root, "_manifests", "v1.json")) as fh:
-        assert json.load(fh)["files"] == ["base", "delta1"]
+    # corrected rows; the base snapshot was not rewritten.
+    assert LAST_RUN_INFO["delta_rows"] == out.loc[1].n_from_delta
+    assert LAST_RUN_INFO["manifests"] == {0: ["base"], 1: ["base", "delta1"]}
 
 
 def test_train_pipeline_composes_stage_operators(specs, spark, sf_dir, docs_pdf):
@@ -385,3 +375,21 @@ def test_train_pipeline_composes_stage_operators(specs, spark, sf_dir, docs_pdf)
     assert out.n_tokens.sum() == sum(words[d] for d in survivors)
     # Round-robin sharding balances within one document.
     assert out.n_docs.max() - out.n_docs.min() <= 1
+
+
+def test_semdedup_cluster_cap_fires_visibly(specs, spark, sf_dir, monkeypatch):
+    """A >cap cluster must be excluded from pair mining AND counted in
+    LAST_CLUSTER_AUDIT — never silently (same contract as the LSH
+    hot-bucket cap)."""
+    from bigdata_twitter_spark.llm import semdedup as sd
+
+    monkeypatch.setattr(sd, "CLUSTER_CAP", 10)  # every cluster oversized
+    out = specs["dedup_semantic_cluster"].fn(spark, sf_dir).toPandas()
+    assert sd.LAST_CLUSTER_AUDIT["dropped_clusters"] > 0
+    assert sd.LAST_CLUSTER_AUDIT["dropped_rows"] == len(out)
+    # Excluded members mine no pairs: all pass through as kept.
+    assert out.is_kept.all() and (out.n_sem_dups == 0).all()
+    # The real cap does not fire at fixture scale, and the audit resets.
+    monkeypatch.undo()
+    specs["dedup_semantic_cluster"].fn(spark, sf_dir).count()
+    assert sd.LAST_CLUSTER_AUDIT == {"dropped_clusters": 0, "dropped_rows": 0}
