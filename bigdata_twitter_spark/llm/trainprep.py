@@ -24,7 +24,7 @@ from ..tables import load
 # recalibration there cannot silently desynchronize this oracle from
 # the Spark composite (which calls those operators).  Module-level
 # import is order-safe: every key these modules register sits in the
-# explicit _R4_WINDOW, whose position is fixed regardless of import
+# explicit _R5_WINDOW predecessor (_R4_WINDOW), whose position was fixed regardless of import
 # order.
 from ..text.quality_rules import (  # noqa: E402
     MAX_MEAN_WORD_LEN,

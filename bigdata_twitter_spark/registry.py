@@ -31,44 +31,49 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver evaluates exactly the first 50 ``queries()`` keys per round
-# (rounds 1-3 all cut at key #50 in registration order).  This is the
-# round-4 window: EVERY key with no driver CORRECTNESS row in any round
-# leads — the 12 added mid-round-3 plus the 15 added in round 4 (26 of
-# the 27 oracle-SQL-backed; cluster_kmeans_lloyd and
-# dedup_semantic_cluster were promoted to hash-grade CTE oracles this
-# round) — so after this round's check every registry key has at least
-# one driver row.  The remaining 23 slots hold the oldest-verified
-# cohort (keys whose only driver row is round 1).  Left out (still
-# r1-verified): the rest of the r1 cohort, agg_approx_count_distinct +
-# dedup_simhash (rows-only by contract, a re-check re-records the same
-# weak grade) and multimodal_decode_stub (deterministic stub).
-_R4_WINDOW = (
-    # -- 12 keys added mid-round-3, never driver-checked --
-    "agg_argmax_minby", "agg_unpivot_melt", "join_asof_tolerance",
-    "scan_orc", "pack_token_budget", "text_contamination_overlap",
-    "text_boilerplate_ngrams", "text_pii_scrub",
-    "sample_negative_pairs", "embed_matryoshka_truncate",
-    "cluster_kmeans_lloyd", "dedup_semantic_cluster",
-    # -- 15 keys added in round 4, never driver-checked --
-    "stream_transform_with_state",
-    "text_gopher_quality", "text_repetition_stats",
-    "text_perplexity_unigram", "cdc_snapshot_diff",
-    "graph_triangle_count", "train_shuffle_shard",
-    "data_mixture_sample", "dedup_incremental_snapshot",
-    "knn_graph_topk", "embed_dim_stats", "agg_q3_shipping",
-    "ann_recall_eval", "table_time_travel", "train_pipeline_e2e",
-    # -- 23 keys whose only driver row is round 1 (second driver row) --
-    "project_select", "filter_predicate", "filter_in_between_null",
-    "filter_regex", "distinct_rows",
-    "join_inner_equi", "join_outer_left", "join_outer_full",
-    "join_semi", "join_anti", "join_cross", "join_theta_range",
-    "join_interval_time",
-    "agg_global", "agg_count_distinct", "agg_having", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "agg_pivot",
-    "set_union_all", "set_union_distinct",
+# (every round so far cut at key #50 in registration order).  This is
+# the round-5 window: after round 4, every registry key has at least
+# one driver row, so this round rotates to the STALE cohort — keys
+# whose latest driver row predates the round-3/4 session and loader
+# refactors that touch every operator.  Slot 1 is ``graph_pagerank``:
+# its unrolled-CTE oracle was promoted to hash-grade in round 4
+# (operators/graph.py) but its latest driver row is the old round-3
+# rows-only check, so this is the first driver hash row for that
+# oracle.  Then the 18 keys whose ONLY driver row is round 1 (udf/fn
+# families, similarity exact twins, the contract-weak simhash and
+# approx-count-distinct — a re-check re-records the same weak grade but
+# on current code), then 31 of the 48 round-2-cohort keys (windows,
+# sort/set/skew, batch timeseries, text analysis).  Deferred to round
+# 6: the remaining 17 round-2 keys (7 scan/sink format keys + the 10
+# streaming keys, whose checks are the slowest per slot).
+_R5_WINDOW = (
+    # -- first driver hash row for the round-4-promoted oracle --
+    "graph_pagerank",
+    # -- 18 keys whose only driver row is round 1 --
+    "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
+    "udtf_table_fn",
+    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
+    "fn_map",
+    "dedup_fuzzy_jaccard", "dedup_simhash",
+    "multimodal_bytes", "multimodal_decode_stub",
+    "sim_pairs_threshold", "embed_centroid_per_label", "sim_knn_join",
+    "agg_approx_count_distinct",
+    # -- 31 of the 48 round-2-cohort keys --
+    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
+    "win_range_frame", "win_ntile_pctrank", "win_ntile_pctrank_dist",
+    "win_dedup_latest",
+    "sort_multikey", "limit_topk_global",
+    "set_intersect", "set_except", "join_skew_salted",
+    "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
+    "top_active_users", "error_rate_per_day", "ts_gap_fill",
+    "funnel_conversion", "ts_anomaly_zscore", "ts_retention_cohort",
+    "ts_interpolate",
+    "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
+    "text_lang_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
 )
 
-assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
+assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
 
 def query(
     name: str,
@@ -97,7 +102,7 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R4_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R5_WINDOW``
     tuple below defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round).
     Keys outside the window follow in registration order.
@@ -131,8 +136,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import audio  # noqa: F401  (new this round)
     from .sources import binaryfiles  # noqa: F401  (new this round)
 
-    # Round-4 additions (all 15 hold leading _R4_WINDOW slots above, so
-    # their FIRST driver row lands in this round's check).
+    # Round-4 additions (first driver rows landed in round 4).
     from .text import quality_rules  # noqa: F401  (round 4)
     from .llm import incremental, knngraph, sharding  # noqa: F401  (round 4)
     from .llm import recall  # noqa: F401  (round 4)
@@ -146,16 +150,16 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key round-4 window first, then
+    # Final check order: the explicit 50-key round-5 window first, then
     # every remaining key in registration order.
-    missing = [k for k in _R4_WINDOW if k not in REGISTRY]
+    missing = [k for k in _R5_WINDOW if k not in REGISTRY]
     if missing:
         raise RuntimeError(
-            f"_R4_WINDOW names unregistered operator keys: {missing}; "
+            f"_R5_WINDOW names unregistered operator keys: {missing}; "
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in _R4_WINDOW:
+    for key in _R5_WINDOW:
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()
