@@ -102,8 +102,18 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     total_median = round(sum(medians.values()), 4)
 
+    # Streaming warmup, mirroring the batch warmup's intent: the first
+    # streaming query in a process pays one-time costs that are not the
+    # operator — materializing the shared replay directory (~4.5 s at
+    # sf0.1) and streaming-engine/Python-worker startup.  One untimed
+    # run of the lightest streaming key absorbs both so the section
+    # measures the queries, not the harness.
+    stream_keys = [k for k in HEADLINE_STREAMING if k in specs]
+    if stream_keys:
+        materialize(specs[stream_keys[-1]].fn(spark, sf_dir))
+
     stream_timings: dict[str, float] = {}
-    for key in (k for k in HEADLINE_STREAMING if k in specs):
+    for key in stream_keys:
         t0 = time.perf_counter()
         materialize(specs[key].fn(spark, sf_dir))
         stream_timings[key] = round(time.perf_counter() - t0, 4)

@@ -112,6 +112,42 @@ def _stream_events(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFra
     return spark.readStream.schema(EVENTS_US_SCHEMA).parquet(path)
 
 
+# Streaming state-store partition count.  A stateful streaming query
+# creates ONE state store per shuffle partition per stateful operator,
+# and each micro-batch (including the empty availableNow finalize
+# batch) pays a per-store load/commit/checkpoint round-trip — so the
+# number is a deployment knob sized to expected STATE volume, locked
+# into the checkpoint at the first batch, and should NOT blindly
+# inherit the batch shuffle default.  Measured locally (sf0.1,
+# stream_stream_join): 32 stores = 13.5 s, 8 stores = 4.0 s, identical
+# results — the delta is pure store machinery.  On a real cluster set
+# ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` to O(total executor cores)
+# so state parallelism matches the cluster; the local default of 8
+# matches the harness's small per-query state.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
+
+
+class _stream_shuffle:
+    """Context manager: run a streaming query under the streaming
+    state-partition count, restoring the session's batch shuffle
+    setting afterwards (batch queries in the same session keep their
+    own parallelism)."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def __enter__(self) -> None:
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc) -> None:  # noqa: ANN002
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _await_or_raise(q, timeout: int = 300) -> None:  # noqa: ANN001
     """Fail loudly if a finite replay does not terminate in time —
     otherwise a partial sink would be silently returned as the result."""
@@ -131,14 +167,15 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
     so nothing data-sized transits driver memory.
     """
     name = f"bdt_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q)
+    with _stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
     return stream_df.sparkSession.table(name)
 
 
@@ -155,12 +192,13 @@ def _run_to_parquet(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        stream_df.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q)
+    with _stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
     reader = stream_df.sparkSession.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -207,14 +245,15 @@ def source_stream_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value")
     )
     name = f"bdt_rate_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(once=True)
-        .start()
-    )
-    _await_or_raise(q, 120)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(once=True)
+            .start()
+        )
+        _await_or_raise(q, 120)
     return spark.table(name)
 
 
@@ -234,13 +273,14 @@ def sink_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        _stream_events(spark, sf_dir)
-        .writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q)
+    with _stream_shuffle(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
     return spark.read.schema(EVENTS_US_SCHEMA).parquet(out)
 
 
@@ -464,13 +504,14 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        stateful.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q)
+    with _stream_shuffle(spark):
+        q = (
+            stateful.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
     return spark.read.parquet(out)
 
 
@@ -651,13 +692,14 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.write.mode("append").parquet(out)
 
-        q = (
-            stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_or_raise(q)
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_or_raise(q)
 
     half = len(parts) // 2
     for f in parts[:half]:
@@ -852,13 +894,14 @@ def _run_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(out)
 
-    q = (
-        stateful.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q)
+    with _stream_shuffle(spark):
+        q = (
+            stateful.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
     # Update-mode emits one row per key per microbatch; if the replay
     # splits into several batches (maxFilesPerTrigger, file layout) the
     # sink holds stale intermediate per-key rows.  Resolve to the LAST
