@@ -45,6 +45,70 @@ DELTA_BUMP = 50.0  # exact-in-binary value delta (cross-engine safe)
 LAST_RUN_INFO: dict = {}
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (CAS lost)."""
+
+
+def commit_version(man_dir: str, version: int, files: list[str]) -> None:
+    """Publish manifest ``version`` with compare-and-swap semantics.
+
+    The lost-update hazard in a multi-writer table is two writers both
+    computing "next version = N" and the second silently overwriting
+    the first's manifest.  The commit is therefore a CREATE, never a
+    write-in-place: the manifest is staged to a unique temp file and
+    published with ``os.link(tmp, vN.json)`` — on POSIX ``link`` fails
+    with ``FileExistsError`` if the target exists, atomically, even on
+    NFS, which makes "publish vN" a true compare-and-swap on the
+    version slot.  The loser gets :class:`CommitConflict` and must
+    rebase (re-read the table state, pick version N+1, re-validate its
+    delta).  This is the same optimistic-concurrency recipe the public
+    lakehouse formats document (Delta's mutual-exclusion-on-log-entry,
+    Iceberg's atomic metadata swap); committed manifests are immutable
+    thereafter.
+
+    On a real object store without atomic create-if-absent the link
+    step is replaced by the store's conditional-put (e.g. HTTP
+    If-None-Match) — the protocol shape is unchanged.
+    """
+    staged = tempfile.NamedTemporaryFile(
+        mode="w", dir=man_dir, prefix=f".v{version}_", suffix=".tmp",
+        delete=False,
+    )
+    try:
+        json.dump({"version": version, "files": files}, staged)
+        staged.close()
+        try:
+            os.link(staged.name, os.path.join(man_dir, f"v{version}.json"))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was committed by another writer"
+            ) from None
+    finally:
+        os.unlink(staged.name)
+
+
+def commit_next(man_dir: str, files: list[str], max_retries: int = 50) -> int:
+    """Commit ``files`` as the next version, rebasing on CAS conflicts.
+
+    Returns the version actually won.  Each retry re-lists the manifest
+    directory, so two writers interleaving commits serialize into a
+    dense, gapless version chain with no lost updates.
+    """
+    for _ in range(max_retries):
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        nxt = (max(versions) + 1) if versions else 0
+        try:
+            commit_version(man_dir, nxt, files)
+            return nxt
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_retries} rebases")
+
+
 @query(
     "table_time_travel",
     sql=f"""
@@ -100,9 +164,8 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     man_dir = os.path.join(root, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
     manifests = {0: ["base"], 1: ["base", "delta1"]}
-    for v, files in manifests.items():
-        with open(os.path.join(man_dir, f"v{v}.json"), "w") as fh:
-            json.dump({"version": v, "files": files}, fh)
+    for files in manifests.values():
+        commit_next(man_dir, files)
 
     def read_as_of(version: int) -> DataFrame:
         with open(os.path.join(man_dir, f"v{version}.json")) as fh:

@@ -348,6 +348,55 @@ def test_time_travel_commits_and_isolation(specs, spark, sf_dir):
     assert LAST_RUN_INFO["manifests"] == {0: ["base"], 1: ["base", "delta1"]}
 
 
+def test_time_travel_two_writer_race_loses_no_update(tmp_path):
+    """Two writers hammering the same manifest directory must serialize
+    into a dense version chain where every published manifest is
+    byte-exactly what its winning writer staged — a lost update
+    (writer B overwriting writer A's already-published version) must
+    be impossible by construction of the link-based CAS."""
+    import json
+    import threading
+
+    from bigdata_twitter_spark.sources.versioned import commit_next
+
+    man_dir = str(tmp_path / "_manifests")
+    import os
+
+    os.makedirs(man_dir)
+    N_PER_WRITER = 40
+    won: dict[str, list[tuple[int, list[str]]]] = {"a": [], "b": []}
+    barrier = threading.Barrier(2)
+
+    def writer(name: str) -> None:
+        barrier.wait()  # maximize interleaving
+        for i in range(N_PER_WRITER):
+            files = [f"{name}_{i}"]
+            v = commit_next(man_dir, files)
+            won[name].append((v, files))
+
+    threads = [threading.Thread(target=writer, args=(n,)) for n in "ab"]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    all_won = won["a"] + won["b"]
+    versions = sorted(v for v, _ in all_won)
+    # Dense, gapless, no version won twice.
+    assert versions == list(range(2 * N_PER_WRITER))
+    # Every published manifest holds exactly its winner's payload —
+    # i.e. no commit was overwritten after publication.
+    expected = {v: files for v, files in all_won}
+    for v, files in expected.items():
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            m = json.load(fh)
+        assert m == {"version": v, "files": files}
+    # No stray temp files left behind.
+    assert all(
+        f.endswith(".json") for f in os.listdir(man_dir)
+    ), os.listdir(man_dir)
+
+
 def test_train_pipeline_composes_stage_operators(specs, spark, sf_dir, docs_pdf):
     """The composite must equal the composition of its REGISTERED
     stage operators applied in sequence."""
