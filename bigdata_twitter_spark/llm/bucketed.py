@@ -241,8 +241,15 @@ def _verify_bucket(pdf):
     # Decimal.quantize(HALF_UP) the same scaling, so the per-value loop
     # below is bit-identical; no vectorized emulation is (floor(x*1e6
     # + .5) diverges ~1 ulp from the shortest-repr path at x.xxxxx5
-    # boundaries).  A 1e-6 guard band bounds the loop to near-output
-    # size: values below τ − 1e-6 cannot round up to τ.
+    # boundaries).  JDK caveat (ADVICE r4): Double.toString on JDK < 19
+    # can emit a non-shortest decimal for rare values (JDK-4511638,
+    # fixed by the Ryū rewrite in 19), which could flip a cosine
+    # sitting exactly on a 6dp HALF_UP boundary; parity on the running
+    # JVM is therefore PINNED by tests/test_weak_ops.py::
+    # test_round6_parity_spark_vs_python_emulation, which feeds
+    # adversarial boundary doubles through Spark's F.round and this
+    # emulation side-by-side.  A 1e-6 guard band bounds the loop to
+    # near-output size: values below τ − 1e-6 cannot round up to τ.
     cand = raw >= PAIR_COSINE_THRESHOLD - 1e-6
     if not cand.any():
         return empty

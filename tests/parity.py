@@ -90,13 +90,28 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, key: str) 
         )
 
 
+def _oracle_valid_at_scale(spark, sf_dir: str, key: str) -> bool:
+    """Some oracles are exact only in a declared input regime; outside
+    it the hash compare would test the oracle's precondition, not the
+    operator.  dedup_embedding's all-pairs oracle is exact only while
+    the operator dispatches to the exact miner (n ≤ EXACT_PAIRS_MAX
+    embeddings); above that the probabilistic LSH path runs and sf0.1+
+    is bench-only for this key (ADVICE r4)."""
+    if key == "dedup_embedding":
+        from bigdata_twitter_spark.llm.embdedup import EXACT_PAIRS_MAX
+        from bigdata_twitter_spark.tables import load
+
+        return load(spark, sf_dir, "embeddings").count() <= EXACT_PAIRS_MAX
+    return True
+
+
 def check_query(spark, sf_dir: str, key: str) -> None:
     from bigdata_twitter_spark.registry import REGISTRY
 
     spec = REGISTRY[key]
     sdf = spec.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
-    if spec.sql is None:
+    if spec.sql is None or not _oracle_valid_at_scale(spark, sf_dir, key):
         assert len(spark_pdf) >= 0  # rows-only check (driver-weak parity)
         return
     with duckdb_connect(sf_dir) as con:

@@ -492,3 +492,32 @@ def test_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
     pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
     assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= pairs
     assert bk.LAST_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_round6_parity_spark_vs_python_emulation(spark):
+    """Pin the claim in llm/bucketed.py that the Python
+    repr→Decimal(HALF_UP) loop is bit-identical to Spark's F.round(x, 6)
+    ON THE RUNNING JVM (Double.toString shortest-repr behavior differs
+    pre/post JDK 19 for rare values — JDK-4511638).  Adversarial set:
+    exact 6dp-boundary halves, their float neighbors one ulp either
+    side, and a deterministic pseudo-random cloud in [0, 1]."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyspark.sql.functions as F
+
+    vals: list[float] = []
+    for k in range(0, 1_000_000, 7919):  # boundary halves (k + 0.5)/1e6
+        v = (k + 0.5) / 1e6
+        vals.extend([v, math.nextafter(v, 0.0), math.nextafter(v, 1.0)])
+    x = 0.5
+    for _ in range(2000):  # deterministic LCG cloud, no Math.random
+        x = (x * 9301 + 49297) % 233280
+        vals.append(x / 233280.0)
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.col("x"), F.round("x", 6).alias("r6")
+    )
+    q6 = Decimal("0.000001")
+    for row in sdf.collect():
+        py = float(Decimal(repr(row["x"])).quantize(q6, rounding=ROUND_HALF_UP))
+        assert py == row["r6"], (row["x"].hex(), py, row["r6"])
