@@ -1,13 +1,15 @@
 """Multimodal binary-column handling (SURVEY.md §2.L).
 
-The fixtures carry no true image/audio blobs, so the binary payload is
-the UTF-8 encoding of document text: every Spark-side mechanism that a
-real multimodal pipeline needs — BinaryType columns, content hashing,
-base64 transport encoding, Arrow-batched mapInPandas feature
-extraction with a typed output schema — is exercised for real; only
-the innermost pixel/sample decode is a deterministic fake (the
-image/audio libraries are not in this container, and a real decoder
-would slot into exactly the same mapInPandas seam).
+Two fixture tiers (round 5 split, VERDICT r4 #7): the CORPUS-scale
+keys (``multimodal_bytes``, ``multimodal_decode_stub``) run over every
+document with UTF-8 text payloads standing in for blobs — they
+exercise BinaryType columns, content hashing, base64 transport, and
+the Arrow-batched mapInPandas seam at full row counts.  The
+TRUE-BINARY key (``multimodal_image_resize``) instead consumes real
+spec-valid PNG files from ``binfixtures`` and decodes them for real
+(CRC-checked chunk walk, zlib inflate, unfilter) before resizing —
+covering the codepaths text stand-ins cannot (compressed payloads,
+non-UTF8 bytes, header parsing, decode failure on corruption).
 
 Scale posture: binary payloads ride the normal columnar path (parquet
 BYTE_ARRAY); decode/feature-extract runs in Arrow batches with
@@ -24,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..binfixtures import N_FILES as _BF_N_FILES
 from ..registry import query
 from ..tables import load
 
@@ -119,43 +122,65 @@ TARGET_W, TARGET_H = 224, 224  # the standard vision-model input square
 RESIZE_SCHEMA = (
     "doc_id bigint, src_width int, src_height int, "
     "out_width int, out_height int, scale double, letterbox boolean, "
-    "resized_checksum bigint"
+    "pixel_sum bigint"
 )
 
 
-def _fake_resize_batches(
+def _resize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Aspect-preserving resize-to-224² plumbing over Arrow batches.
+    """REAL image pipeline over Arrow batches (round 5, VERDICT r4 #7):
+    each payload is a spec-valid PNG, decoded for real (chunk walk, CRC
+    verification, zlib inflate, unfilter — binfixtures.decode_png),
+    then nearest-neighbor resized with numpy index maps.  ``pixel_sum``
+    sums the RESIZED pixels, so a wrong decode, wrong index map, or a
+    flipped byte anywhere in the file changes the answer — the oracle
+    recomputes it from the generator's closed-form pixel formula, an
+    independent path that never touches the bytes.
 
-    A real implementation swaps the checksum line for PIL/torchvision
-    ``resize``; source dims, scale math, letterbox decision and the
-    typed output schema are the production plumbing.  The fake
-    checksum is a pure function of (payload bytes, output dims) so the
-    oracle can restate it in SQL.
+    Nearest-neighbor index map (the contract the oracle restates in
+    integer arithmetic): output x samples source column
+    ``(x * src_w) // out_w`` — pure ints, no float round-trip.
     """
-    for pdf in batches:
-        n_bytes = pdf["payload"].map(len)
-        src_w = (64 + n_bytes % 512).astype("int64")
-        src_h = (64 + (n_bytes * 3) % 512).astype("int64")
-        # floor() on the double ratio in BOTH engines (least/CAST in SQL).
-        scale = pd.concat(
-            [TARGET_W / src_w, TARGET_H / src_h], axis=1
-        ).min(axis=1)
-        import numpy as np
+    import numpy as np
 
-        out_w = np.floor(src_w * scale).astype("int64").clip(upper=TARGET_W)
-        out_h = np.floor(src_h * scale).astype("int64").clip(upper=TARGET_H)
+    from ..binfixtures import decode_png
+
+    for pdf in batches:
+        out_rows: dict[str, list] = {
+            k: []
+            for k in (
+                "doc_id", "src_width", "src_height", "out_width",
+                "out_height", "scale", "letterbox", "pixel_sum",
+            )
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, pix = decode_png(bytes(payload))
+            img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+            scale = min(TARGET_W / w, TARGET_H / h)
+            out_w = min(int(np.floor(w * scale)), TARGET_W)
+            out_h = min(int(np.floor(h * scale)), TARGET_H)
+            xi = (np.arange(out_w) * w) // out_w
+            yi = (np.arange(out_h) * h) // out_h
+            resized = img[yi][:, xi]
+            out_rows["doc_id"].append(doc_id)
+            out_rows["src_width"].append(w)
+            out_rows["src_height"].append(h)
+            out_rows["out_width"].append(out_w)
+            out_rows["out_height"].append(out_h)
+            out_rows["scale"].append(scale)
+            out_rows["letterbox"].append(out_w != out_h)
+            out_rows["pixel_sum"].append(int(resized.sum(dtype=np.int64)))
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "src_width": src_w.astype("int32"),
-                "src_height": src_h.astype("int32"),
-                "out_width": out_w.astype("int32"),
-                "out_height": out_h.astype("int32"),
-                "scale": scale,
-                "letterbox": out_w != out_h,
-                "resized_checksum": n_bytes * 1_000_003 + out_w * 1_003 + out_h,
+                "doc_id": pd.Series(out_rows["doc_id"], dtype="int64"),
+                "src_width": pd.Series(out_rows["src_width"], dtype="int32"),
+                "src_height": pd.Series(out_rows["src_height"], dtype="int32"),
+                "out_width": pd.Series(out_rows["out_width"], dtype="int32"),
+                "out_height": pd.Series(out_rows["out_height"], dtype="int32"),
+                "scale": pd.Series(out_rows["scale"], dtype="float64"),
+                "letterbox": pd.Series(out_rows["letterbox"], dtype="bool"),
+                "pixel_sum": pd.Series(out_rows["pixel_sum"], dtype="int64"),
             }
         )
 
@@ -163,55 +188,69 @@ def _fake_resize_batches(
 @query(
     "multimodal_image_resize",
     sql=f"""
-    WITH m AS (
+    WITH ids AS (SELECT unnest(range(0, {_BF_N_FILES})) AS doc_id),
+    dims AS (
         SELECT doc_id,
-               64 + octet_length(encode(text)) % 512 AS src_w,
-               64 + (octet_length(encode(text)) * 3) % 512 AS src_h,
-               octet_length(encode(text)) AS n_bytes
-        FROM documents
+               16 + (doc_id * 7) % 49 AS w,
+               16 + (doc_id * 11) % 49 AS h,
+               least({TARGET_W} / CAST(16 + (doc_id * 7) % 49 AS DOUBLE),
+                     {TARGET_H} / CAST(16 + (doc_id * 11) % 49 AS DOUBLE))
+                   AS scale
+        FROM ids
+    ),
+    o AS (
+        SELECT doc_id, w, h, scale,
+               least(CAST(floor(w * scale) AS BIGINT), {TARGET_W}) AS out_w,
+               least(CAST(floor(h * scale) AS BIGINT), {TARGET_H}) AS out_h
+        FROM dims
+    ),
+    xs AS (SELECT doc_id, w, h, out_w, out_h,
+                  unnest(range(out_w)) AS x FROM o),
+    xy AS (SELECT doc_id, w, h, out_w, out_h, x,
+                  unnest(range(out_h)) AS y FROM xs),
+    px AS (
+        SELECT doc_id,
+               CAST(SUM((3 * ((x * w) // out_w) + 7 * ((y * h) // out_h)
+                         + doc_id) % 256) AS BIGINT) AS pixel_sum
+        FROM xy GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(src_w AS INT) AS src_width,
-           CAST(src_h AS INT) AS src_height,
-           CAST(least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
-                           AS BIGINT), {TARGET_W}) AS INT) AS out_width,
-           CAST(least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
-                           AS BIGINT), {TARGET_H}) AS INT) AS out_height,
-           least({TARGET_W} / CAST(src_w AS DOUBLE),
-                 {TARGET_H} / CAST(src_h AS DOUBLE)) AS scale,
-           least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                    {TARGET_H} / CAST(src_h AS DOUBLE)))
-                      AS BIGINT), {TARGET_W})
-             <> least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                         {TARGET_H} / CAST(src_h AS DOUBLE)))
-                           AS BIGINT), {TARGET_H}) AS letterbox,
-           n_bytes * 1000003
-             + least(CAST(floor(src_w * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                        {TARGET_H} / CAST(src_h AS DOUBLE)))
-                          AS BIGINT), {TARGET_W}) * 1003
-             + least(CAST(floor(src_h * least({TARGET_W} / CAST(src_w AS DOUBLE),
-                                        {TARGET_H} / CAST(src_h AS DOUBLE)))
-                          AS BIGINT), {TARGET_H}) AS resized_checksum
-    FROM m
+    SELECT o.doc_id,
+           CAST(o.w AS INT) AS src_width,
+           CAST(o.h AS INT) AS src_height,
+           CAST(o.out_w AS INT) AS out_width,
+           CAST(o.out_h AS INT) AS out_height,
+           o.scale AS scale,
+           o.out_w <> o.out_h AS letterbox,
+           px.pixel_sum
+    FROM o JOIN px ON px.doc_id = o.doc_id
     """,
-    tables=("documents",),
+    tables=(),
     scale_note=(
-        "The third multimodal seam the brief names: aspect-preserving "
-        "resize-to-model-input (224²) as Arrow-batched mapInPandas — "
-        "scale math, letterbox decision and typed schema are real; only "
-        "the pixel op is a deterministic fake a PIL/torchvision call "
-        "replaces. Batch memory is bounded by "
-        "arrow.maxRecordsPerBatch × target dims, independent of source "
-        "blob size — the property that keeps 100-TB image preprocessing "
-        "OOM-free."
+        "REAL image pipeline (round 5): spec-valid PNGs decoded in "
+        "Arrow-batched mapInPandas (chunk walk + CRC verify + zlib "
+        "inflate + unfilter), nearest-neighbor resized to fit the "
+        "224² model square via integer numpy index maps, summed over "
+        "RESIZED pixels. The oracle never touches the bytes — it "
+        "recomputes dims/scale/pixel_sum from the generator's closed "
+        "forms, so agreement proves the decode+resize path. Batch "
+        "memory is bounded by arrow.maxRecordsPerBatch × decoded size; "
+        "on a 100-TB corpus the same seam swaps decode_png for PIL and "
+        "partitions by size class to keep batches predictable."
     ),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: fake-decoded source dims → aspect-preserving
-    224² scale/letterbox metadata + deterministic resized checksum."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    """Real PNG decode (CRC-verified) → aspect-preserving nearest
+    resize to 224² → scale/letterbox metadata + resized pixel sum."""
+    from ..binfixtures import ensure_png_dir
+
+    root = ensure_png_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
     )
-    return d.mapInPandas(_fake_resize_batches, schema=RESIZE_SCHEMA)
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.png$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    return d.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)

@@ -46,6 +46,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sort/set/skew, batch timeseries, text analysis).  Deferred to round
 # 6: the remaining 17 round-2 keys (7 scan/sink format keys + the 10
 # streaming keys, whose checks are the slowest per slot).
+#
+# Mid-round amendment: the three multimodal keys whose outputs CHANGED
+# this round (true-binary PNG/WAV fixtures, VERDICT r4 #7 —
+# scan_binary_files, multimodal_image_resize, multimodal_audio_chunk)
+# take the last three slots.  A key with changed output has NO valid
+# driver evidence at all, which is staler than any unchanged round-2
+# row; the three displaced text keys (text_fingerprint,
+# text_token_count_bpe, text_keywords_topk) join the round-6 queue.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -70,7 +78,9 @@ _R5_WINDOW = (
     "ts_interpolate",
     "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
     "text_lang_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
+    # -- the 3 keys whose outputs changed this round (see above) --
+    "scan_binary_files", "multimodal_image_resize",
+    "multimodal_audio_chunk",
 )
 
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)

@@ -442,3 +442,36 @@ def test_semdedup_cluster_cap_fires_visibly(specs, spark, sf_dir, monkeypatch):
     monkeypatch.undo()
     specs["dedup_semantic_cluster"].fn(spark, sf_dir).count()
     assert sd.LAST_CLUSTER_AUDIT == {"dropped_clusters": 0, "dropped_rows": 0}
+
+
+def test_binfixtures_real_decode_and_corruption_detection():
+    """The round-5 binary fixtures must be REAL media: the PNG decoder
+    verifies chunk CRCs (a flipped payload byte is detected, not
+    silently averaged into pixels), and the WAV round-trips through
+    the stdlib reader with the formula's samples."""
+    import pytest
+
+    from bigdata_twitter_spark import binfixtures as bf
+
+    # PNG: decode returns the formula's pixels.
+    data = bf.png_bytes(7)
+    w, h, pix = bf.decode_png(data)
+    assert (w, h) == (bf.png_width(7), bf.png_height(7))
+    assert len(pix) == w * h
+    for x, y in [(0, 0), (w - 1, 0), (3, 5), (w - 1, h - 1)]:
+        assert pix[y * w + x] == bf.pixel(x, y, 7)
+    # Corrupt one IDAT payload byte -> CRC check must fire.
+    idat_at = data.index(b"IDAT")
+    corrupted = bytearray(data)
+    corrupted[idat_at + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        bf.decode_png(bytes(corrupted))
+    # Not-a-PNG rejected at the signature.
+    with pytest.raises(ValueError, match="signature"):
+        bf.decode_png(b"RIFF" + data[4:])
+
+    # WAV: stdlib parse returns the formula's samples at 16 kHz.
+    rate, n, samples = bf.decode_wav(bf.wav_bytes(7))
+    assert rate == 16000 and n == bf.wav_n_samples(7)
+    assert list(samples[:5]) == [bf.wav_sample(i, 7) for i in range(5)]
+    assert samples[-1] == bf.wav_sample(n - 1, 7)
