@@ -14,37 +14,51 @@ from bigdata_twitter_spark.registry import load_all_operators
 
 SPECS = load_all_operators()
 
+# VERDICT r4 #8: the 7 contract-weak (rows-only) keys' exactness/recall
+# pins run at BOTH harness scales, so a bound that only holds on the
+# tiny fixture (or only on the bigger one) cannot silently pass.
+import pytest as _pytest
+
+
+@_pytest.fixture(
+    params=["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+    scope="module",
+)
+def weak_sf_dir(request):
+    return request.param
+
 
 def _pairs(df, a="a_id", b="b_id") -> set[tuple[int, int]]:
     return {(r[a], r[b]) for r in df.collect()}
 
 
-def test_lsh_covers_exact_jaccard_pairs(spark, sf_dir):
-    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, sf_dir)
+def test_lsh_covers_exact_jaccard_pairs(spark, weak_sf_dir):
+    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, weak_sf_dir)
     high = _pairs(exact.filter("jaccard >= 0.9"))
     assert high, "fixture should contain planted near-dup pairs"
-    candidates = _pairs(SPECS["dedup_minhash_lsh"].fn(spark, sf_dir))
+    candidates = _pairs(SPECS["dedup_minhash_lsh"].fn(spark, weak_sf_dir))
     missed = high - candidates
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
-def test_simhash_covers_planted_pairs(spark, sf_dir):
-    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, sf_dir)
+def test_simhash_covers_planted_pairs(spark, weak_sf_dir):
+    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, weak_sf_dir)
     high = _pairs(exact.filter("jaccard >= 0.95"))
-    sim = _pairs(SPECS["dedup_simhash"].fn(spark, sf_dir))
+    sim = _pairs(SPECS["dedup_simhash"].fn(spark, weak_sf_dir))
     missed = high - sim
     assert not missed, f"simhash missed near-identical pairs: {missed}"
 
 
-def test_bucketed_pairs_cover_exact_pairs(spark, sf_dir):
+def test_bucketed_pairs_cover_exact_pairs(spark, weak_sf_dir):
     """SRP-LSH bucketed mining must (a) never invent a pair the exact
     O(n²) baseline lacks and (b) recall every pair at τ + margin
     (16 bands × 2 bits ⇒ per-pair miss ≈ 3e-4 at cosine 0.4)."""
-    exact = SPECS["sim_pairs_threshold"].fn(spark, sf_dir)
+    exact = SPECS["sim_pairs_threshold"].fn(spark, weak_sf_dir)
     exact_all = _pairs(exact)
     exact_high = _pairs(exact.filter("cosine >= 0.45"))
     assert exact_all, "fixture should contain pairs at cosine >= 0.4"
-    bucketed = _pairs(SPECS["sim_pairs_bucketed"].fn(spark, sf_dir))
+    bucketed = _pairs(SPECS["sim_pairs_bucketed"].fn(spark, weak_sf_dir))
     assert not (bucketed - exact_all), "bucketed invented pairs"
     missed = exact_high - bucketed
     assert not missed, f"bucketed missed high-cosine pairs: {missed}"
@@ -97,16 +111,16 @@ def test_components_cover_all_paired_docs(spark, sf_dir):
         assert cid == min(members)
 
 
-def test_hll_sketch_close_to_exact(spark, sf_dir):
+def test_hll_sketch_close_to_exact(spark, weak_sf_dir):
     """The merged daily HLL sketches must estimate per-type distinct
     users within standard HLL error (lgK=12 ⇒ rsd ≈ 1.6%; allow 5%)."""
     exact = {
         r["event_type"]: r["n_users"]
-        for r in SPECS["agg_count_distinct"].fn(spark, sf_dir).collect()
+        for r in SPECS["agg_count_distinct"].fn(spark, weak_sf_dir).collect()
     }
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in SPECS["agg_hll_sketch"].fn(spark, sf_dir).collect()
+        for r in SPECS["agg_hll_sketch"].fn(spark, weak_sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for k, n in exact.items():
@@ -134,21 +148,21 @@ def test_embedding_dedup_matches_exact_pairs(spark, sf_dir):
     assert dropped > 0, "fixture should force at least one drop"
 
 
-def test_approx_distinct_close_to_exact(spark, sf_dir):
+def test_approx_distinct_close_to_exact(spark, weak_sf_dir):
     exact = {
         r["event_type"]: r["n_users"]
-        for r in SPECS["agg_count_distinct"].fn(spark, sf_dir).collect()
+        for r in SPECS["agg_count_distinct"].fn(spark, weak_sf_dir).collect()
     }
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in SPECS["agg_approx_count_distinct"].fn(spark, sf_dir).collect()
+        for r in SPECS["agg_approx_count_distinct"].fn(spark, weak_sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.06 * n), (k, n, approx[k])
 
 
-def test_approx_percentile_close_to_exact(spark, sf_dir):
+def test_approx_percentile_close_to_exact(spark, weak_sf_dir):
     """percentile_approx's guarantee is a RANK bound: the returned value
     is an actual group element whose rank is within n/accuracy (+1 for
     the exact quantile's interpolation between two neighbors) of the
@@ -158,13 +172,13 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     from bigdata_twitter_spark.tables import load
 
     vals = defaultdict(list)
-    for r in load(spark, sf_dir, "orders").select(
+    for r in load(spark, weak_sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     ).collect():
         vals[r[0]].append(r[1])
     approx = {
         r["o_orderpriority"]: (r["p50"], r["p90"], r["p99"])
-        for r in SPECS["agg_approx_percentile"].fn(spark, sf_dir).collect()
+        for r in SPECS["agg_approx_percentile"].fn(spark, weak_sf_dir).collect()
     }
     assert set(vals) == set(approx)
     for grp, xs in vals.items():
@@ -219,7 +233,7 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-6
 
 
-def test_pca_matches_numpy_exact(spark, sf_dir):
+def test_pca_matches_numpy_exact(spark, weak_sf_dir):
     """Every projected coordinate from the distributed moment-fold PCA
     must match an exact numpy PCA over the same rows (same mean
     centering, same sign canonicalization) to tight float tolerance."""
@@ -229,7 +243,7 @@ def test_pca_matches_numpy_exact(spark, sf_dir):
     from bigdata_twitter_spark.tables import load
 
     rows = (
-        load(spark, sf_dir, "embeddings")
+        load(spark, weak_sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .collect()
     )
@@ -246,7 +260,7 @@ def test_pca_matches_numpy_exact(spark, sf_dir):
             comps[:, j] = -comps[:, j]
     expect = {i: (x[k] - mu) @ comps for k, i in enumerate(ids)}
 
-    got = SPECS["embed_pca_project"].fn(spark, sf_dir).collect()
+    got = SPECS["embed_pca_project"].fn(spark, weak_sf_dir).collect()
     assert len(got) == len(ids)
     for r in got:
         e = expect[r["vec_id"]]
