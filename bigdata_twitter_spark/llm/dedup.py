@@ -184,6 +184,23 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Band-bucket occupancy cap (round 5, found by the docs ×100 probe).
+# The pair-listing self-join is Σ c·(c−1)/2 over bucket occupancies c,
+# so one degenerate clique (boilerplate, empty docs, canonicalized
+# bags-of-words) makes output and shuffle quadratic in the clique.
+# Buckets above the cap are excluded from PAIR ENUMERATION and counted
+# in LAST_LSH_CAP_AUDIT — never dropped silently.  Contract mirrors
+# sim_pairs_bucketed's HOT_BUCKET_CAP: a >cap bucket means the members
+# are so mutually similar that pairwise listing is the wrong output
+# shape (dedup_components / dedup_exact resolve such cliques in O(c));
+# fixture scales never reach the cap (max occupancy 4 at sf0.1).
+LSH_HOT_BUCKET_CAP = 500
+
+# Observability for the cap (mirrors bucketed.LAST_CAP_AUDIT): buckets
+# and member rows excluded by the occupancy cap in the MOST RECENT run.
+LAST_LSH_CAP_AUDIT: dict[str, int] = {"dropped_buckets": 0, "dropped_rows": 0}
+
+
 @query(
     "dedup_minhash_lsh",
     sql=None,  # hash-family specific — rows-only for the driver; the local
@@ -197,7 +214,13 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "All 32 minhashes come from ONE pass over (doc, shingle) rows — 32 "
         "min-aggregates in a single groupBy — so shuffle input stays at "
         "docs×shingles and partial aggregation reduces it to 32 longs/doc "
-        "(the previous explode×32 plan multiplied shuffle input 32×)."
+        "(the previous explode×32 plan multiplied shuffle input 32×). "
+        f"Degenerate cliques: buckets above {LSH_HOT_BUCKET_CAP} members "
+        "are excluded from pair listing with a visible audit "
+        "(LAST_LSH_CAP_AUDIT) — pairwise output on a c-clique is O(c²) "
+        "by definition and belongs to the component/exact-hash "
+        "resolvers, keeping this operator's output ∝ true near-dup "
+        "pairs, never clique²."
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,12 +250,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    # Persist the (docs × bands)-sized band table: the self-join consumes
-    # it twice, so without the cache the shingle-explode + 32-hash +
-    # min-agg subtree runs twice (measured: ×10-scale wall 3.98 → 2.32 s).
+    # Persist the (docs × bands)-sized band table: occupancy audit +
+    # both self-join sides consume it, so without the cache the
+    # shingle-explode + 32-hash + min-agg subtree runs three times
+    # (measured: ×10-scale wall 3.98 → 2.32 s for the two-consumer case).
     bands = persist_fresh("lsh_bands", sf_dir, bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Occupancy cap: the groupBy is keyed identically to the self-join,
+    # so the occ table co-shuffles with it (one extra linear exchange,
+    # no new shuffle key).
+    occ = bands.groupBy("band", "band_sig").agg(F.count("*").alias("occ"))
+    audit = occ.filter(F.col("occ") > LSH_HOT_BUCKET_CAP).agg(
+        F.count("*").alias("b"),
+        F.coalesce(F.sum("occ"), F.lit(0)).alias("r"),
+    ).collect()[0]
+    LAST_LSH_CAP_AUDIT["dropped_buckets"] = int(audit["b"])
+    LAST_LSH_CAP_AUDIT["dropped_rows"] = int(audit["r"])
+    keep = bands.join(
+        occ.filter(F.col("occ") <= LSH_HOT_BUCKET_CAP).select(
+            "band", "band_sig"
+        ),
+        ["band", "band_sig"],
+    )
+    a = keep.alias("a")
+    b = keep.alias("b")
     return (
         a.join(
             b,

@@ -148,6 +148,15 @@ class _stream_shuffle:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+# The STREAMING-side physical plan of the most recently completed
+# query (microbatch plan of the last executed batch: state stores,
+# watermarks, stream-stream join operators).  The operators return
+# batch DataFrames over their sinks, so without this hook the
+# plan-audit artifact could only show the sink read-back — not the
+# plan that actually carries the state machinery.
+LAST_STREAM_PLAN: str = ""
+
+
 def _await_or_raise(q, timeout: int = 300) -> None:  # noqa: ANN001
     """Fail loudly if a finite replay does not terminate in time —
     otherwise a partial sink would be silently returned as the result."""
@@ -156,6 +165,11 @@ def _await_or_raise(q, timeout: int = 300) -> None:  # noqa: ANN001
         raise TimeoutError(
             f"stream query {q.name or q.id} did not finish within {timeout}s"
         )
+    global LAST_STREAM_PLAN
+    try:
+        LAST_STREAM_PLAN = q._jsq.explainInternal(False)  # noqa: SLF001
+    except Exception:  # pragma: no cover - plan capture must never fail a run
+        LAST_STREAM_PLAN = "(unavailable)"
 
 
 def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:

@@ -535,3 +535,35 @@ def test_round6_parity_spark_vs_python_emulation(spark):
     for row in sdf.collect():
         py = float(Decimal(repr(row["x"])).quantize(q6, rounding=ROUND_HALF_UP))
         assert py == row["r6"], (row["x"].hex(), py, row["r6"])
+
+
+def test_lsh_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
+    """A degenerate near-identical clique above the occupancy cap must
+    (a) lose its pairwise listing — the documented contract; pairwise
+    output on a c-clique is O(c²) and belongs to dedup_components —
+    and (b) be COUNTED in LAST_LSH_CAP_AUDIT, never dropped silently;
+    normal corpora must report zero drops."""
+    from bigdata_twitter_spark.llm import dedup as dd
+
+    n_dup, n_ok = 10, 4
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base) for i in range(n_dup)]  # identical clique
+    for j in range(n_ok):
+        rows.append((1000 + j, f"w{j}a w{j}b w{j}c w{j}d w{j}e w{j}f w{j}g"))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    monkeypatch.setattr(dd, "LSH_HOT_BUCKET_CAP", n_dup - 1)
+    got = _pairs(dd.dedup_minhash_lsh(spark, sf_dir))
+    # The clique shares EVERY band bucket at >cap occupancy: no pairs...
+    assert not any(a < n_dup and b < n_dup for a, b in got), got
+    # ...and the audit says exactly that.
+    assert dd.LAST_LSH_CAP_AUDIT["dropped_buckets"] > 0
+    assert dd.LAST_LSH_CAP_AUDIT["dropped_rows"] >= n_dup
+    # Cap off again: the clique pairs return, audit resets to zero.
+    monkeypatch.setattr(dd, "LSH_HOT_BUCKET_CAP", 10_000)
+    got = _pairs(dd.dedup_minhash_lsh(spark, sf_dir))
+    assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= got
+    assert dd.LAST_LSH_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}

@@ -13,11 +13,18 @@ workload superlinearly:
 * key columns get a per-copy stride offset (``+ i × 10^10``) so join
   fan-out and group cardinality scale linearly (orders⋈lineitem stays
   1:N, never N×M across copies);
-* ``documents.text`` is deterministically token-shuffled per copy
-  (sort tokens by ``xxhash64(token, copy)``), so shingle/MinHash
-  near-dup structure is preserved *within* each copy cohort instead of
-  every doc gaining 9 exact twins (which would grow LSH candidate
-  pairs ~×100 — a different workload, not a bigger one);
+* ``documents.text`` gets a per-copy token RENAMING (``t -> t_<copy>``
+  for copy > 0) — an isomorphism on token sequences, so every
+  intra-copy Jaccard/shingle/MinHash relation is preserved EXACTLY
+  while cross-copy shingle universes are disjoint (no cross-copy LSH
+  collisions, and vocabulary grows with the corpus as real scale-ups
+  do).  The previous approach (sort tokens by ``xxhash64(token,
+  copy)``) was a bug the round-5 ×100 probe exposed: sorting by one
+  per-copy key CANONICALIZES token order corpus-wide, turning every
+  doc into a sorted bag of words — docs sharing vocabulary became
+  near-identical sequences and formed giant genuine near-dup cliques
+  (81M candidate pairs at ×100 vs ~180k expected), a workload
+  distortion, not an operator quadratic;
 * unreplicated dimension tables (region/nation/supplier/part) are
   copied as-is, mirroring real scale-ups where dims grow slower than
   facts;
@@ -75,15 +82,24 @@ def rotated_embedding(copy: int):
     )
 
 
-def shuffled_text(copy: int):
-    """Deterministic per-copy token shuffle of documents.text."""
+def suffixed_text(copy: int):
+    """Per-copy token renaming: an isomorphism on the token sequence
+    (order untouched), so intra-copy similarity structure is exact and
+    cross-copy token/shingle universes are disjoint."""
     return F.expr(
-        "concat_ws(' ', transform(array_sort(transform(split(text, ' '), "
-        f"t -> struct(xxhash64(t, {copy}) AS h, t AS t))), s -> s.t))"
+        f"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_{copy}')))"
     )
 
 
-def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
+def build(
+    spark, src_dir: str, out_dir: str, copies: int,
+    replicate: set[str] | None = None,
+) -> None:
+    """Materialize the scaled dataset.  ``replicate`` limits which fact
+    tables get the ×copies treatment (default: all) — a family probe
+    (e.g. the document/shingle family at ×100) only pays to build the
+    tables its queries actually read; everything else is copied as-is
+    so the loaders still find a complete schema."""
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     for name in COPY_AS_IS:
@@ -92,12 +108,15 @@ def build(spark, src_dir: str, out_dir: str, copies: int) -> None:
     for name, keys in OFFSET_KEYS.items():
         base = spark.read.parquet(f"{src_dir}/{name}.parquet")
         out = f"{out_dir}/{name}.parquet"
+        if replicate is not None and name not in replicate:
+            base.write.mode("overwrite").parquet(out)
+            continue
         for i in range(copies):
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
             if name == "documents" and i > 0:
-                df = df.withColumn("text", shuffled_text(i))
+                df = df.withColumn("text", suffixed_text(i))
             if name == "embeddings" and i > 0:
                 df = df.withColumn("embedding", rotated_embedding(i))
             df.write.mode("append").parquet(out)
@@ -141,8 +160,16 @@ def main() -> None:
     spark = get_session(app_name="bdt-scale-probe")
     specs = load_all_operators()
 
+    # Family probes (SPARK_GRAFT_PROBE_KEYS) only replicate the tables
+    # their queries read; the default full-headline probe scales all.
+    replicate = None
+    if os.environ.get("SPARK_GRAFT_PROBE_KEYS"):
+        replicate = {
+            t for k in probe_keys(specs) for t in specs[k].tables
+        } & set(OFFSET_KEYS)
+
     t0 = time.perf_counter()
-    build(spark, src, out, copies)
+    build(spark, src, out, copies, replicate)
     build_sec = round(time.perf_counter() - t0, 1)
 
     base = time_headline(spark, specs, src)
