@@ -153,6 +153,9 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .sources import versioned  # noqa: F401  (round 4)
     from .llm import trainprep  # noqa: F401  (round 4)
 
+    # Round-5 additions (queue behind the explicit window).
+    from .llm import orchestration  # noqa: F401  (round 5)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401

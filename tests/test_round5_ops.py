@@ -1,0 +1,46 @@
+"""Semantic invariants for the round-5 additions (oracle parity is
+covered by test_parity.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bigdata_twitter_spark.registry import load_all_operators
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_operators()
+
+
+def test_sharded_jobs_equals_single_job_exact_miner(specs, spark, sf_dir):
+    """The union of shard-pair jobs must equal the single-job exact
+    all-pairs answer BITWISE (ids and 6dp cosines), and the parquet
+    handoff must show one directory per shard-pair job."""
+    from bigdata_twitter_spark.llm.orchestration import N_SHARDS, _RUN_BASE
+
+    sharded = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in specs["sim_pairs_sharded_jobs"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in specs["sim_pairs_threshold"].fn(spark, sf_dir).collect()
+    }
+    assert sharded == exact
+    assert sharded, "fixture should contain pairs at the threshold"
+    # Handoff layout: S(S+1)/2 independent job directories.
+    job_dirs = glob.glob(os.path.join(_RUN_BASE, "*", "job_*_*"))
+    assert len(job_dirs) == N_SHARDS * (N_SHARDS + 1) // 2, job_dirs
+    # Each unordered pair must land in exactly ONE job (no dedup step):
+    # re-read every job dir separately and check disjointness.
+    seen: set[tuple[int, int]] = set()
+    for d in sorted(job_dirs):
+        rows = spark.read.parquet(d).collect()
+        ids = {(r["a_id"], r["b_id"]) for r in rows}
+        assert not (ids & seen), f"pair duplicated across jobs: {d}"
+        seen |= ids
+    assert seen == {(a, b) for a, b, _ in exact}
