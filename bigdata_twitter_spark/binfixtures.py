@@ -196,6 +196,35 @@ def ensure_png_dir() -> str:
     return _ensure_dir(PNG_DIR, "png", png_bytes)
 
 
+# ---- deterministic corruption (the decode-error fixture) -------------
+
+MIXED_DIR = os.path.join(FIXTURE_ROOT, "png_mixed")
+CORRUPT_MOD = 10  # ids with doc_id % 10 == 3 are corrupted
+CORRUPT_RESIDUE = 3
+
+
+def is_corrupt(doc_id: int) -> bool:
+    return doc_id % CORRUPT_MOD == CORRUPT_RESIDUE
+
+
+def mixed_png_bytes(doc_id: int) -> bytes:
+    """Valid PNG, except ids selected by :func:`is_corrupt` get one
+    IDAT payload byte flipped — the file still LOOKS like a PNG
+    (signature, chunk layout intact) but fails CRC verification, the
+    realistic at-scale corruption mode (bit rot, truncated uploads
+    caught by checksums, not by file extension)."""
+    data = png_bytes(doc_id)
+    if not is_corrupt(doc_id):
+        return data
+    corrupted = bytearray(data)
+    corrupted[data.index(b"IDAT") + 10] ^= 0xFF
+    return bytes(corrupted)
+
+
+def ensure_mixed_png_dir() -> str:
+    return _ensure_dir(MIXED_DIR, "png", mixed_png_bytes)
+
+
 def ensure_wav_dir() -> str:
     return _ensure_dir(WAV_DIR, "wav", wav_bytes)
 

@@ -254,3 +254,110 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
     return d.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+ERRORS_SCHEMA = (
+    "doc_id bigint, status string, error string, "
+    "src_width int, src_height int, pixel_sum bigint"
+)
+
+
+def _decode_or_error_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Decode each payload, routing failures to an ERROR CHANNEL row
+    instead of failing the task — the behavior that keeps a 100-TB
+    decode pass alive when a fraction of objects are rotten.  The
+    error string keeps the exception's first line (triage key);
+    successful rows carry real decoded dims + pixel sums."""
+    import numpy as np
+
+    from ..binfixtures import decode_png
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            try:
+                w, h, pix = decode_png(bytes(payload))
+                img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+                rows.append(
+                    (doc_id, "ok", None, w, h, int(img.sum(dtype=np.int64)))
+                )
+            except Exception as exc:  # noqa: BLE001 - the error channel
+                rows.append(
+                    (doc_id, "corrupt", str(exc).splitlines()[0],
+                     None, None, None)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "status", "error",
+                "src_width", "src_height", "pixel_sum",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "src_width": "Int32",
+                "src_height": "Int32", "pixel_sum": "Int64",
+            }
+        )
+
+
+@query(
+    "multimodal_decode_errors",
+    sql=f"""
+    WITH ids AS (SELECT unnest(range(0, {_BF_N_FILES})) AS doc_id),
+    m AS (
+        SELECT doc_id,
+               doc_id % 10 = 3 AS corrupt,
+               16 + (doc_id * 7) % 49 AS w,
+               16 + (doc_id * 11) % 49 AS h
+        FROM ids
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM m WHERE NOT corrupt),
+    xy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+    px AS (
+        SELECT doc_id,
+               CAST(SUM((3 * x + 7 * y + doc_id) % 256) AS BIGINT) AS pixel_sum
+        FROM xy GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CASE WHEN m.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           CASE WHEN m.corrupt
+                THEN 'CRC mismatch in b''IDAT'' chunk' END AS error,
+           CASE WHEN m.corrupt THEN NULL
+                ELSE CAST(m.w AS INT) END AS src_width,
+           CASE WHEN m.corrupt THEN NULL
+                ELSE CAST(m.h AS INT) END AS src_height,
+           px.pixel_sum
+    FROM m LEFT JOIN px ON px.doc_id = m.doc_id
+    """,
+    tables=(),
+    scale_note=(
+        "The decode ERROR CHANNEL: a 100-TB image pass meets bit rot "
+        "and truncated uploads, and one rotten object must become a "
+        "quarantine row, not a dead job. Same Arrow mapInPandas seam "
+        "as the resize path with try/except routing per payload; the "
+        "fixture deterministically corrupts doc_id%10==3 (one flipped "
+        "IDAT byte — layout intact, CRC broken), so the oracle states "
+        "exactly which rows land in each channel and what the decoded "
+        "pixel sums of the healthy rows are. Downstream: quarantine "
+        "rows feed a dead-letter sink; healthy rows continue."
+    ),
+)
+def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode with quarantine: corrupt PNGs (CRC failures) become
+    status='corrupt' rows with the triage message; healthy rows carry
+    real decoded dims + full-image pixel sums."""
+    from ..binfixtures import ensure_mixed_png_dir
+
+    root = ensure_mixed_png_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.png$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    return d.mapInPandas(_decode_or_error_batches, schema=ERRORS_SCHEMA)

@@ -44,3 +44,30 @@ def test_sharded_jobs_equals_single_job_exact_miner(specs, spark, sf_dir):
         assert not (ids & seen), f"pair duplicated across jobs: {d}"
         seen |= ids
     assert seen == {(a, b) for a, b, _ in exact}
+
+
+def test_decode_error_channel_quarantines_not_kills(specs, spark, sf_dir):
+    """10 of the 100 mixed PNGs are deterministically corrupted; the
+    decode pass must survive, quarantine exactly those ids with a CRC
+    triage message, and decode the rest for real."""
+    from bigdata_twitter_spark.binfixtures import (
+        N_FILES, is_corrupt, pixel, png_height, png_width,
+    )
+
+    out = specs["multimodal_decode_errors"].fn(spark, sf_dir).toPandas()
+    assert len(out) == N_FILES
+    by_id = out.set_index("doc_id")
+    for i in range(N_FILES):
+        row = by_id.loc[i]
+        if is_corrupt(i):
+            assert row.status == "corrupt" and "CRC" in row.error
+            assert row.pixel_sum is None or row.isna().pixel_sum
+        else:
+            assert row.status == "ok"
+            w, h = png_width(i), png_height(i)
+            assert (row.src_width, row.src_height) == (w, h)
+            want = sum(
+                pixel(x, y, i) for x in range(w) for y in range(h)
+            )
+            assert int(row.pixel_sum) == want
+    assert (out.status == "corrupt").sum() == N_FILES // 10
