@@ -57,39 +57,14 @@ def _self_dot() -> F.Column:
     )
 
 
-@query(
-    "sim_pairs_sharded_jobs",
-    sql=f"""
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           {duck_cosine('a.embedding', 'b.embedding')} AS cosine
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND {duck_cosine('a.embedding', 'b.embedding')}
-          >= {PAIR_COSINE_THRESHOLD}
-    """,
-    tables=("embeddings",),
-    scale_note=(
-        f"Blocked all-pairs as {N_SHARDS * (N_SHARDS + 1) // 2} "
-        "independent shard-pair JOBS with parquet handoff: per-job "
-        "working set ≈ 2n/S, so the exact miner extends past one job's "
-        "linear regime by raising S (S(S+1)/2 jobs of n/S each) — the "
-        "orchestration seam the bucketed miners' scale notes point at, "
-        "as an operator. Failed jobs retry alone; completed jobs are "
-        "never recomputed; the loop parallelizes across cluster job "
-        "slots. At 100 TB shard by IVF/LSH bucket instead of id-mod to "
-        "skip provably-empty shard pairs; id-mod keeps semantics EXACT "
-        "here so the oracle is hash-grade."
-    ),
-)
-def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine-≥τ pairs via a loop of shard-pair jobs (blocked
-    all-pairs, parquet handoff); union of jobs ≡ the all-pairs answer."""
-    # Previous runs' handoff dirs are dead state — reclaim them first
-    # (same one-invocation cache bound as graph_triangle_count).
-    shutil.rmtree(_RUN_BASE, ignore_errors=True)
-    run_dir = os.path.join(_RUN_BASE, uuid.uuid4().hex[:12])
-    os.makedirs(run_dir, exist_ok=True)
+def run_shard_jobs(spark: SparkSession, sf_dir: str, run_dir: str) -> None:
+    """Execute (or RESUME) the shard-pair job loop into ``run_dir``.
 
+    Restartability is the point of the handoff: a job directory whose
+    parquet ``_SUCCESS`` marker exists is skipped — a re-invocation
+    after a mid-loop failure recomputes only the missing jobs.  The
+    marker is written by Spark's commit protocol AFTER the job's files
+    land, so a torn job (no marker) is simply overwritten."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _self_dot().alias("sq"),
         (F.col("vec_id") % N_SHARDS).alias("shard"),
@@ -107,6 +82,9 @@ def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(N_SHARDS):
         for j in range(i, N_SHARDS):
+            job_dir = os.path.join(run_dir, f"job_{i}_{j}")
+            if os.path.exists(os.path.join(job_dir, "_SUCCESS")):
+                continue  # completed job: never recomputed
             a = e.filter(F.col("shard") == i).alias("a")
             b = e.filter(F.col("shard") == j).alias("b")
             # i == j: intra-shard self-join, canonical order by id.
@@ -125,7 +103,41 @@ def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine.alias("cosine"),
             ).filter(F.col("cosine") >= PAIR_COSINE_THRESHOLD)
             # One write = one independent job: the handoff boundary.
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(run_dir, f"job_{i}_{j}")
-            )
+            pairs.write.mode("overwrite").parquet(job_dir)
+
+
+@query(
+    "sim_pairs_sharded_jobs",
+    sql=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {duck_cosine('a.embedding', 'b.embedding')}
+          >= {PAIR_COSINE_THRESHOLD}
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        f"Blocked all-pairs as {N_SHARDS * (N_SHARDS + 1) // 2} "
+        "independent shard-pair JOBS with parquet handoff: per-job "
+        "working set ≈ 2n/S, so the exact miner extends past one job's "
+        "linear regime by raising S (S(S+1)/2 jobs of n/S each) — the "
+        "orchestration seam the bucketed miners' scale notes point at, "
+        "as an operator. Failed jobs retry alone; completed jobs are "
+        "never recomputed (_SUCCESS-marker resume, test-pinned); the "
+        "loop parallelizes across cluster job slots. At 100 TB shard "
+        "by IVF/LSH bucket instead of id-mod to skip provably-empty "
+        "shard pairs; id-mod keeps semantics EXACT here so the oracle "
+        "is hash-grade."
+    ),
+)
+def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine-≥τ pairs via a loop of shard-pair jobs (blocked
+    all-pairs, parquet handoff); union of jobs ≡ the all-pairs answer."""
+    # Previous runs' handoff dirs are dead state — reclaim them first
+    # (same one-invocation cache bound as graph_triangle_count).
+    shutil.rmtree(_RUN_BASE, ignore_errors=True)
+    run_dir = os.path.join(_RUN_BASE, uuid.uuid4().hex[:12])
+    os.makedirs(run_dir, exist_ok=True)
+    run_shard_jobs(spark, sf_dir, run_dir)
     return spark.read.parquet(os.path.join(run_dir, "job_*_*"))

@@ -71,3 +71,38 @@ def test_decode_error_channel_quarantines_not_kills(specs, spark, sf_dir):
             )
             assert int(row.pixel_sum) == want
     assert (out.status == "corrupt").sum() == N_FILES // 10
+
+
+def test_sharded_jobs_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
+    """Kill one job of a completed run and resume: only that job may be
+    recomputed (completed jobs' outputs untouched — checked by file
+    mtimes), and the resumed union equals the original answer."""
+    import shutil
+    import time
+
+    from bigdata_twitter_spark.llm.orchestration import run_shard_jobs
+
+    run_dir = str(tmp_path / "run")
+    run_shard_jobs(spark, sf_dir, run_dir)
+    before = {
+        r["a_id"]: r
+        for r in spark.read.parquet(f"{run_dir}/job_*_*").collect()
+    }
+    mtimes = {
+        d: os.path.getmtime(os.path.join(run_dir, d, "_SUCCESS"))
+        for d in os.listdir(run_dir)
+    }
+    shutil.rmtree(os.path.join(run_dir, "job_1_2"))
+    time.sleep(0.05)
+    run_shard_jobs(spark, sf_dir, run_dir)  # resume
+    for d, old in mtimes.items():
+        got = os.path.getmtime(os.path.join(run_dir, d, "_SUCCESS"))
+        if d == "job_1_2":
+            assert got > old  # recomputed
+        else:
+            assert got == old, d  # never touched
+    after = {
+        r["a_id"]: r
+        for r in spark.read.parquet(f"{run_dir}/job_*_*").collect()
+    }
+    assert set(before) == set(after)
