@@ -610,6 +610,55 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet(joined, "ssjoin", out_schema)
 
 
+@query(
+    "stream_static_join",
+    sql="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    tables=("events", "customer"),
+    scale_note=(
+        "Stream-STATIC dimension enrichment — the most common "
+        "production streaming join: the dim side is a bounded batch "
+        "table, so no watermark and NO JOIN STATE is kept (unlike the "
+        "stream-stream join); Spark broadcasts the dim per micro-batch "
+        "when it fits, else shuffles the batch side only. The dim is "
+        "re-read each micro-batch (file-source static joins pick up "
+        "slowly-changing dims); point it at the versioned table's "
+        "manifest for pinned-snapshot semantics instead. Full finite "
+        "replay ≡ the batch equi-join, which is the oracle."
+    ),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream enriched against the static customer dimension
+    (inner equi-join on user_id = c_custkey), losslessly replayed."""
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
+    )
+    joined = (
+        _stream_events(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id", "ts", "user_id", "event_type", "value",
+            "c_name", "c_mktsegment",
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return _run_to_parquet(joined, "sstatic", out_schema)
+
+
 TOPK_PER_WINDOW = 2
 
 
