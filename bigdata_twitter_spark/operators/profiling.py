@@ -233,3 +233,74 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_type", F.col("user_id").alias("modal_user"), "n")
     )
+
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "profile_join_skew",
+    sql=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        FROM c
+    )
+    SELECT rk, user_id, n_rows, n_keys, total_rows,
+           round(n_rows / (CAST(total_rows AS DOUBLE) / n_keys), 6)
+               AS skew_vs_mean,
+           round(100.0 * n_rows / total_rows, 6) AS share_pct
+    FROM (
+        SELECT c.*, s.n_keys, s.total_rows,
+               row_number() OVER (ORDER BY n_rows DESC, user_id) AS rk
+        FROM c, s
+    ) WHERE rk <= {SKEW_TOP_K}
+    """,
+    tables=("events",),
+    scale_note=(
+        "The diagnostic that DECIDES the join strategy: heavy-hitter "
+        "profile of a join key (top-K keys, per-key rows, skew factor "
+        "vs the mean key). skew_vs_mean >> 1 on the probe output means "
+        "salt the key (join_skew_salted) or rely on AQE skew-join "
+        "splitting; ~1 means a plain keyed shuffle is fine. Plan: one "
+        "two-phase count agg on the key (map-side combine), a "
+        "broadcast of the 1-row global stats, and a top-K rank whose "
+        "input is already key-aggregate-sized — at 100 TB this runs as "
+        "a cheap pre-pass or on a hash-sample of the fact table."
+    ),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heavy-hitter join keys on events.user_id with per-key
+    row counts, share of table, and skew factor vs the mean key."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_rows"))
+    s = c.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+    )
+    rk = Window.orderBy(F.col("n_rows").desc(), F.col("user_id"))
+    # The rank window runs over KEY AGGREGATES (n_keys rows), not the
+    # fact table; the unpartitioned frame is the declared top-K shape
+    # (same contract as limit_topk_global's TakeOrdered).
+    return (
+        c.join(F.broadcast(s))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= SKEW_TOP_K)
+        .select(
+            "rk", "user_id", "n_rows", "n_keys", "total_rows",
+            F.round(
+                F.col("n_rows")
+                / (F.col("total_rows").cast("double") / F.col("n_keys")),
+                6,
+            ).alias("skew_vs_mean"),
+            F.round(
+                F.lit(100.0) * F.col("n_rows") / F.col("total_rows"), 6
+            ).alias("share_pct"),
+        )
+    )
