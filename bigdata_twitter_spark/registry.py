@@ -50,10 +50,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Mid-round amendment: the three multimodal keys whose outputs CHANGED
 # this round (true-binary PNG/WAV fixtures, VERDICT r4 #7 —
 # scan_binary_files, multimodal_image_resize, multimodal_audio_chunk)
-# take the last three slots.  A key with changed output has NO valid
-# driver evidence at all, which is staler than any unchanged round-2
-# row; the three displaced text keys (text_fingerprint,
-# text_token_count_bpe, text_keywords_topk) join the round-6 queue.
+# and the four keys ADDED this round (sim_pairs_sharded_jobs,
+# multimodal_decode_errors, stream_static_join, profile_join_skew)
+# take the last seven slots.  A key with changed output or no history
+# has NO valid driver evidence at all, which is staler than any
+# unchanged round-2 row; the seven displaced round-2 keys
+# (ts_retention_cohort, ts_interpolate, text_quality_score,
+# text_lang_id, text_fingerprint, text_token_count_bpe,
+# text_keywords_topk) join the round-6 queue.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -74,13 +78,15 @@ _R5_WINDOW = (
     "set_intersect", "set_except", "join_skew_salted",
     "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
     "top_active_users", "error_rate_per_day", "ts_gap_fill",
-    "funnel_conversion", "ts_anomaly_zscore", "ts_retention_cohort",
-    "ts_interpolate",
+    "funnel_conversion", "ts_anomaly_zscore",
     "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
-    "text_lang_stats", "text_quality_score", "text_lang_id",
-    # -- the 3 keys whose outputs changed this round (see above) --
+    "text_lang_stats",
+    # -- 3 keys whose outputs changed this round (see above) --
     "scan_binary_files", "multimodal_image_resize",
     "multimodal_audio_chunk",
+    # -- 4 keys added this round, never driver-checked --
+    "sim_pairs_sharded_jobs", "multimodal_decode_errors",
+    "stream_static_join", "profile_join_skew",
 )
 
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
