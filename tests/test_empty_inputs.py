@@ -37,6 +37,10 @@ ZERO_ROW_KEYS = [
     "embed_matryoshka_truncate",
     "cluster_kmeans_lloyd",
     "dedup_semantic_cluster",
+    # round-5 additions
+    "sim_pairs_sharded_jobs",
+    "profile_join_skew",
+    "stream_static_join",
 ]
 
 
