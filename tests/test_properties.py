@@ -133,3 +133,30 @@ def test_pack_token_budget_bucket_width_invariance(spark, sf_dir, monkeypatch):
     for width in (1, 7, 10_000_000):
         monkeypatch.setattr(curation, "PACK_BUCKET_WIDTH", width)
         assert run() == baseline, f"width={width} changed the packing"
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_doc_id(doc_id):
+    """decode(encode(id)) must reproduce the formula pixels for ANY id,
+    not just the 100 materialized fixtures — the codec pair is a pure
+    function of doc_id."""
+    from bigdata_twitter_spark import binfixtures as bf
+
+    w, h, pix = bf.decode_png(bf.png_bytes(doc_id))
+    assert (w, h) == (bf.png_width(doc_id), bf.png_height(doc_id))
+    assert len(pix) == w * h
+    # spot-check corners + center (full check is O(wh) per example)
+    for x, y in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1), (w // 2, h // 2)):
+        assert pix[y * w + x] == bf.pixel(x, y, doc_id)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_doc_id(doc_id):
+    from bigdata_twitter_spark import binfixtures as bf
+
+    rate, n, samples = bf.decode_wav(bf.wav_bytes(doc_id))
+    assert rate == 16000 and n == bf.wav_n_samples(doc_id)
+    for i in (0, 1, n // 2, n - 1):
+        assert samples[i] == bf.wav_sample(i, doc_id)
