@@ -156,6 +156,9 @@ class _stream_shuffle:
 # plan that actually carries the state machinery.
 LAST_STREAM_PLAN: str = ""
 
+# stream_upsert_versioned's most recent run layout (test hook).
+LAST_UPSERT_INFO: dict = {}
+
 
 def _await_or_raise(q, timeout: int = 300) -> None:  # noqa: ANN001
     """Fail loudly if a finite replay does not terminate in time —
@@ -657,6 +660,111 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return _run_to_parquet(joined, "sstatic", out_schema)
+
+
+@query(
+    "stream_upsert_versioned",
+    sql="""
+    WITH r AS (
+        SELECT user_id, event_id, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           value AS last_value
+    FROM r WHERE rk = 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Streaming upsert into the CAS-versioned table: each "
+        "micro-batch appends ONE delta file set and publishes ONE "
+        "manifest through the compare-and-swap commit "
+        "(sources/versioned.commit_next) — commit cost is O(batch), "
+        "the table is log-structured, and resolution is merge-on-read "
+        "keep-latest per key (one keyed aggregate over the manifest "
+        "chain's files). Exactly-once across restarts comes from "
+        "batchId idempotence: a replayed batch finds its delta already "
+        "committed in some manifest and SKIPS, so at-least-once "
+        "delivery + idempotent commit = exactly-once table state — the "
+        "same recipe the public lakehouse streaming sinks document. "
+        "Full finite replay ≡ the batch keep-latest, the oracle."
+    ),
+)
+def stream_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events streamed into a versioned table (one CAS-committed delta
+    per micro-batch, batchId-idempotent), then resolved merge-on-read
+    to the latest row per user plus per-user event counts."""
+    import json as _json
+
+    from ..sources.versioned import commit_next
+
+    label = os.path.basename(sf_dir.rstrip("/"))
+    root = _fresh_dir(f"upsertv_{label}_{uuid.uuid4().hex[:8]}")
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+
+    def committed_files() -> set[str]:
+        files: set[str] = set()
+        for f in os.listdir(man_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(man_dir, f)) as fh:
+                    files.update(_json.load(fh)["files"])
+        return files
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = f"delta_{batch_id}"
+        if delta in committed_files():
+            return  # replayed batch: already committed → exactly-once
+        batch_df.select(
+            "user_id", "event_id", "ts", "value"
+        ).write.mode("overwrite").parquet(os.path.join(root, delta))
+        commit_next(man_dir, [delta])
+
+    with _stream_shuffle(spark):
+        q = (
+            _stream_events(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+
+    # Test hook (mirrors sources/versioned.LAST_RUN_INFO): the run's
+    # physical layout plus the live batch-commit closure, so the
+    # exactly-once replay branch can be exercised directly.
+    LAST_UPSERT_INFO.clear()
+    LAST_UPSERT_INFO.update(
+        {
+            "root": root,
+            "man_dir": man_dir,
+            "write_batch": write_batch,
+            "committed": sorted(committed_files()),
+        }
+    )
+
+    # Merge-on-read: one keyed aggregate over every committed delta.
+    paths = [os.path.join(root, f) for f in sorted(committed_files())]
+    log_df = spark.read.schema(
+        "user_id bigint, event_id bigint, ts timestamp, value double"
+    ).parquet(*paths)
+    latest = F.max(F.struct("ts", "event_id", "value")).alias("s")
+    return (
+        log_df.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"), latest)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
 
 
 TOPK_PER_WINDOW = 2

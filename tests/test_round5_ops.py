@@ -106,3 +106,46 @@ def test_sharded_jobs_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{run_dir}/job_*_*").collect()
     }
     assert set(before) == set(after)
+
+
+def test_stream_upsert_versioned_exactly_once_replay(specs, spark, sf_dir):
+    """A replayed micro-batch (same batchId, at-least-once delivery)
+    must be a NO-OP: its delta is already committed in some manifest,
+    so table state and the version chain are unchanged — idempotent
+    commit + at-least-once = exactly-once."""
+    import json
+
+    from bigdata_twitter_spark.streaming.ops import LAST_UPSERT_INFO
+
+    first = (
+        specs["stream_upsert_versioned"].fn(spark, sf_dir)
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    info = dict(LAST_UPSERT_INFO)
+    man_dir, committed = info["man_dir"], info["committed"]
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir) if f.endswith(".json")
+    )
+    assert versions == list(range(len(versions)))  # dense CAS chain
+    assert len(committed) == len(versions)  # one delta per commit
+    # Replay batch 0 with a POISONED frame: if the replay branch ever
+    # writes, the poison rows would corrupt the table.
+    poison = spark.createDataFrame(
+        [(999999, 999999, None, 1e9)],
+        "user_id bigint, event_id bigint, ts timestamp, value double",
+    )
+    info["write_batch"](poison, 0)
+    after_versions = sorted(
+        int(f[1:-5]) for f in os.listdir(man_dir) if f.endswith(".json")
+    )
+    assert after_versions == versions  # no new commit
+    for f in os.listdir(man_dir):
+        if f.endswith(".json"):
+            with open(os.path.join(man_dir, f)) as fh:
+                assert json.load(fh)["files"][0] in committed
+    # A fresh batch id DOES commit (the branch is id-keyed, not frozen).
+    info["write_batch"](poison, len(versions) + 100)
+    n_manifests = len(
+        [f for f in os.listdir(man_dir) if f.endswith(".json")]
+    )
+    assert n_manifests == len(versions) + 1
