@@ -204,3 +204,95 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version int, n_rows bigint, sum_value double, n_from_delta bigint",
     )
+
+
+@query(
+    "table_compact_versioned",
+    sql=f"""
+    WITH resolved AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql(f"CASE WHEN event_id % {DELTA_MOD} = 0"
+                         f" THEN value + {DELTA_BUMP} ELSE value END")}
+                   AS sum_value
+        FROM events
+    )
+    SELECT 1 AS version, n_rows, sum_value,
+           CAST(2 AS INT) AS n_source_dirs FROM resolved
+    UNION ALL
+    SELECT 2 AS version, n_rows, sum_value,
+           CAST(1 AS INT) AS n_source_dirs FROM resolved
+    """,
+    tables=("events",),
+    scale_note=(
+        "Lakehouse MAINTENANCE: compaction folds the merge-on-read "
+        "delta chain into one pre-resolved file set published as a NEW "
+        "commit — reads after compaction touch one dir and skip the "
+        "keep-latest window entirely, while every pre-compaction "
+        "version stays readable (time travel preserved: compaction is "
+        "an append to the version chain, never a rewrite of history). "
+        "Commit races are handled by the same CAS manifest protocol; "
+        "orphaned pre-compaction files are reclaimed by a later vacuum "
+        "once no live reader can pin them. The oracle states that v1 "
+        "(merge-on-read over 2 dirs) and v2 (compacted, 1 dir) are "
+        "logically IDENTICAL — the compaction invariant."
+    ),
+)
+def table_compact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact the two-commit versioned table into a v2 whose resolved
+    content equals v1 while referencing a single pre-resolved dir."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_compact_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = e.select(*cols, F.lit(0).alias("commit"))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn("value", F.col("value") + F.lit(DELTA_BUMP))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        .select(*cols, F.lit(1).alias("commit"))
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta1"))
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    commit_next(man_dir, ["base"])
+    commit_next(man_dir, ["base", "delta1"])
+
+    def read_as_of(version: int) -> DataFrame:
+        with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        w = Window.partitionBy("event_id").orderBy(F.col("commit").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        ), len(files)
+
+    # COMPACTION: materialize v1's resolution once, publish as v2.
+    resolved_v1, _ = read_as_of(1)
+    resolved_v1.write.mode("overwrite").parquet(
+        os.path.join(root, "compact2")
+    )
+    commit_next(man_dir, ["compact2"])
+
+    rows = []
+    for v in (1, 2):
+        snap, n_dirs = read_as_of(v)
+        rows.append(
+            snap.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("value").alias("sum_value"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                "*",
+                F.lit(n_dirs).cast("int").alias("n_source_dirs"),
+            )
+            .collect()[0]
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, sum_value double, n_source_dirs int"
+    )
