@@ -50,14 +50,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Mid-round amendment: the three multimodal keys whose outputs CHANGED
 # this round (true-binary PNG/WAV fixtures, VERDICT r4 #7 —
 # scan_binary_files, multimodal_image_resize, multimodal_audio_chunk)
-# and the five keys ADDED this round (sim_pairs_sharded_jobs,
+# and the six keys ADDED this round (sim_pairs_sharded_jobs,
 # multimodal_decode_errors, stream_static_join, profile_join_skew,
-# stream_upsert_versioned) take the last eight slots.  A key with changed output or no history
-# has NO valid driver evidence at all, which is staler than any
-# unchanged round-2 row; the eight displaced round-2 keys
-# (ts_anomaly_zscore, ts_retention_cohort, ts_interpolate, text_quality_score,
-# text_lang_id, text_fingerprint, text_token_count_bpe,
-# text_keywords_topk) join the round-6 queue.
+# stream_upsert_versioned, table_compact_versioned) take the last
+# nine slots.  A key with changed output or no history has NO valid
+# driver evidence at all, which is staler than any unchanged round-2
+# row; the nine displaced round-2 keys (funnel_conversion,
+# ts_anomaly_zscore, ts_retention_cohort, ts_interpolate,
+# text_quality_score, text_lang_id, text_fingerprint,
+# text_token_count_bpe, text_keywords_topk) join the round-6 queue.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -78,16 +79,15 @@ _R5_WINDOW = (
     "set_intersect", "set_except", "join_skew_salted",
     "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
     "top_active_users", "error_rate_per_day", "ts_gap_fill",
-    "funnel_conversion",
     "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
     "text_lang_stats",
     # -- 3 keys whose outputs changed this round (see above) --
     "scan_binary_files", "multimodal_image_resize",
     "multimodal_audio_chunk",
-    # -- 5 keys added this round, never driver-checked --
+    # -- 6 keys added this round, never driver-checked --
     "sim_pairs_sharded_jobs", "multimodal_decode_errors",
     "stream_static_join", "profile_join_skew",
-    "stream_upsert_versioned",
+    "stream_upsert_versioned", "table_compact_versioned",
 )
 
 assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
