@@ -298,3 +298,65 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st["nc"] + 1).alias("nc_next"),
         F.to_json(st).alias("st_json"),
     )
+
+
+@query(
+    "fn_url",
+    sql="""
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&len=' || CAST(n_chars AS VARCHAR)
+               || '#s' || CAST(doc_id % 10 AS VARCHAR) AS url,
+           source || '.example.com' AS host,
+           '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&len=' || CAST(n_chars AS VARCHAR)
+               AS query,
+           lang AS q_lang,
+           CAST(n_chars AS VARCHAR) AS q_len,
+           's' || CAST(doc_id % 10 AS VARCHAR) AS fragment
+    FROM documents
+    """,
+    tables=("documents",),
+    scale_note=(
+        "parse_url is a JVM-side codegen expression (java.net.URI "
+        "under the hood) — URL canonicalization/host extraction over "
+        "a 100-TB crawl is a pure map stage with zero shuffle, and "
+        "the projection prunes to the three source columns at the "
+        "scan. DuckDB has no parse_url, so the oracle CONSTRUCTS the "
+        "expected components directly from the base columns, which "
+        "makes the check a build→parse round-trip proof rather than "
+        "a restatement of the same parser."
+    ),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (crawl-pipeline analog): build a URL from
+    document fields, then recover host / path / query / named query
+    param / fragment with ``parse_url`` — the round trip must land
+    exactly on the directly-constructed oracle components."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&len="),
+        F.col("n_chars").cast("string"),
+        F.lit("#s"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("len")).alias("q_len"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

@@ -507,3 +507,100 @@ def agg_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# Price-bucket width for the distributed weighted-median search.  Any
+# positive width is correct (bucketing only localizes the scan); at
+# 100 TB pick width so the per-group bucket table stays metadata-sized
+# while the median bucket holds ~one task of rows.
+WMEDIAN_BUCKET = 1000.0
+
+
+@query(
+    "agg_weighted_median",
+    sql="""
+    WITH pl AS (
+        SELECT l_returnflag, l_extendedprice AS price,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+        FROM lineitem
+        GROUP BY l_returnflag, l_extendedprice
+    ), c AS (
+        SELECT l_returnflag, price,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM pl
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "EXACT weighted median WITHOUT a per-group global sort: "
+        "phase 1 aggregates weight per (group, price-bucket) — one "
+        "partial-agg shuffle, output metadata-sized; phase 2 finds "
+        "each group's median bucket and its cumulative offset with a "
+        "window over the bucket aggregates (hundreds of rows); phase "
+        "3 re-scans ONLY the median bucket's rows (map-side broadcast "
+        "semi-filter) and resolves the exact value inside it.  The "
+        "naive shape — rank every row per group — needs a full sort "
+        "of 100 TB; this shape sorts one bucket.  All weight "
+        "arithmetic in DECIMAL so the >= tw/2 boundary row is "
+        "engine-exact; the oracle computes the same median by the "
+        "textbook per-group cumulative window."
+    ),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact l_quantity-weighted median of l_extendedprice per
+    returnflag via bucket-localized search (no global per-group sort).
+
+    Correctness of the localization: buckets are price-ordered
+    intervals, so a bucket's cumulative end weight equals the global
+    cumulative weight at its max price; the first bucket whose
+    cumulative end reaches tw/2 therefore contains the global median
+    price, and in-bucket cumsum + the preceding buckets' offset
+    reproduces the global cumsum exactly.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    pl = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(dec("l_quantity")).alias("w"))
+        .withColumn(
+            "bucket", F.floor(F.col("price") / F.lit(WMEDIAN_BUCKET))
+        )
+    )
+    bk = pl.groupBy("l_returnflag", "bucket").agg(F.sum("w").alias("bw"))
+    wb = Window.partitionBy("l_returnflag").orderBy("bucket")
+    wt = Window.partitionBy("l_returnflag")
+    bk_cum = bk.withColumn("cum_end", F.sum("bw").over(wb)).withColumn(
+        "tw", F.sum("bw").over(wt)
+    )
+    qual = Window.partitionBy("l_returnflag").orderBy("bucket")
+    mb = (
+        bk_cum.filter(2 * F.col("cum_end") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(qual))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_returnflag").alias("mb_flag"),
+            F.col("bucket").alias("mb"),
+            (F.col("cum_end") - F.col("bw")).alias("offset"),
+            "tw",
+        )
+    )
+    in_bucket = pl.join(
+        F.broadcast(mb),
+        (F.col("l_returnflag") == F.col("mb_flag"))
+        & (F.col("bucket") == F.col("mb")),
+    ).select("l_returnflag", "price", "w", "offset", "tw")
+    wp = Window.partitionBy("l_returnflag").orderBy("price")
+    return (
+        in_bucket.withColumn("cum", F.sum("w").over(wp))
+        .filter(2 * (F.col("offset") + F.col("cum")) >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median_price")
+        )
+    )
