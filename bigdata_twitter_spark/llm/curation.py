@@ -450,3 +450,100 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "k", "neg_doc_id")
     )
+
+
+# --- span-level corpus dedup (round 5) ------------------------------
+
+# A "span" is a 10-token chunk (the fixture corpus has no newlines, so
+# chunks play the role lines play in C4/RefinedWeb line-dedup).
+SPAN_TOKENS = 10
+
+# A span is corpus-duplicated when it appears in >= this many DISTINCT
+# documents.
+SPAN_DUP_MIN_DOCS = 2
+
+_SPARK_SPANS = (
+    "CASE WHEN size(toks) >= 1 THEN"
+    " transform(sequence(1, CAST(ceil(size(toks) / {w}.0) AS INT)),"
+    "           j -> concat_ws(' ', slice(toks, (j - 1) * {w} + 1, {w})))"
+    " ELSE CAST(array() AS array<string>) END"
+).format(w=SPAN_TOKENS)
+
+_DUCK_SPANS = (
+    "list_transform(range(1, CAST(ceil(len(toks) / {w}.0) AS BIGINT) + 1),"
+    " j -> array_to_string("
+    "list_slice(toks, (j - 1) * {w} + 1, (j - 1) * {w} + {w}), ' '))"
+).format(w=SPAN_TOKENS)
+
+
+@query(
+    "text_span_dedup",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), c AS (
+        SELECT doc_id, {_DUCK_SPANS} AS spans FROM t
+    ), s AS (
+        SELECT doc_id, u.idx AS idx, spans[u.idx] AS span
+        FROM c, UNNEST(range(1, len(spans) + 1)) AS u(idx)
+    ), dup AS (
+        SELECT span FROM (SELECT DISTINCT doc_id, span FROM s)
+        GROUP BY span HAVING COUNT(*) >= {SPAN_DUP_MIN_DOCS}
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN dup.span IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           COALESCE(string_agg(
+               CASE WHEN dup.span IS NULL THEN s.span END,
+               ' ' ORDER BY s.idx), '') AS clean_text
+    FROM s LEFT JOIN dup ON s.span = dup.span
+    GROUP BY s.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "C4/RefinedWeb-style span (line) dedup as a REWRITE, not just "
+        "a score: spans occurring in >= K distinct docs are cut and "
+        "the document is reassembled from the survivors in order. "
+        "Distinct-doc counting is the boilerplate op's two-phase agg; "
+        "the duplicated-span set is Zipf-bounded so it broadcasts, "
+        "making the cut itself map-side; reassembly is one doc-keyed "
+        "agg (collect_list of (idx, span) survivors -> array_sort -> "
+        "concat).  The whole plan shuffles (span) once and (doc_id) "
+        "once — both linear in corpus size at 100 TB."
+    ),
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove corpus-duplicated 10-token spans from every document and
+    emit the cleaned text with per-doc removal accounting."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr(_SPARK_TOKS)
+    )
+    spans = d.select(
+        "doc_id",
+        F.posexplode(F.expr(_SPARK_SPANS)).alias("idx", "span"),
+    )
+    dup = (
+        spans.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_DUP_MIN_DOCS)
+        .select("span", F.lit(1).alias("dup"))
+    )
+    joined = spans.join(F.broadcast(dup), "span", "left")
+    keep = F.when(
+        F.col("dup").isNull(), F.struct(F.col("idx"), F.col("span"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("dup") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(keep)), lambda x: x["span"]
+            ),
+        ).alias("clean_text"),
+    )

@@ -162,6 +162,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
 
     # Round-5 additions (queue behind the explicit window).
     from .llm import orchestration  # noqa: F401  (round 5)
+    from .operators import bloomjoin  # noqa: F401  (round 5)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
