@@ -59,6 +59,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # ts_anomaly_zscore, ts_retention_cohort, ts_interpolate,
 # text_quality_score, text_lang_id, text_fingerprint,
 # text_token_count_bpe, text_keywords_topk) join the round-6 queue.
+#
+# Second amendment (same staleness logic): five MORE keys were added
+# later in round 5 (fn_url, agg_weighted_median, join_bloom_prefilter,
+# text_span_dedup, table_change_feed) — never driver-checked, so they
+# displace five further round-2 keys (text_tokenize, text_ngrams,
+# text_sentiment_lexicon, text_lang_stats, ts_gap_fill) into the
+# round-6 queue alongside the nine above.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -78,9 +85,10 @@ _R5_WINDOW = (
     "sort_multikey", "limit_topk_global",
     "set_intersect", "set_except", "join_skew_salted",
     "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
-    "top_active_users", "error_rate_per_day", "ts_gap_fill",
-    "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
-    "text_lang_stats",
+    "top_active_users", "error_rate_per_day",
+    # -- 5 keys added late in round 5, never driver-checked --
+    "fn_url", "agg_weighted_median", "join_bloom_prefilter",
+    "text_span_dedup", "table_change_feed",
     # -- 3 keys whose outputs changed this round (see above) --
     "scan_binary_files", "multimodal_image_resize",
     "multimodal_audio_chunk",

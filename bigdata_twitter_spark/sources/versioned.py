@@ -296,3 +296,128 @@ def table_compact_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, sum_value double, n_source_dirs int"
     )
+
+
+# --- change feed (round 5) ------------------------------------------
+
+# Delta-commit composition rules for the change-feed fixture.  The
+# three channels are disjoint on the DELTA side: tombstones win over
+# updates for the same source row, and inserts mint fresh keys far
+# outside the base id range.
+FEED_DELETE_MOD = 10  # event_id % 10 == 3  -> tombstone
+FEED_DELETE_REM = 3
+FEED_INSERT_REM = 7  # event_id % 10 == 7  -> seed row for an insert
+FEED_INSERT_OFFSET = 10**12  # minted insert key = event_id + offset
+
+
+@query(
+    "table_change_feed",
+    sql=f"""
+    SELECT 'delete' AS change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % {FEED_DELETE_MOD} = {FEED_DELETE_REM}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'update' AS change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql(f'value + {DELTA_BUMP}')} AS sum_value
+    FROM events
+    WHERE event_id % {DELTA_MOD} = 0
+      AND event_id % {FEED_DELETE_MOD} <> {FEED_DELETE_REM}
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'insert' AS change_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    WHERE event_id % {FEED_DELETE_MOD} = {FEED_INSERT_REM}
+    GROUP BY event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "CDC change feed from the versioned table, computed from the "
+        "COMMIT'S DELTA FILES ONLY (the files v1 names that v0 does "
+        "not) — O(delta) rows read, never an O(table) snapshot diff "
+        "(that shape is cdc_snapshot_diff; a lakehouse serves the "
+        "feed from the log).  Classification needs one bit of table "
+        "state — does the key exist in v0 — obtained by a keyed "
+        "left join of the delta against the base's key column; at "
+        "100 TB the base side prunes by partition/zone-map on the "
+        "delta's key range or a Bloom of delta keys "
+        "(join_bloom_prefilter's bitmap, flipped), so the probe "
+        "reads key metadata, not the table.  Tombstones classify as "
+        "deletes directly; upserts split insert/update on the "
+        "existence bit.  The oracle restates the three disjoint "
+        "delta-composition channels from the source table."
+    ),
+)
+def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(change_type, event_type) feed summary for the v0→v1 commit
+    of a versioned events table whose delta carries updates, deletes
+    (tombstones), and freshly-minted inserts."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_feed_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    is_del = F.col("event_id") % FEED_DELETE_MOD == FEED_DELETE_REM
+    base = e.select(*cols, F.lit("upsert").alias("op"))
+    tombstones = (
+        e.filter(is_del)
+        .withColumn("value", F.lit(None).cast("double"))
+        .select(*cols, F.lit("delete").alias("op"))
+    )
+    updates = (
+        e.filter((F.col("event_id") % DELTA_MOD == 0) & ~is_del)
+        .withColumn("value", F.col("value") + F.lit(DELTA_BUMP))
+        .select(*cols, F.lit("upsert").alias("op"))
+    )
+    inserts = (
+        e.filter(F.col("event_id") % FEED_DELETE_MOD == FEED_INSERT_REM)
+        .withColumn("event_id", F.col("event_id") + F.lit(FEED_INSERT_OFFSET))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .select(*cols, F.lit("upsert").alias("op"))
+    )
+    delta = tombstones.unionByName(updates).unionByName(inserts)
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta1"))
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    commit_next(man_dir, ["base"])
+    commit_next(man_dir, ["base", "delta1"])
+
+    # Feed = delta files named by v1 but not v0 (manifest set diff).
+    with open(os.path.join(man_dir, "v0.json")) as fh:
+        v0_files = set(json.load(fh)["files"])
+    with open(os.path.join(man_dir, "v1.json")) as fh:
+        v1_files = json.load(fh)["files"]
+    feed_files = [f for f in v1_files if f not in v0_files]
+    feed = spark.read.parquet(
+        *[os.path.join(root, f) for f in feed_files]
+    )
+    base_keys = spark.read.parquet(os.path.join(root, "base")).select(
+        F.col("event_id").alias("bk"), F.lit(1).alias("in_base")
+    )
+    classified = (
+        feed.join(base_keys, feed.event_id == base_keys.bk, "left")
+        .withColumn(
+            "change_type",
+            F.when(F.col("op") == "delete", F.lit("delete"))
+            .when(F.col("in_base") == 1, F.lit("update"))
+            .otherwise(F.lit("insert")),
+        )
+    )
+    out = (
+        classified.groupBy("change_type", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(dsum("value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "change_type string, event_type string, n bigint, sum_value double"
+    )

@@ -41,6 +41,11 @@ ZERO_ROW_KEYS = [
     "sim_pairs_sharded_jobs",
     "profile_join_skew",
     "stream_static_join",
+    "fn_url",
+    "agg_weighted_median",
+    "join_bloom_prefilter",
+    "text_span_dedup",
+    "table_change_feed",
 ]
 
 

@@ -149,3 +149,149 @@ def test_stream_upsert_versioned_exactly_once_replay(specs, spark, sf_dir):
         [f for f in os.listdir(man_dir) if f.endswith(".json")]
     )
     assert n_manifests == len(versions) + 1
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(specs, spark, sf_dir):
+    """The Bloom pre-filter must drop a meaningful share of the fact
+    side BEFORE the join and must never drop a truly-matching row."""
+    import pyspark.sql.functions as F
+
+    from bigdata_twitter_spark.operators.bloomjoin import (
+        bloom_bitmap, prune_by_bloom,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bm = bloom_bitmap(c.select("c_custkey"), "c_custkey")
+    bf = spark.createDataFrame([(bm,)], "bf array<bigint>")
+    pruned_keys = {
+        r["o_custkey"]
+        for r in prune_by_bloom(o.crossJoin(F.broadcast(bf)), "o_custkey")
+        .select("o_custkey").collect()
+    }
+    true_keys = {r["c_custkey"] for r in c.select("c_custkey").collect()}
+    fact_keys = [r["o_custkey"] for r in o.select("o_custkey").collect()]
+    matching = {k for k in fact_keys if k in true_keys}
+    assert matching <= pruned_keys  # no false negatives, ever
+    assert len(pruned_keys) < len(set(fact_keys))  # actually prunes
+
+
+def test_span_dedup_rewrite_reassembles_survivors_in_order(specs, spark, sf_dir):
+    """clean_text must be the original span sequence minus exactly the
+    corpus-duplicated spans, in original order."""
+    from bigdata_twitter_spark.llm.curation import (
+        SPAN_DUP_MIN_DOCS, SPAN_TOKENS,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+
+    def spans_of(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return [
+            " ".join(toks[i : i + SPAN_TOKENS])
+            for i in range(0, len(toks), SPAN_TOKENS)
+        ]
+
+    from collections import Counter
+
+    doc_spans = {d: spans_of(t) for d, t in docs.items()}
+    df = Counter()
+    for sp in doc_spans.values():
+        df.update(set(sp))
+    dup = {s for s, n in df.items() if n >= SPAN_DUP_MIN_DOCS}
+
+    out = specs["text_span_dedup"].fn(spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    removed_total = 0
+    for r in out:
+        sp = doc_spans[r["doc_id"]]
+        expect = [s for s in sp if s not in dup]
+        assert r["n_spans"] == len(sp)
+        assert r["clean_text"] == " ".join(expect)
+        assert r["n_removed"] == len(sp) - len(expect)
+        removed_total += r["n_removed"]
+    assert removed_total > 0, "fixture should contain duplicated spans"
+
+
+def test_weighted_median_matches_naive(specs, spark, sf_dir):
+    """Bucket-localized search must equal the naive sort-and-scan
+    weighted median (computed in exact Decimal arithmetic)."""
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], Decimal(str(round(r["l_quantity"], 2))))
+        )
+    expect = {}
+    for flag, vals in by_flag.items():
+        # price-level weights, cumulated in ascending price order
+        agg: dict = {}
+        for p, w in vals:
+            agg[p] = agg.get(p, Decimal(0)) + w
+        tot = sum(agg.values())
+        cum = Decimal(0)
+        for p in sorted(agg):
+            cum += agg[p]
+            if 2 * cum >= tot:
+                expect[flag] = p
+                break
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in specs["agg_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_change_feed_channels_disjoint_and_complete(specs, spark, sf_dir):
+    """Feed rows must cover each delta channel exactly once with the
+    right classification."""
+    from bigdata_twitter_spark.sources.versioned import (
+        DELTA_MOD, FEED_DELETE_MOD, FEED_DELETE_REM, FEED_INSERT_REM,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    ids = [
+        r["event_id"]
+        for r in load(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    n_del = sum(1 for i in ids if i % FEED_DELETE_MOD == FEED_DELETE_REM)
+    n_upd = sum(
+        1
+        for i in ids
+        if i % DELTA_MOD == 0 and i % FEED_DELETE_MOD != FEED_DELETE_REM
+    )
+    n_ins = sum(1 for i in ids if i % FEED_DELETE_MOD == FEED_INSERT_REM)
+    out = specs["table_change_feed"].fn(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in out:
+        by_type[r["change_type"]] = by_type.get(r["change_type"], 0) + r["n"]
+    assert by_type == {"delete": n_del, "update": n_upd, "insert": n_ins}
+    # deletes are tombstones: their value contribution must be zero
+    assert all(
+        r["sum_value"] == 0.0 for r in out if r["change_type"] == "delete"
+    )
+
+
+def test_fn_url_roundtrip_components(specs, spark, sf_dir):
+    """parse_url must recover each component of the constructed URL."""
+    out = specs["fn_url"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out[:50]:
+        assert r["host"].endswith(".example.com")
+        assert r["path"].startswith("/docs/")
+        assert r["q_lang"] and f"lang={r['q_lang']}" in r["query"]
+        assert r["fragment"].startswith("s")
+        assert r["url"].startswith("https://") and "#" in r["url"]
