@@ -360,3 +360,44 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("len")).alias("q_len"),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     )
+
+
+@query(
+    "fn_bitwise",
+    sql="""
+    SELECT event_id,
+           CAST(event_id & 255 AS BIGINT) AS band,
+           CAST(event_id | 4096 AS BIGINT) AS bor,
+           CAST(xor(event_id, user_id) AS BIGINT) AS bxor,
+           CAST((event_id & 255) << 3 AS BIGINT) AS shl,
+           CAST(event_id >> 4 AS BIGINT) AS shr,
+           CAST(bit_count(CAST(event_id AS BIGINT)) AS INT) AS nbits,
+           CAST(~(event_id & 1023) AS BIGINT) AS bnot
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "Bitwise function family — the primitive layer under every "
+        "hash/bitmap operator in the tree (Bloom word tests, SimHash "
+        "band extraction, HLL register packing).  Pure codegen map "
+        "stage, zero shuffle.  Dialect note: DuckDB's ^ is "
+        "exponentiation, so the oracle uses xor(a, b) while Spark "
+        "uses the ^ operator — same two's-complement bigint "
+        "semantics on both engines, which is exactly what the hash "
+        "check proves (incl. sign behavior of ~ and >> on negatives)."
+    ),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/XOR/shift/popcount/NOT over event ids (bit-packing
+    primitives exercised end-to-end against the oracle)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("event_id & 255").cast("bigint").alias("band"),
+        F.expr("event_id | 4096").cast("bigint").alias("bor"),
+        F.expr("event_id ^ user_id").cast("bigint").alias("bxor"),
+        F.expr("shiftleft(event_id & 255, 3)").cast("bigint").alias("shl"),
+        F.expr("shiftright(event_id, 4)").cast("bigint").alias("shr"),
+        F.bit_count("event_id").cast("int").alias("nbits"),
+        F.expr("~(event_id & 1023)").cast("bigint").alias("bnot"),
+    )

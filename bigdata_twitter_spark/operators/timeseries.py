@@ -838,3 +838,74 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
         )
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(hour(ts) AS INT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 1, 2, 3
+    ), seasonal AS (
+        SELECT event_type, hod,
+               CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS BIGINT)
+                   AS seasonal_n
+        FROM hourly
+        GROUP BY event_type, hod
+    )
+    SELECT h.event_type, h.day, h.hod, h.n, s.seasonal_n,
+           CAST(h.n AS DOUBLE) - s.seasonal_n AS residual
+    FROM hourly h JOIN seasonal s
+      ON h.event_type = s.event_type AND h.hod = s.hod
+    """,
+    tables=("events",),
+    scale_note=(
+        "Additive seasonal decomposition of the event-rate series: "
+        "observed hourly counts minus the hour-of-day seasonal mean "
+        "per type.  Two aggregations — (type, day, hod) then (type, "
+        "hod) — where the second input is already group-row-sized, so "
+        "the seasonal profile is a (|types| × 24)-row dim that "
+        "BROADCASTS back onto the hourly series (map-side join, no "
+        "second data shuffle).  The mean is computed as exact bigint "
+        "SUM / COUNT in one double division, so both engines perform "
+        "the identical IEEE op (davg's recipe); residual subtraction "
+        "is then bit-deterministic.  At 100 TB the hourly pre-agg is "
+        "the only data-sized pass — the anomaly-detection cousin of "
+        "ts_anomaly_zscore with a seasonal rather than global "
+        "baseline."
+    ),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline + residual per (type, day, hour)
+    observed bucket (diurnal-cycle removal for anomaly screening)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    seasonal = hourly.groupBy("event_type", "hod").agg(
+        (
+            F.sum("n").cast("double")
+            / F.count("*").cast("bigint")
+        ).alias("seasonal_n")
+    )
+    h, s = hourly.alias("h"), F.broadcast(seasonal.alias("s"))
+    return h.join(
+        s,
+        (F.col("h.event_type") == F.col("s.event_type"))
+        & (F.col("h.hod") == F.col("s.hod")),
+    ).select(
+        F.col("h.event_type").alias("event_type"),
+        F.col("h.day").alias("day"),
+        F.col("h.hod").alias("hod"),
+        F.col("h.n").alias("n"),
+        F.col("s.seasonal_n").alias("seasonal_n"),
+        (F.col("h.n").cast("double") - F.col("s.seasonal_n")).alias(
+            "residual"
+        ),
+    )

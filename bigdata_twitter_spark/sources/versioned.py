@@ -421,3 +421,128 @@ def table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "change_type string, event_type string, n bigint, sum_value double"
     )
+
+
+@query(
+    "table_vacuum_versioned",
+    sql=f"""
+    WITH resolved AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql(f"CASE WHEN event_id % {DELTA_MOD} = 0"
+                         f" THEN value + {DELTA_BUMP} ELSE value END")}
+                   AS sum_value
+        FROM events
+    )
+    SELECT 'before' AS phase, CAST(3 AS INT) AS n_manifests,
+           CAST(3 AS INT) AS n_data_dirs, n_rows, sum_value
+    FROM resolved
+    UNION ALL
+    SELECT 'after' AS phase, CAST(1 AS INT) AS n_manifests,
+           CAST(1 AS INT) AS n_data_dirs, n_rows, sum_value
+    FROM resolved
+    """,
+    tables=("events",),
+    scale_note=(
+        "Lakehouse MAINTENANCE, final step of the lifecycle (commit → "
+        "time travel → compact → VACUUM): once a retention policy "
+        "expires versions v0/v1, the live file set is the union of "
+        "files named by RETAINED manifests only; everything else — "
+        "data dirs AND expired manifests — is reclaimed.  Vacuum "
+        "cost is a metadata scan (manifest union) plus deletes, never "
+        "a data read; the safety argument is the set-union over "
+        "retained manifests, so a file shared by a retained and an "
+        "expired version survives by construction.  The oracle pins "
+        "the invariant that matters: the youngest version resolves "
+        "IDENTICALLY before and after vacuum (same rows, same exact "
+        "decimal sum), while the file/manifest counts drop 3→1."
+    ),
+)
+def table_vacuum_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vacuum the 3-version chain (base, merge-on-read, compacted)
+    with a keep-latest-only retention and prove v2 is untouched."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_vacuum_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = e.select(*cols, F.lit(0).alias("commit"))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn("value", F.col("value") + F.lit(DELTA_BUMP))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+        .select(*cols, F.lit(1).alias("commit"))
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta1"))
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    commit_next(man_dir, ["base"])
+    commit_next(man_dir, ["base", "delta1"])
+
+    def read_as_of(version: int) -> DataFrame:
+        with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        w = Window.partitionBy("event_id").orderBy(F.col("commit").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    resolved_v1 = read_as_of(1)
+    resolved_v1.write.mode("overwrite").parquet(
+        os.path.join(root, "compact2")
+    )
+    commit_next(man_dir, ["compact2"])
+
+    def stats(phase: str):
+        manifests = sorted(
+            f for f in os.listdir(man_dir) if f.endswith(".json")
+        )
+        data_dirs = sorted(
+            d for d in os.listdir(root) if d != "_manifests"
+        )
+        newest = max(int(f[1:-5]) for f in manifests)
+        snap = read_as_of(newest)
+        row = snap.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        ).collect()[0]
+        return (
+            phase,
+            len(manifests),
+            len(data_dirs),
+            row["n_rows"],
+            row["sum_value"],
+        )
+
+    rows = [stats("before")]
+
+    # VACUUM: retention = keep only the newest version.  Live files =
+    # union over retained manifests; expired manifests and orphaned
+    # data dirs are deleted.
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(man_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    retained = {versions[-1]}
+    live: set[str] = set()
+    for v in retained:
+        with open(os.path.join(man_dir, f"v{v}.json")) as fh:
+            live |= set(json.load(fh)["files"])
+    for v in versions:
+        if v not in retained:
+            os.unlink(os.path.join(man_dir, f"v{v}.json"))
+    for d in os.listdir(root):
+        if d != "_manifests" and d not in live:
+            shutil.rmtree(os.path.join(root, d))
+
+    rows.append(stats("after"))
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "phase string, n_manifests int, n_data_dirs int, "
+        "n_rows bigint, sum_value double",
+    )

@@ -46,6 +46,8 @@ ZERO_ROW_KEYS = [
     "join_bloom_prefilter",
     "text_span_dedup",
     "table_change_feed",
+    "ts_seasonal_decompose",
+    "fn_bitwise",
 ]
 
 

@@ -295,3 +295,48 @@ def test_fn_url_roundtrip_components(specs, spark, sf_dir):
         assert r["q_lang"] and f"lang={r['q_lang']}" in r["query"]
         assert r["fragment"].startswith("s")
         assert r["url"].startswith("https://") and "#" in r["url"]
+
+
+def test_seasonal_residuals_sum_to_zero_per_profile(specs, spark, sf_dir):
+    """sum(n - mean) over each (type, hod) profile is identically zero
+    in exact arithmetic; float evaluation must stay within rounding."""
+    rows = specs["ts_seasonal_decompose"].fn(spark, sf_dir).collect()
+    acc: dict = {}
+    for r in rows:
+        k = (r["event_type"], r["hod"])
+        s, n = acc.get(k, (0.0, 0))
+        acc[k] = (s + r["residual"], n + r["n"])
+    assert acc
+    for (t, hod), (s, n) in acc.items():
+        assert abs(s) < 1e-6 * max(n, 1), (t, hod, s)
+
+
+def test_bitwise_matches_python_semantics(specs, spark, sf_dir):
+    """Spark's bigint bit ops must agree with Python's arbitrary-
+    precision ints masked to 64-bit two's complement."""
+
+    def to_i64(x):
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    for r in specs["fn_bitwise"].fn(spark, sf_dir).collect()[:200]:
+        i = r["event_id"]
+        assert r["band"] == i & 255
+        assert r["bor"] == i | 4096
+        assert r["shl"] == to_i64((i & 255) << 3)
+        assert r["shr"] == i >> 4
+        assert r["nbits"] == bin(i & ((1 << 64) - 1)).count("1")
+        assert r["bnot"] == to_i64(~(i & 1023))
+
+
+def test_vacuum_preserves_youngest_version(specs, spark, sf_dir):
+    """Before/after rows must agree on (n_rows, sum_value) while the
+    manifest and data-dir counts collapse to 1."""
+    rows = {
+        r["phase"]: r
+        for r in specs["table_vacuum_versioned"].fn(spark, sf_dir).collect()
+    }
+    b, a = rows["before"], rows["after"]
+    assert (b["n_rows"], b["sum_value"]) == (a["n_rows"], a["sum_value"])
+    assert (b["n_manifests"], b["n_data_dirs"]) == (3, 3)
+    assert (a["n_manifests"], a["n_data_dirs"]) == (1, 1)
