@@ -226,3 +226,58 @@ def test_train_pipeline_is_one_plan_with_doc_keyed_joins(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_bloom_prefilter_prunes_map_side_before_join(spark, sf_dir):
+    """The bitmap membership tests must run in the scan/filter stage
+    BELOW the join (a Filter on the fact side referencing the bloom
+    words), and the final customer join must broadcast."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # the word-test shows up as shiftleft(...) inside a Filter below
+    # the join — if it migrated above the join the pruning is gone
+    join_pos = plan.find("Join")
+    filt_pos = plan.find("shiftleft")
+    assert filt_pos != -1, plan
+    assert filt_pos > join_pos, (
+        "bloom filter should sit in the post-order (deeper) plan text "
+        "below the join node"
+    )
+
+
+def test_span_dedup_shuffles_once_per_key(spark, sf_dir):
+    """One (span) exchange for the dup set + one (doc_id) exchange for
+    reassembly; the dup-set join itself must broadcast."""
+    plan = _plan(spark, sf_dir, "text_span_dedup")
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: span distinct+agg side may legitimately add one more
+    # for the distinct; cap total data exchanges at 4 to catch a
+    # regression to a sort-merge join (which would add sorts too)
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_median_never_sorts_whole_groups(spark, sf_dir):
+    """The only window over data rows runs on the single median bucket;
+    the full lineitem table must not pass through a global per-group
+    sort (no Sort directly over the raw-row scan partitioning)."""
+    df = SPECS["agg_weighted_median"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the in-bucket window sorts only rows surviving the broadcast
+    # semi-filter join; a regression to the naive shape would window
+    # straight over the (l_returnflag) partition of the full price set
+    # with no preceding BroadcastHashJoin
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_seasonal_profile_broadcasts_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ts_seasonal_decompose")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_fn_url_and_bitwise_are_pure_map_stages(spark, sf_dir):
+    for key in ("fn_url", "fn_bitwise"):
+        plan = _plan(spark, sf_dir, key)
+        assert "Exchange" not in plan, (key, plan)
