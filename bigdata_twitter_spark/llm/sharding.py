@@ -158,3 +158,90 @@ def data_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(16.0) / F.col("rate"), 6).alias("weight"),
         )
     )
+
+
+# Temperature for source rebalancing (alpha = 0.5 ⇒ sqrt scaling —
+# chosen because sqrt is correctly-rounded IEEE on both engines,
+# unlike pow(x, alpha) for general alpha, so the oracle is bit-exact).
+MIXTURE_TARGET_FRAC = 0.2  # base keep-rate for a source at share 1.0
+HEX_SPACE = 16 ** 5  # md5 5-hex-char prefix space for the keep test
+
+
+@query(
+    "sample_temperature_mixture",
+    sql=f"""
+    WITH s AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_s
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS chars_tot FROM documents
+    ), t AS (
+        SELECT source,
+               least(1.0, {MIXTURE_TARGET_FRAC} /
+                   sqrt(CAST(chars_s AS DOUBLE) / CAST(chars_tot AS DOUBLE)))
+                   AS rate
+        FROM s, tot
+    )
+    SELECT d.doc_id, d.source, t.rate
+    FROM documents d JOIN t ON d.source = t.source
+    WHERE t.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+          < lower(lpad(to_hex(CAST(FLOOR(t.rate * {HEX_SPACE}) AS BIGINT)),
+                       5, '0'))
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Temperature-balanced source sampling (the multilingual-corpus "
+        "rebalance recipe: keep-rate ∝ share^(α-1), α=1/2, capped at "
+        "1) — small sources are up-weighted relative to their share, "
+        "dominant sources down-sampled.  Per-source char shares are "
+        "one partial-agg pass; the 20-row rate table broadcasts; the "
+        "keep decision is a per-row md5-prefix comparison against the "
+        "source's rate threshold, so the whole sample is a map-side "
+        "filter that pushes to the scan, reproducible across runs "
+        "and cluster layouts (no RNG state).  Exactness: α=1/2 makes "
+        "the rate sqrt-based (correctly-rounded IEEE on both "
+        "engines), and the hex-prefix compare is lexicographic = "
+        "numeric on fixed-width lowercase hex."
+    ),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature (α=0.5) source-mixture sample of the
+    documents table with per-source md5-threshold keep decisions."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars_s")
+    )
+    total = d.agg(F.sum("n_chars").cast("bigint").alias("chars_tot"))
+    rates = (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                F.lit(MIXTURE_TARGET_FRAC)
+                / F.sqrt(
+                    F.col("chars_s").cast("double")
+                    / F.col("chars_tot").cast("double")
+                ),
+            ).alias("rate"),
+        )
+    )
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * HEX_SPACE).cast("bigint")),
+            5,
+            "0",
+        )
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            (F.col("rate") >= 1.0)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
+                < thresh
+            )
+        )
+        .select("doc_id", "source", "rate")
+    )

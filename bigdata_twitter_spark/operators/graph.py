@@ -268,3 +268,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _TRIANGLE_LIVE_CACHES.extend([edges, oriented])
     return out
+
+
+@query(
+    "graph_degree_distribution",
+    sql=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_OFFSET} AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+        SELECT c AS src FROM cp UNION ALL SELECT p AS src FROM cp
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    )
+    SELECT CAST(floor(log2(deg)) AS INT) AS bucket,
+           src >= {PART_OFFSET} AS is_part,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg
+    FROM deg
+    GROUP BY 1, 2
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Degree distribution of the copurchase graph in log2 buckets "
+        "— the skew diagnostic that decides whether PageRank/triangle "
+        "jobs need hub mitigation (vertex-cut, high-degree splitting) "
+        "before running.  Two shuffles total: one per-vertex count, "
+        "one bucket-sized agg — the histogram output is O(log "
+        "max_deg × 2) rows regardless of graph size.  log2 on a "
+        "bigint degree is exact for deg < 2^53, so floor(log2(deg)) "
+        "is engine-deterministic (both compute the same IEEE "
+        "double)."
+    ),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree histogram of the copurchase graph, split
+    by vertex side (customer vs part)."""
+    deg = (
+        copurchase_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return (
+        deg.select(
+            F.floor(F.log2("deg")).cast("int").alias("bucket"),
+            (F.col("src") >= PART_OFFSET).alias("is_part"),
+            "deg",
+        )
+        .groupBy("bucket", "is_part")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+    )

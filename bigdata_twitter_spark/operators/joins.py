@@ -436,3 +436,71 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             last_click,
         ).alias("last_click_ts"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    sql="""
+    SELECT event_id, user_id, ts, event_type,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN epoch_us(ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+             ELSE next_ts
+           END AS nearest_click_ts
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               (SELECT max(c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts <= e.ts) AS prev_ts,
+               (SELECT min(c.ts) FROM events c
+                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                   AND c.ts >= e.ts) AS next_ts
+        FROM events e
+    )
+    """,
+    tables=("events",),
+    scale_note=(
+        "NEAREST-in-time as-of join (either direction, ties to the "
+        "earlier side): the backward candidate is the same "
+        "range-frame running max as join_asof, the forward candidate "
+        "its mirror (running min over current..unbounded following), "
+        "and the pick is a pure projection on microsecond distances "
+        "— still ONE shuffle on user_id and one partition-local "
+        "sort, never a self-join.  This completes the as-of family "
+        "(backward = join_asof, bounded = join_asof_tolerance, "
+        "nearest = here).  The oracle's correlated min/max pair is "
+        "tie-deterministic by the same <=."
+    ),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with the NEAREST click time for its user —
+    before or after — with equal distances resolved to the earlier."""
+    e = load(spark, sf_dir, "events")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    prev_ts = F.max(click_ts).over(back)
+    next_ts = F.min(click_ts).over(fwd)
+    d_prev = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+    d_next = F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(prev_ts.isNull(), next_ts)
+        .when(next_ts.isNull(), prev_ts)
+        .when(d_prev <= d_next, prev_ts)
+        .otherwise(next_ts)
+        .alias("nearest_click_ts"),
+    )

@@ -48,6 +48,9 @@ ZERO_ROW_KEYS = [
     "table_change_feed",
     "ts_seasonal_decompose",
     "fn_bitwise",
+    "sample_temperature_mixture",
+    "join_asof_nearest",
+    "graph_degree_distribution",
 ]
 
 

