@@ -363,3 +363,116 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "a_id", "b_id", hamming.alias("hamming")
     ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+# Portable-hash MinHash twin (round 5): seeds/bands for the md5 family.
+# Half the seed budget of the xxhash64 fast path — the twin's job is
+# to drive-verify the ALGORITHM (signature → bands → bucket join →
+# cap) with a hash family both engines implement bit-identically, not
+# to chase the fast path's recall curve.
+MD5_MINHASH_SEEDS = 16
+MD5_LSH_BANDS = 4
+MD5_LSH_ROWS = MD5_MINHASH_SEEDS // MD5_LSH_BANDS
+
+
+@query(
+    "dedup_minhash_md5",
+    sql=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1] || ' ' ||
+                        string_split(lower(text), ' ')[i + 2]))) AS s
+        FROM documents
+    ), hh AS (
+        SELECT doc_id, u.seed AS seed,
+               min(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh, UNNEST(range(0, {MD5_MINHASH_SEEDS})) AS u(seed)
+        GROUP BY doc_id, u.seed
+    ), sig AS (
+        SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, u.band AS band,
+               md5(array_to_string(
+                   list_slice(sig, u.band * {MD5_LSH_ROWS} + 1,
+                              u.band * {MD5_LSH_ROWS} + {MD5_LSH_ROWS}),
+                   ',')) AS band_sig
+        FROM sig, UNNEST(range(0, {MD5_LSH_BANDS})) AS u(band)
+    ), keep AS (
+        SELECT doc_id, band, band_sig FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig)
+                <= {LSH_HOT_BUCKET_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM keep a JOIN keep b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Hash-grade twin of dedup_minhash_lsh: the SAME banded-"
+        "signature pipeline (per-seed min over shingle hashes → band "
+        "signatures → bucket self-join → occupancy cap) run with an "
+        "md5-string hash family that DuckDB reproduces bit-"
+        "identically, so the driver value-hashes the ALGORITHM end to "
+        "end — the xxhash64 sibling stays the fast path (integer "
+        "hashes, 32 seeds) and keeps its rows-only contract for the "
+        "hash-specific outputs.  Same plan shape and shuffle "
+        "economics: one (doc, shingle) pass with partial min-"
+        "aggregation, bands table ∝ docs × bands, never docs².  "
+        "minhash-over-md5-strings is lexicographic min over lowercase "
+        "hex — identical comparison semantics in both engines."
+    ),
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs under a portable md5 hash family —
+    the driver-hash-verifiable twin of dedup_minhash_lsh."""
+    sh = _doc_shingles(spark, sf_dir)
+    sh = sh.withColumn(
+        "h",
+        F.expr(
+            f"transform(sequence(0, {MD5_MINHASH_SEEDS - 1}),"
+            " i -> md5(concat(cast(i as string), ':', s)))"
+        ),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.col("h")[i]) for i in range(MD5_MINHASH_SEEDS)]
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MD5_LSH_BANDS - 1}),"
+                f" b -> md5(concat_ws(',',"
+                f" slice(sig, b * {MD5_LSH_ROWS} + 1, {MD5_LSH_ROWS}))))"
+            )
+        ).alias("band", "band_sig"),
+    )
+    bands = persist_fresh("md5_lsh_bands", sf_dir, bands)
+    occ = bands.groupBy("band", "band_sig").agg(
+        F.count("*").alias("occ")
+    )
+    keep = bands.join(
+        occ.filter(F.col("occ") <= LSH_HOT_BUCKET_CAP).select(
+            "band", "band_sig"
+        ),
+        ["band", "band_sig"],
+    )
+    a = keep.alias("a")
+    b = keep.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )

@@ -42,6 +42,17 @@ def test_lsh_covers_exact_jaccard_pairs(spark, weak_sf_dir):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_md5_minhash_twin_covers_exact_jaccard_pairs(spark, weak_sf_dir):
+    """The hash-grade md5 twin (16 seeds, 4x4 bands) must keep the
+    same planted-pair recall as the 32-seed fast path."""
+    exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, weak_sf_dir)
+    high = _pairs(exact.filter("jaccard >= 0.9"))
+    assert high
+    candidates = _pairs(SPECS["dedup_minhash_md5"].fn(spark, weak_sf_dir))
+    missed = high - candidates
+    assert not missed, f"md5 LSH twin missed high-jaccard pairs: {missed}"
+
+
 def test_simhash_covers_planted_pairs(spark, weak_sf_dir):
     exact = SPECS["dedup_fuzzy_jaccard"].fn(spark, weak_sf_dir)
     high = _pairs(exact.filter("jaccard >= 0.95"))
