@@ -476,3 +476,127 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# Portable-hash SimHash twin: 64-bit simhash from the first 16 hex
+# chars of md5(token); 8 bands × 8 bits ⇒ pigeonhole guarantee
+# hamming ≤ 7 — the SAME geometry as the xxhash64 fast path, so the
+# twin differs ONLY in hash family (a 32-bit first cut missed one
+# planted jaccard-0.95 pair at sf0.01 — narrower sketches are noisier;
+# the pin below enforces the full-width recall).
+MD5_SIMHASH_BITS = 64
+MD5_SIMHASH_BANDS = 8
+MD5_SIMHASH_MAX_HAMMING = MD5_SIMHASH_BANDS - 1
+
+
+@query(
+    "dedup_simhash_md5",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, substring(md5(tok), 1, 16) AS h8 FROM t
+    ), votes AS (
+        SELECT doc_id, u.b AS b,
+               SUM(CASE WHEN
+                   ((strpos('0123456789abcdef',
+                            substring(h8, u.b // 4 + 1, 1)) - 1)
+                    >> (u.b % 4)) & 1 = 1
+                   THEN 1 ELSE -1 END) AS v
+        FROM th, UNNEST(range(0, {MD5_SIMHASH_BITS})) AS u(b)
+        GROUP BY doc_id, u.b
+    ), sh AS (
+        -- bit 63 contributes the two's-complement minimum directly:
+        -- DuckDB's checked 1<<63 overflows, while Spark's shiftleft
+        -- wraps to -2^63; stating the wrapped value keeps the engines
+        -- bit-identical (sum accumulates in HUGEINT, cast back fits).
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v <= 0 THEN 0
+                        WHEN b = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << b)
+                        END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ), q AS (
+        SELECT doc_id, simhash, u.q AS q,
+               (simhash >> (u.q * 8)) & 255 AS qval
+        FROM sh, UNNEST(range(0, {MD5_SIMHASH_BANDS})) AS u(q)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM q a JOIN q b
+      ON a.q = b.q AND a.qval = b.qval AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash))
+          <= {MD5_SIMHASH_MAX_HAMMING}
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Hash-grade twin of dedup_simhash (same pattern as "
+        "dedup_minhash_md5): the identical majority-vote → band-match "
+        "→ hamming-verify pipeline run over md5-derived token bits "
+        "that DuckDB reproduces exactly, so the SimHash ALGORITHM "
+        "carries a driver value-hash check while the 64-bit xxhash64 "
+        "sibling remains the fast path.  Same economics: the vote "
+        "fold is one nested-HOF map pass (md5 computed ONCE per "
+        "token, bits extracted per fold step), candidates via the "
+        "band self-join, never docs².  Bit extraction is hex-nibble "
+        "arithmetic — locate/strpos on a 16-char alphabet — identical "
+        "integer semantics in both engines."
+    ),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidate pairs (hamming ≤ 7 over 64 md5-derived bits)
+    — the driver-hash-verifiable twin of dedup_simhash."""
+    d = spread(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", "doc_id"
+    ).withColumn("toks", F.split(F.lower(F.col("text")), " "))
+    hashed = d.withColumn(
+        "th", F.expr("transform(toks, t -> substring(md5(t), 1, 16))")
+    )
+    simhash = F.expr(
+        f"aggregate(sequence(0, {MD5_SIMHASH_BITS - 1}), 0L, (acc, b) -> acc + "
+        " (CASE WHEN aggregate(th, 0L,"
+        "       (a, h) -> a + (CASE WHEN"
+        "         ((locate(substring(h, (b div 4) + 1, 1),"
+        "                  '0123456789abcdef') - 1)"
+        "          >> (b % 4)) & 1 = 1"
+        "         THEN 1 ELSE -1 END)"
+        "      ) > 0 THEN shiftleft(1L, b) ELSE 0L END))"
+    )
+    sh = hashed.select("doc_id", simhash.alias("simhash"))
+    quarters = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MD5_SIMHASH_BANDS - 1}),"
+                " q -> (simhash >> (q * 8)) & 255)"
+            )
+        ).alias("q", "qval"),
+    )
+    quarters = persist_fresh("md5_simhash_quarters", sf_dir, quarters)
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qval") == F.col("b.qval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("a_hash"),
+            F.col("b.simhash").alias("b_hash"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("a_hash").bitwiseXOR(F.col("b_hash"))).cast(
+        "int"
+    )
+    return (
+        pairs.select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= MD5_SIMHASH_MAX_HAMMING)
+    )

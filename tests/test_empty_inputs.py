@@ -51,6 +51,8 @@ ZERO_ROW_KEYS = [
     "sample_temperature_mixture",
     "join_asof_nearest",
     "graph_degree_distribution",
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
 ]
 
 
