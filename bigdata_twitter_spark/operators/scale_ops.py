@@ -128,3 +128,86 @@ def sample_exact_k_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SAMPLE_K)
         .drop("rn")
     )
+
+
+# K-minimum-values sketch size for the portable distinct-count twin.
+KMV_K = 64
+# 16^15 = 2^60 as an exact double: the hash-prefix value space.
+KMV_SPACE = float(1 << 60)
+
+
+@query(
+    "agg_kmv_distinct",
+    sql="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               md5(CAST(user_id AS VARCHAR)) AS hv
+        FROM events
+    ), ranked AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                   AS rn
+        FROM h
+    ), sk AS (
+        SELECT event_type,
+               CAST(MAX(rn) AS BIGINT) AS n_seen,
+               MAX(hv) AS kth
+        FROM ranked WHERE rn <= 64
+        GROUP BY event_type
+    )
+    SELECT event_type, n_seen,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                ELSE (64 - 1)
+                     / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
+                        / 1152921504606846976.0)
+           END AS est_users
+    FROM sk
+    """,
+    tables=("events",),
+    scale_note=(
+        "Distinct-count SKETCH with a driver value-hash check -- the "
+        "portable twin of agg_approx_count_distinct/agg_hll_sketch "
+        "(whose HLL internals are engine-specific by nature): "
+        "K-minimum-values over md5(user). The estimator (k-1)/v_k "
+        "needs only the k-th smallest hash per group, so sketch state "
+        "is k hashes per group (mergeable by union+truncate -- the "
+        "same partial/final split HLL enjoys; the declared per-group "
+        "rank window is the semantic spec, and at 100 TB the rank is "
+        "replaced by a per-partition top-k merge so no full per-group "
+        "sort happens). Small groups (n<k) report exactly. The hash "
+        "prefix value is recovered by a 15-digit Horner fold in "
+        "BIGINT (exact: 16^15 < 2^63) so both engines divide the "
+        "same two numbers."
+    ),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via a k-minimum-
+    values sketch (k=64) under a portable md5 hash family."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_seen"),
+            F.max("hv").alias("kth"),
+        )
+    )
+    val = F.expr("(((((((((((((((CAST(0 AS BIGINT) * 16 + (locate(substring(kth, 1, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 2, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 3, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 4, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 5, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 6, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 7, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 8, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 9, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 10, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 11, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 12, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 13, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 14, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 15, 1), '0123456789abcdef') - 1))")
+    return sk.select(
+        "event_type",
+        "n_seen",
+        F.when(
+            F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+        )
+        .otherwise(
+            (KMV_K - 1) / (val.cast("double") / F.lit(KMV_SPACE))
+        )
+        .alias("est_users"),
+    )

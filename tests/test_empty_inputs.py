@@ -53,6 +53,7 @@ ZERO_ROW_KEYS = [
     "graph_degree_distribution",
     "dedup_minhash_md5",
     "dedup_simhash_md5",
+    "agg_kmv_distinct",
 ]
 
 

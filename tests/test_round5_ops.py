@@ -423,3 +423,27 @@ def test_degree_distribution_covers_every_vertex_once(specs, spark, sf_dir):
     for r in rows:
         assert 2 ** r["bucket"] <= r["min_deg"] <= r["max_deg"]
         assert r["max_deg"] < 2 ** (r["bucket"] + 1)
+
+
+def test_kmv_estimate_within_sketch_error(specs, spark, sf_dir):
+    """KMV at k=64 has relative stddev ~1/sqrt(k-2) ≈ 13%; assert the
+    estimate lands within 4 sigma of exact, and that below-k groups
+    report exactly."""
+    import pyspark.sql.functions as F
+
+    from bigdata_twitter_spark.operators.scale_ops import KMV_K
+    from bigdata_twitter_spark.tables import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in specs["agg_kmv_distinct"].fn(spark, sf_dir).collect():
+        ex = exact[r["event_type"]]
+        if ex < KMV_K:
+            assert r["est_users"] == float(ex)
+        else:
+            assert abs(r["est_users"] - ex) / ex < 0.55
