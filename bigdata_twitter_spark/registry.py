@@ -60,19 +60,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # text_quality_score, text_lang_id, text_fingerprint,
 # text_token_count_bpe, text_keywords_topk) join the round-6 queue.
 #
-# Second amendment (same staleness logic): fourteen MORE keys were added
+# Second amendment (same staleness logic): fifteen MORE keys were added
 # later in round 5 (fn_url, agg_weighted_median, join_bloom_prefilter,
 # text_span_dedup, table_change_feed, table_vacuum_versioned,
 # ts_seasonal_decompose, fn_bitwise, sample_temperature_mixture,
 # join_asof_nearest, graph_degree_distribution, and the hash-grade
 # portable-hash twins dedup_minhash_md5 + dedup_simhash_md5 +
-# agg_kmv_distinct) — never driver-checked, so they displace fourteen
-# further round-2 keys
+# agg_kmv_distinct, plus the watermark-eviction-emitting
+# stream_stream_join_outer) — never driver-checked, so they displace
+# fifteen further round-2 keys
 # (text_tokenize, text_ngrams, text_sentiment_lexicon,
 # text_lang_stats, ts_gap_fill, ts_sessionize_batch, top_active_users,
 # error_rate_per_day, ts_tumbling_counts, ts_sliding_counts,
-# join_skew_salted, set_except, set_intersect, limit_topk_global) into
-# the round-6 queue alongside the nine above.
+# join_skew_salted, set_except, set_intersect, limit_topk_global,
+# sort_multikey) into the round-6 queue alongside the nine above.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -89,14 +90,14 @@ _R5_WINDOW = (
     "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
     "win_range_frame", "win_ntile_pctrank", "win_ntile_pctrank_dist",
     "win_dedup_latest",
-    "sort_multikey",
-    # -- 14 keys added late in round 5, never driver-checked --
+    # -- 15 keys added late in round 5, never driver-checked --
     "fn_url", "agg_weighted_median", "join_bloom_prefilter",
     "text_span_dedup", "table_change_feed",
     "table_vacuum_versioned", "ts_seasonal_decompose", "fn_bitwise",
     "sample_temperature_mixture", "join_asof_nearest",
     "graph_degree_distribution", "dedup_minhash_md5",
     "dedup_simhash_md5", "agg_kmv_distinct",
+    "stream_stream_join_outer",
     # -- 3 keys whose outputs changed this round (see above) --
     "scan_binary_files", "multimodal_image_resize",
     "multimodal_audio_chunk",

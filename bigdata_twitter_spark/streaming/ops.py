@@ -21,10 +21,12 @@ the driver.
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import sys
 import tempfile
+import time
 import uuid
 from decimal import Decimal
 
@@ -1128,3 +1130,146 @@ if _tws_available():
             "format, so the key registers everywhere."
         ),
     )(stream_transform_with_state)
+
+
+@query(
+    "stream_stream_join_outer",
+    sql="""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+    tables=("events",),
+    scale_note=(
+        "Stream-stream LEFT OUTER join — the attribution query that "
+        "must also emit the clicks that never converted.  The outer "
+        "side's null rows can only materialize once the watermark "
+        "passes click_ts + range + delay (before that, a match could "
+        "still arrive), so state eviction IS the emission mechanism.  "
+        "Finite-replay determinism requires the watermark to finish "
+        "PAST the last real click: the replay dir appends a sentinel "
+        "event far in the future (filtered from the result), so the "
+        "availableNow run's final batches evict and emit every "
+        "unmatched click — without it, tail clicks would sit in state "
+        "forever and the replay would under-report.  Same bounded "
+        "state as the inner join: watermark + 1 h range."
+    ),
+)
+def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks left-outer-joined to same-user purchases within the next
+    hour; unmatched clicks appear with null purchase columns."""
+    base = load(spark, sf_dir, "events")
+    max_ts = base.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    path = _fresh_dir(
+        f"replay_outer_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # ONE file for the whole base replay (coalesce is harness-only —
+    # a live stream has no replay problem): if base rows split across
+    # micro-batches, rows of batch N+1 older than batch N's watermark
+    # are dropped as LATE DATA at the input and their unmatched-click
+    # rows silently vanish (observed: exactly one missing click at
+    # sf0.001 before this was pinned to one batch).
+    base.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.mode("append").parquet(path)
+    # TWO sentinel files (30 and 60 days out), landing with later
+    # mtimes so the file source processes them as separate later
+    # batches.  Two are needed, not one: the watermark computed from
+    # batch N's max event time only APPLIES while processing batch
+    # N+1, and the availableNow replay does not run a watermark-only
+    # finalize batch after the last file — so sentinel A's watermark
+    # must be exercised by a real batch (sentinel B) for the final
+    # unmatched clicks (e.g. the max-ts click) to evict and emit.
+    def _parts() -> set[str]:
+        return {
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        }
+
+    seen = _parts()
+    batches = [seen]
+    for days, eid in ((30, -1), (60, -3)):
+        sent = spark.createDataFrame(
+            [
+                (eid, max_ts + dt.timedelta(days=days), -1,
+                 "click", 0.0, "{}"),
+                (eid - 1, max_ts + dt.timedelta(days=days), -1,
+                 "purchase", 0.0, "{}"),
+            ],
+            EVENTS_US_SCHEMA,
+        )
+        sent.coalesce(1).write.mode("append").parquet(path)
+        now = _parts()
+        batches.append(now - seen)
+        seen = now
+    # The file source orders files by (mtime, path); all three writes
+    # can land within mtime granularity, which would randomize batch
+    # order and break the sentinel protocol (a sentinel processed
+    # BEFORE base late-drops the whole base batch; both sentinels in
+    # ambiguous order cost the final eviction batch).  Stamp strictly
+    # increasing mtimes per write group to pin base → A → B — in the
+    # PAST: the source skips future-dated files (measured: a file
+    # stamped now+100 triggered an empty batch, its rows never read).
+    t0 = time.time() - 300
+    for i, group in enumerate(batches):
+        for f in group:
+            os.utime(os.path.join(path, f), (t0 + 100 * i, t0 + 100 * i))
+    apply_state_store_conf(spark)
+    stream = spark.readStream.schema(EVENTS_US_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    # NOTE: the sentinel filter must NOT live inside the streaming
+    # plan — Catalyst pushes a user_id >= 0 predicate through the join
+    # down to the SCAN, which deletes the sentinel rows before the
+    # watermark operator ever sees them and the watermark never
+    # advances (observed: the max-ts click's null row was permanently
+    # stuck in state).  Sentinels flow through the stream and are
+    # filtered from the SINK read-back below.
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("purchase_ts", T.TimestampType()),
+        ]
+    )
+    return _run_to_parquet(joined, "ssjoin_outer", out_schema).filter(
+        F.col("user_id") >= 0
+    )
