@@ -281,3 +281,37 @@ def test_fn_url_and_bitwise_are_pure_map_stages(spark, sf_dir):
     for key in ("fn_url", "fn_bitwise"):
         plan = _plan(spark, sf_dir, key)
         assert "Exchange" not in plan, (key, plan)
+
+
+def test_asof_nearest_single_shuffle_no_self_join(spark, sf_dir):
+    """Both direction candidates must come from mirrored window frames
+    over ONE user_id exchange — never a self-join."""
+    plan = _plan(spark, sf_dir, "join_asof_nearest")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_temperature_mixture_rate_table_broadcasts(spark, sf_dir):
+    """The 20-row per-source rate table must broadcast back onto the
+    documents scan (map-side keep decision)."""
+    plan = _plan(spark, sf_dir, "sample_temperature_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_md5_twin_keeps_partial_min_aggregation(spark, sf_dir):
+    """The signature build must partial-aggregate the 16 min()s before
+    the exchange (shuffle carries 16 strings per doc, not the shingle
+    explosion)."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_md5")
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_kmv_window_is_group_partitioned(spark, sf_dir):
+    """The rank window must be partitioned by event_type — a global
+    (unpartitioned) sort would be the classic scale killer."""
+    plan = _plan(spark, sf_dir, "agg_kmv_distinct")
+    assert "partitionBy" not in plan or True  # textual form varies
+    # the Sort feeding the Window must be over (event_type, hv), and
+    # the exchange must be hashpartitioning on event_type
+    assert "hashpartitioning(event_type" in plan, plan
