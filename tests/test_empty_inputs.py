@@ -54,6 +54,7 @@ ZERO_ROW_KEYS = [
     "dedup_minhash_md5",
     "dedup_simhash_md5",
     "agg_kmv_distinct",
+    "embed_pipeline_e2e",
 ]
 
 

@@ -447,3 +447,26 @@ def test_kmv_estimate_within_sketch_error(specs, spark, sf_dir):
             assert r["est_users"] == float(ex)
         else:
             assert abs(r["est_users"] - ex) / ex < 0.55
+
+
+def test_embed_pipeline_ranks_are_dense_and_cell_restricted(specs, spark, sf_dir):
+    """Per query: ranks dense from 1, dots non-increasing, and every
+    neighbor shares the query's label (the cell restriction)."""
+    from bigdata_twitter_spark.tables import load
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    rows = specs["embed_pipeline_e2e"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        dots = [r["dot"] for r in rs]
+        assert dots == sorted(dots, reverse=True)
+        for r in rs:
+            assert labels[r["corpus_id"]] == labels[qid]
