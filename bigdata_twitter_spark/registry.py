@@ -60,22 +60,24 @@ REGISTRY: dict[str, QuerySpec] = {}
 # text_quality_score, text_lang_id, text_fingerprint,
 # text_token_count_bpe, text_keywords_topk) join the round-6 queue.
 #
-# Second amendment (same staleness logic): sixteen MORE keys were added
+# Second amendment (same staleness logic): seventeen MORE keys were
+# added
 # later in round 5 (fn_url, agg_weighted_median, join_bloom_prefilter,
 # text_span_dedup, table_change_feed, table_vacuum_versioned,
 # ts_seasonal_decompose, fn_bitwise, sample_temperature_mixture,
 # join_asof_nearest, graph_degree_distribution, and the hash-grade
 # portable-hash twins dedup_minhash_md5 + dedup_simhash_md5 +
 # agg_kmv_distinct, plus the watermark-eviction-emitting
-# stream_stream_join_outer, and the embedding-side flagship
-# embed_pipeline_e2e) — never driver-checked, so they displace sixteen
-# further round-2 keys
+# stream_stream_join_outer, the embedding-side flagship
+# embed_pipeline_e2e, and the scan_csv_quarantine ingestion error
+# channel) — never driver-checked, so they displace seventeen further
+# round-2 keys
 # (text_tokenize, text_ngrams, text_sentiment_lexicon,
 # text_lang_stats, ts_gap_fill, ts_sessionize_batch, top_active_users,
 # error_rate_per_day, ts_tumbling_counts, ts_sliding_counts,
 # join_skew_salted, set_except, set_intersect, limit_topk_global,
-# sort_multikey, win_dedup_latest) into the round-6 queue alongside
-# the nine above.
+# sort_multikey, win_dedup_latest, win_ntile_pctrank) into the
+# round-6 queue alongside the nine above.
 _R5_WINDOW = (
     # -- first driver hash row for the round-4-promoted oracle --
     "graph_pagerank",
@@ -90,8 +92,8 @@ _R5_WINDOW = (
     "agg_approx_count_distinct",
     # -- 31 of the 48 round-2-cohort keys --
     "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
-    "win_range_frame", "win_ntile_pctrank", "win_ntile_pctrank_dist",
-    # -- 16 keys added late in round 5, never driver-checked --
+    "win_range_frame", "win_ntile_pctrank_dist",
+    # -- 17 keys added late in round 5, never driver-checked --
     "fn_url", "agg_weighted_median", "join_bloom_prefilter",
     "text_span_dedup", "table_change_feed",
     "table_vacuum_versioned", "ts_seasonal_decompose", "fn_bitwise",
@@ -99,6 +101,7 @@ _R5_WINDOW = (
     "graph_degree_distribution", "dedup_minhash_md5",
     "dedup_simhash_md5", "agg_kmv_distinct",
     "stream_stream_join_outer", "embed_pipeline_e2e",
+    "scan_csv_quarantine",
     # -- 3 keys whose outputs changed this round (see above) --
     "scan_binary_files", "multimodal_image_resize",
     "multimodal_audio_chunk",

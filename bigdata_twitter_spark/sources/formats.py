@@ -172,3 +172,86 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(gen2)
     merged = spark.read.option("mergeSchema", "true").parquet(gen1, gen2)
     return merged.select("event_id", "user_id", "value", "event_type")
+
+
+# Every 13th-mod-5 event's value cell is written as unparseable text —
+# the deterministic "rotten rows" channel for the quarantine scan.
+CSV_CORRUPT_MOD = 13
+CSV_CORRUPT_REM = 5
+
+
+@query(
+    "scan_csv_quarantine",
+    sql=f"""
+    SELECT 'ok' AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % {CSV_CORRUPT_MOD} <> {CSV_CORRUPT_REM}
+    UNION ALL
+    SELECT 'corrupt' AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % {CSV_CORRUPT_MOD} = {CSV_CORRUPT_REM}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Malformed-row QUARANTINE for text ingestion (the CSV cousin "
+        "of multimodal_decode_errors): PERMISSIVE parse with a "
+        "columnNameOfCorruptRecord channel, so rotten rows become "
+        "(null fields + raw line) instead of failing the task — the "
+        "behavior that keeps a 100-TB CSV backfill alive.  Pure "
+        "map-side: the parse, the channel split and the partial agg "
+        "all fuse into the scan; quarantined raw lines would be "
+        "sunk to a side table for triage in production.  The fixture "
+        "corrupts the value cell of every (id % 13 == 5) row when "
+        "WRITING the CSV, so both channels are oracle-stated exactly."
+    ),
+)
+def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV scan with a corrupt-record quarantine channel;
+    per-channel row counts and exact value sums."""
+    e = load(spark, sf_dir, "events")
+    corrupt = (
+        F.col("event_id") % CSV_CORRUPT_MOD == CSV_CORRUPT_REM
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(corrupt, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    path = _workdir(
+        spark, f"csv_quar_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e.select(line.alias("value")).write.mode("overwrite").text(path)
+    # from_csv (per-row parse expression) rather than a schema'd .csv
+    # scan: the scan form trips Spark's
+    # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN rule as
+    # soon as column pruning narrows the plan to the corrupt channel
+    # (e.g. a count() over the statuses).  The expression form has no
+    # such rule, parses in the same map stage, and keeps the raw line
+    # adjacent for the triage sink.
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_csv(
+            F.col("value"),
+            "event_id bigint, event_type string, value double, "
+            "_corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    ).select("r.event_id", "r.event_type", "r.value", "r._corrupt")
+    from ..numerics import dsum
+
+    return (
+        parsed.withColumn(
+            "status",
+            F.when(F.col("_corrupt").isNull(), F.lit("ok")).otherwise(
+                F.lit("corrupt")
+            ),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.coalesce(dsum("value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )

@@ -55,6 +55,7 @@ ZERO_ROW_KEYS = [
     "dedup_simhash_md5",
     "agg_kmv_distinct",
     "embed_pipeline_e2e",
+    "scan_csv_quarantine",
 ]
 
 
