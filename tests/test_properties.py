@@ -160,3 +160,80 @@ def test_wav_roundtrip_any_doc_id(doc_id):
     assert rate == 16000 and n == bf.wav_n_samples(doc_id)
     for i in (0, 1, n // 2, n - 1):
         assert samples[i] == bf.wav_sample(i, doc_id)
+
+
+wm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "N", "R"]),  # group
+        st.integers(min_value=0, max_value=50_000),  # price cents
+        st.integers(min_value=1, max_value=50),  # weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=wm_rows, width=st.sampled_from([7.3, 100.0, 1000.0, 1e9]))
+@SETTINGS
+def test_weighted_median_bucket_width_invariance(spark, rows, width, monkeypatch):
+    """The bucket-localized exact weighted median must equal the naive
+    cumulative scan for ARBITRARY data and ANY positive bucket width
+    (bucketing only localizes the search, never changes the answer)."""
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(g, p / 100.0, float(w)) for g, p, w in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    monkeypatch.setattr(agg, "load", lambda *_a, **_k: df)
+    monkeypatch.setattr(agg, "WMEDIAN_BUCKET", width)
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in agg.agg_weighted_median(spark, "ignored").collect()
+    }
+    by_g: dict = {}
+    for g, p, w in rows:
+        key = (g, p / 100.0)
+        by_g.setdefault(g, {})
+        by_g[g][p / 100.0] = by_g[g].get(p / 100.0, Decimal(0)) + Decimal(w)
+    expect = {}
+    for g, agg_w in by_g.items():
+        tot = sum(agg_w.values())
+        cum = Decimal(0)
+        for p in sorted(agg_w):
+            cum += agg_w[p]
+            if 2 * cum >= tot:
+                expect[g] = p
+                break
+    assert got == expect
+
+
+@given(
+    dim=st.sets(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=40),
+    fact=st.lists(st.integers(min_value=-(2**40), max_value=2**40), min_size=1, max_size=60),
+)
+@SETTINGS
+def test_bloom_prune_never_drops_a_true_match(spark, dim, fact):
+    """For ARBITRARY key sets the Bloom prune must keep every fact row
+    whose key is in the dim set (false positives allowed, false
+    negatives never)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from bigdata_twitter_spark.operators.bloomjoin import (
+        bloom_bitmap, prune_by_bloom,
+    )
+
+    dim_df = spark.createDataFrame([(k,) for k in dim], "k bigint")
+    fact_df = spark.createDataFrame([(k,) for k in fact], "fk bigint")
+    bm = bloom_bitmap(dim_df, "k")
+    bf = spark.createDataFrame([(bm,)], "bf array<bigint>")
+    kept = {
+        r["fk"]
+        for r in prune_by_bloom(
+            fact_df.crossJoin(F.broadcast(bf)), "fk"
+        ).collect()
+    }
+    must_keep = {k for k in fact if k in dim}
+    assert must_keep <= kept
