@@ -211,3 +211,157 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_users"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    sql="""
+    WITH words AS (
+        -- bit 63 contributes the two's-complement minimum directly:
+        -- DuckDB's checked 1<<63 overflows where Spark's shiftleft
+        -- wraps (same dialect note as dedup_simhash_md5's oracle).
+        SELECT event_type, user_id // 64 AS word_idx,
+               bit_or(CASE WHEN user_id % 64 = 63
+                      THEN CAST(-9223372036854775808 AS BIGINT)
+                      ELSE CAST(1 AS BIGINT)
+                           << CAST(user_id % 64 AS INT) END) AS word
+        FROM events
+        GROUP BY event_type, user_id // 64
+    )
+    SELECT event_type,
+           CAST(SUM(bit_count(word)) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM words
+    GROUP BY event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "EXACT distinct counting without shuffling raw values — the "
+        "bitmap-index pattern (Druid/ClickHouse groupBitmap): ids "
+        "pack into 64-bit words (word = id div 64, bit = id mod 64), "
+        "the per-(group, word) bit_or partial-aggregates map-side, "
+        "and the count is a sum of popcounts.  Shuffle carries one "
+        "word per (group, occupied word) — for a dictionary-encoded "
+        "or domain-bounded id column that is |domain|/64 longs per "
+        "group REGARDLESS of row count, and the words are mergeable "
+        "by bit_or (rollups never rescan).  The complement of "
+        "agg_kmv_distinct: exact when the domain is bounded, sketch "
+        "when it is not.  Requires dense-ish ids; at 100 TB the "
+        "dictionary-encoding pass that produces them is the standard "
+        "prerequisite (same as Druid ingestion)."
+    ),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via 64-bit bitmap words
+    (mergeable popcount aggregation, no raw-value shuffle)."""
+    e = load(spark, sf_dir, "events")
+    words = (
+        e.groupBy(
+            "event_type",
+            (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("word")
+        )
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+
+
+
+@query(
+    "agg_kmv_union_intersect",
+    sql="""
+    WITH f AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS b
+        FROM events GROUP BY user_id
+    ), u AS (
+        SELECT md5(CAST(user_id AS VARCHAR)) AS hv, a, b
+        FROM f WHERE a = 1 OR b = 1
+    ), ranked AS (
+        SELECT hv, a, b, row_number() OVER (ORDER BY hv) AS rn FROM u
+    ), sk AS (
+        SELECT CAST(MAX(rn) AS BIGINT) AS n_seen,
+               MAX(hv) AS kth,
+               CAST(SUM(a * b) AS BIGINT) AS n_both
+        FROM ranked WHERE rn <= 64
+    )
+    SELECT n_seen, n_both,
+           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                ELSE (64 - 1)
+                     / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
+                        / 1152921504606846976.0)
+           END AS est_union,
+           CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE)
+               AS jaccard_est,
+           (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
+           * CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                  ELSE (64 - 1)
+                       / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
+                          / 1152921504606846976.0)
+             END AS est_intersect
+    FROM sk
+    """,
+    tables=("events",),
+    scale_note=(
+        "Audience-overlap estimation from KMV sketches — the "
+        "set-OPERATION capability HLL lacks without per-pair unions: "
+        "the k smallest hashes of A UNION B form an unbiased uniform "
+        "sample of the union, so |A INTERSECT B| / |A UNION B| is "
+        "estimated by the fraction of those k members flagged in "
+        "BOTH sets, and the intersection size is that fraction times "
+        "the KMV union estimate.  The per-user flag pass is one "
+        "partial agg; the union sketch needs only the global k-min, "
+        "declared here as a rank window (at 100 TB: per-partition "
+        "top-k heaps merged on the driver, k rows each — the same "
+        "replacement as agg_kmv_distinct's note).  All estimate "
+        "arithmetic is the same ordered IEEE expression on both "
+        "engines over exact BIGINT inputs."
+    ),
+)
+def agg_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV union/Jaccard/intersection estimates for the click-user vs
+    purchase-user audience pair (k=64, md5 hash family)."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("b"),
+    )
+    u = f.filter((F.col("a") == 1) | (F.col("b") == 1)).select(
+        F.md5(F.col("user_id").cast("string")).alias("hv"), "a", "b"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("hv")
+    sk = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(
+            F.max("rn").cast("bigint").alias("n_seen"),
+            F.max("hv").alias("kth"),
+            F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n_both"),
+        )
+    )
+    val = F.expr("(((((((((((((((CAST(0 AS BIGINT) * 16 + (locate(substring(kth, 1, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 2, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 3, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 4, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 5, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 6, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 7, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 8, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 9, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 10, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 11, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 12, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 13, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 14, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 15, 1), '0123456789abcdef') - 1))")
+    est_union = F.when(
+        F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+    ).otherwise((KMV_K - 1) / (val.cast("double") / F.lit(KMV_SPACE)))
+    jac = F.col("n_both").cast("double") / F.col("n_seen").cast("double")
+    return sk.select(
+        "n_seen",
+        "n_both",
+        est_union.alias("est_union"),
+        jac.alias("jaccard_est"),
+        (jac * est_union).alias("est_intersect"),
+    )

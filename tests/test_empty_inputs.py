@@ -56,6 +56,7 @@ ZERO_ROW_KEYS = [
     "agg_kmv_distinct",
     "embed_pipeline_e2e",
     "scan_csv_quarantine",
+    "agg_bitmap_distinct",
 ]
 
 

@@ -470,3 +470,52 @@ def test_embed_pipeline_ranks_are_dense_and_cell_restricted(specs, spark, sf_dir
         assert dots == sorted(dots, reverse=True)
         for r in rs:
             assert labels[r["corpus_id"]] == labels[qid]
+
+
+def test_bitmap_distinct_is_exact(specs, spark, sf_dir):
+    """The bitmap popcount path must equal exact COUNT(DISTINCT) per
+    group — the oracle mirrors the bitmap, so exactness needs its own
+    independent pin."""
+    import pyspark.sql.functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in specs["agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert got == exact
+
+
+def test_kmv_overlap_estimates_track_exact(specs, spark, sf_dir):
+    """Union/intersection estimates must land within KMV sketch error
+    of the exact audience-overlap numbers."""
+    import pyspark.sql.functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    f = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("b"),
+        )
+    )
+    uni = f.filter((F.col("a") == 1) | (F.col("b") == 1)).count()
+    inter = f.filter((F.col("a") == 1) & (F.col("b") == 1)).count()
+    row = specs["agg_kmv_union_intersect"].fn(spark, sf_dir).collect()[0]
+    assert abs(row["est_union"] - uni) / max(uni, 1) < 0.55
+    assert abs(row["est_intersect"] - inter) / max(inter, 1) < 0.6
+    assert 0.0 <= row["jaccard_est"] <= 1.0
