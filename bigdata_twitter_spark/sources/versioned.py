@@ -546,3 +546,160 @@ def table_vacuum_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase string, n_manifests int, n_data_dirs int, "
         "n_rows bigint, sum_value double",
     )
+
+
+# Clone-side delta rule (disjoint from the source's DELTA_MOD rule so
+# divergence is visible in the sums).
+CLONE_MOD = 7
+CLONE_BUMP = 25.0
+
+
+@query(
+    "table_clone_shallow",
+    sql=f"""
+    WITH src AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql(f"CASE WHEN event_id % {DELTA_MOD} = 0"
+                         f" THEN value + {DELTA_BUMP} ELSE value END")}
+                   AS sum_value
+        FROM events
+    ), cl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql(
+                   f"CASE WHEN event_id % {CLONE_MOD} = 0"
+                   f" THEN (CASE WHEN event_id % {DELTA_MOD} = 0"
+                   f"       THEN value + {DELTA_BUMP} ELSE value END)"
+                   f"      + {CLONE_BUMP}"
+                   f" WHEN event_id % {DELTA_MOD} = 0"
+                   f" THEN value + {DELTA_BUMP} ELSE value END")}
+                   AS sum_value
+        FROM events
+    )
+    SELECT 'source_after_clone_write' AS snapshot, n_rows, sum_value,
+           CAST(0 AS INT) AS n_new_data_dirs FROM src
+    UNION ALL
+    SELECT 'clone_evolved' AS snapshot, n_rows, sum_value,
+           CAST(1 AS INT) AS n_new_data_dirs FROM cl
+    """,
+    tables=("events",),
+    scale_note=(
+        "Zero-copy SHALLOW CLONE (Delta's CLONE, Iceberg's snapshot "
+        "ref): the clone is a new manifest chain whose entries point "
+        "at the SOURCE's data files — metadata-sized regardless of "
+        "table size, no data movement.  Writes to the clone append "
+        "clone-local files + manifests; the source chain is never "
+        "touched, so the two tables evolve independently while "
+        "sharing history bytes (the oracle pins both: the source "
+        "still resolves to its pre-clone state after the clone has "
+        "written, and the clone's new commit layers its own delta on "
+        "the shared base).  Vacuum safety across clones needs "
+        "cross-table reference counting — exactly why production "
+        "formats gate vacuum on a retention window."
+    ),
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone the 2-commit versioned table by manifest copy (shared
+    data files), write a clone-only delta, and prove independent
+    evolution with per-table resolved stats."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_clone_")
+    src_root = os.path.join(root, "src")
+    clone_root = os.path.join(root, "clone")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = e.select(*cols, F.lit(0).alias("commit"))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn("value", F.col("value") + F.lit(DELTA_BUMP))
+        .select(*cols, F.lit(1).alias("commit"))
+    )
+    base.write.mode("overwrite").parquet(os.path.join(src_root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(src_root, "delta1"))
+    src_man = os.path.join(src_root, "_manifests")
+    os.makedirs(src_man, exist_ok=True)
+    commit_next(src_man, ["base"])
+    commit_next(src_man, ["base", "delta1"])
+
+    # SHALLOW CLONE: copy the manifest chain only; entries point back
+    # into the source root via relative paths.  No data bytes move.
+    clone_man = os.path.join(clone_root, "_manifests")
+    os.makedirs(clone_man, exist_ok=True)
+    for f in sorted(os.listdir(src_man)):
+        with open(os.path.join(src_man, f)) as fh:
+            man = json.load(fh)
+        commit_version(
+            clone_man,
+            man["version"],
+            [os.path.join("..", "src", p) for p in man["files"]],
+        )
+
+    # Snapshot both roots' data-dir sets at the clone point: the
+    # zero-copy proof below reports dirs ADDED after this point.
+    def data_dirs(table_root: str) -> set[str]:
+        return {
+            d for d in os.listdir(table_root) if d != "_manifests"
+        }
+
+    dirs_at_clone = {
+        src_root: data_dirs(src_root),
+        clone_root: data_dirs(clone_root),
+    }
+
+    # Clone-only evolution: a commit-2 delta written into the CLONE
+    # root; the source chain is untouched.
+    clone_delta = (
+        e.filter(F.col("event_id") % CLONE_MOD == 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % DELTA_MOD == 0,
+                F.col("value") + F.lit(DELTA_BUMP),
+            ).otherwise(F.col("value"))
+            + F.lit(CLONE_BUMP),
+        )
+        .select(*cols, F.lit(2).alias("commit"))
+    )
+    clone_delta.write.mode("overwrite").parquet(
+        os.path.join(clone_root, "delta2")
+    )
+    commit_next(clone_man, ["..%ssrc%sbase" % (os.sep, os.sep),
+                            "..%ssrc%sdelta1" % (os.sep, os.sep),
+                            "delta2"])
+
+    def resolve(table_root: str) -> DataFrame:
+        man_dir = os.path.join(table_root, "_manifests")
+        newest = max(
+            int(f[1:-5])
+            for f in os.listdir(man_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        with open(os.path.join(man_dir, f"v{newest}.json")) as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(
+            *[os.path.normpath(os.path.join(table_root, f)) for f in files]
+        )
+        w = Window.partitionBy("event_id").orderBy(F.col("commit").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    rows = []
+    for name, troot in (
+        ("source_after_clone_write", src_root),
+        ("clone_evolved", clone_root),
+    ):
+        r = resolve(troot).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        ).collect()[0]
+        n_new = len(data_dirs(troot) - dirs_at_clone[troot])
+        rows.append((name, r["n_rows"], r["sum_value"], n_new))
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "snapshot string, n_rows bigint, sum_value double, "
+        "n_new_data_dirs int",
+    )
