@@ -365,3 +365,113 @@ def agg_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard_est"),
         (jac * est_union).alias("est_intersect"),
     )
+
+
+
+# Pane sketch size for the sliding-distinct merge (smaller than KMV_K:
+# the point is the MERGE mechanics, and panes x windows multiply).
+PANE_K = 32
+SLIDE_HOURS = 3  # each window covers [h-2, h]
+
+
+@query(
+    "ts_sliding_distinct_kmv",
+    sql="""
+    WITH h AS (
+        SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               md5(CAST(user_id AS VARCHAR)) AS hv
+        FROM events
+    ), ranked AS (
+        SELECT hr, hv,
+               row_number() OVER (PARTITION BY hr ORDER BY hv) AS rn
+        FROM h
+    ), pane AS (
+        SELECT hr, list(hv ORDER BY hv) AS mins
+        FROM ranked WHERE rn <= 32
+        GROUP BY hr
+    ), hours AS (SELECT DISTINCT hr FROM pane
+    ), win AS (
+        SELECT w.hr AS win_end,
+               list_sort(list_distinct(flatten(list(p.mins)))) AS u
+        FROM hours w
+        JOIN pane p
+          ON p.hr >= w.hr - INTERVAL (3 - 1) HOUR AND p.hr <= w.hr
+        GROUP BY w.hr
+    ), sk AS (
+        SELECT win_end,
+               CAST(least(len(u), 32) AS BIGINT) AS n_seen,
+               u[CAST(least(len(u), 32) AS BIGINT)] AS kth
+        FROM win
+    )
+    SELECT win_end, n_seen,
+           CASE WHEN n_seen < 32 THEN CAST(n_seen AS DOUBLE)
+                ELSE (32 - 1)
+                     / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
+                        / 1152921504606846976.0)
+           END AS est_users
+    FROM sk
+    """,
+    tables=("events",),
+    scale_note=(
+        "Sliding-window distinct counting WITHOUT rescanning panes -- "
+        "the end-to-end proof of the sketch-merge claim the HLL/KMV "
+        "scale notes make: each hour keeps only its k smallest user "
+        "hashes (pane state = k strings, built once), and every "
+        "sliding window is a MERGE of its panes' lists (distinct-"
+        "union, sort, truncate to k) followed by the same (k-1)/v_k "
+        "estimate -- union-then-truncate of k-min sets is exactly the "
+        "KMV of the union, so merging loses nothing.  Shuffle "
+        "carries k hashes per pane; the window join fans each pane "
+        "into <= W windows (W = 3 here) -- at 100 TB that is "
+        "panes x W x k strings, independent of row count.  Windows "
+        "with fewer than k distinct users report exactly."
+    ),
+)
+def ts_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per 3-hour sliding window from
+    merged hourly KMV panes (k=32, md5 hash family)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.md5(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("hr").orderBy("hv")
+    pane = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PANE_K)
+        .groupBy("hr")
+        .agg(F.sort_array(F.collect_list("hv")).alias("mins"))
+    )
+    hours = pane.select(F.col("hr").alias("win_end")).distinct()
+    joined = hours.join(
+        pane,
+        (F.col("hr") >= F.col("win_end") - F.expr(
+            f"INTERVAL {SLIDE_HOURS - 1} HOURS"
+        ))
+        & (F.col("hr") <= F.col("win_end")),
+    )
+    win = joined.groupBy("win_end").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("mins")))
+        ).alias("u")
+    )
+    n_seen = F.least(F.size("u"), F.lit(PANE_K)).cast("bigint")
+    sk = win.select(
+        "win_end",
+        n_seen.alias("n_seen"),
+        F.element_at("u", n_seen.cast("int")).alias("kth"),
+    )
+    val = F.expr("(((((((((((((((CAST(0 AS BIGINT) * 16 + (locate(substring(kth, 1, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 2, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 3, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 4, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 5, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 6, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 7, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 8, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 9, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 10, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 11, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 12, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 13, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 14, 1), '0123456789abcdef') - 1)) * 16 + (locate(substring(kth, 15, 1), '0123456789abcdef') - 1))")
+    return sk.select(
+        "win_end",
+        "n_seen",
+        F.when(
+            F.col("n_seen") < PANE_K, F.col("n_seen").cast("double")
+        )
+        .otherwise(
+            (PANE_K - 1) / (val.cast("double") / F.lit(KMV_SPACE))
+        )
+        .alias("est_users"),
+    )

@@ -519,3 +519,42 @@ def test_kmv_overlap_estimates_track_exact(specs, spark, sf_dir):
     assert abs(row["est_union"] - uni) / max(uni, 1) < 0.55
     assert abs(row["est_intersect"] - inter) / max(inter, 1) < 0.6
     assert 0.0 <= row["jaccard_est"] <= 1.0
+
+
+def test_sliding_kmv_merge_is_lossless(specs, spark, sf_dir):
+    """Union-then-truncate of hourly pane k-mins must equal the k-min
+    of the window's raw distinct hash set (the KMV merge theorem),
+    checked via an independent Python recomputation per window."""
+    import hashlib
+    from collections import defaultdict
+
+    from bigdata_twitter_spark.operators.scale_ops import (
+        KMV_SPACE, PANE_K, SLIDE_HOURS,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select("ts", "user_id").collect()
+    by_hour = defaultdict(set)
+    for r in rows:
+        hr = r["ts"].replace(minute=0, second=0, microsecond=0)
+        by_hour[hr].add(
+            hashlib.md5(str(r["user_id"]).encode()).hexdigest()
+        )
+    import datetime as dt
+
+    got = {
+        r["win_end"]: (r["n_seen"], r["est_users"])
+        for r in specs["ts_sliding_distinct_kmv"].fn(spark, sf_dir).collect()
+    }
+    assert got
+    for win_end, (n_seen, est) in got.items():
+        raw = set()
+        for back in range(SLIDE_HOURS):
+            raw |= by_hour.get(win_end - dt.timedelta(hours=back), set())
+        mins = sorted(raw)[:PANE_K]
+        assert n_seen == len(mins)
+        if len(raw) < PANE_K:
+            assert est == float(len(raw))  # exact below k
+        else:
+            kth = int(mins[-1][:15], 16)
+            assert abs(est - (PANE_K - 1) / (kth / KMV_SPACE)) < 1e-6
