@@ -304,3 +304,81 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_pct"),
         )
     )
+
+
+# z for a 95% Wilson interval; stated as the exact double literal so
+# both engines fold the same constant.
+WILSON_Z = 1.96
+
+
+@query(
+    "agg_ratio_wilson_ci",
+    sql=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+            + {WILSON_Z} * {WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+            - {WILSON_Z} * sqrt(
+                ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 + {WILSON_Z} * {WILSON_Z} / (4.0 * CAST(n AS DOUBLE)))
+                / CAST(n AS DOUBLE)))
+           / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE))
+               AS ci_lo,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+            + {WILSON_Z} * {WILSON_Z} / (2.0 * CAST(n AS DOUBLE))
+            + {WILSON_Z} * sqrt(
+                ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                 + {WILSON_Z} * {WILSON_Z} / (4.0 * CAST(n AS DOUBLE)))
+                / CAST(n AS DOUBLE)))
+           / (1.0 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE))
+               AS ci_hi
+    FROM c
+    """,
+    tables=("events",),
+    scale_note=(
+        "Proportion monitoring with UNCERTAINTY — the Wilson 95% "
+        "interval per group, the right band for rates near 0/1 where "
+        "the normal approximation lies.  One two-phase count agg "
+        "(exact BIGINT n, k); the interval arithmetic is a fixed "
+        "IEEE expression over those two integers, identical token "
+        "for token on both engines (sqrt is correctly rounded), so "
+        "even the float bounds hash-match.  At 100 TB this is the "
+        "per-segment data-quality gate: alert when a segment's CI "
+        "excludes the fleet rate, not when a point estimate wiggles."
+    ),
+)
+def agg_ratio_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rate of high-value events with a Wilson 95% CI."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = WILSON_Z * WILSON_Z
+    center = p + F.lit(z2) / (2.0 * n)
+    half = WILSON_Z * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(z2) / (4.0 * n)) / n
+    )
+    denom = F.lit(1.0) + F.lit(z2) / n
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("ci_lo"),
+        ((center + half) / denom).alias("ci_hi"),
+    )

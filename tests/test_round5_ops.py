@@ -558,3 +558,13 @@ def test_sliding_kmv_merge_is_lossless(specs, spark, sf_dir):
         else:
             kth = int(mins[-1][:15], 16)
             assert abs(est - (PANE_K - 1) / (kth / KMV_SPACE)) < 1e-6
+
+
+def test_wilson_ci_brackets_p_hat_within_unit_interval(specs, spark, sf_dir):
+    """The Wilson interval must bracket the point estimate and stay
+    inside [0, 1] (the property the normal approximation violates)."""
+    rows = specs["agg_ratio_wilson_ci"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        assert r["ci_hi"] - r["ci_lo"] < 1.0
