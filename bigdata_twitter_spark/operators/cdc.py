@@ -214,3 +214,79 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_totalprice",
         )
     )
+
+
+@query(
+    "join_pit_scd2",
+    sql="""
+    WITH dim AS (
+        SELECT user_id, event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           d.state AS state_at_purchase,
+           d.valid_from AS state_since
+    FROM events p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    tables=("events",),
+    scale_note=(
+        "POINT-IN-TIME lookup against an SCD2 dimension — the "
+        "canonical warehouse join: each fact row matches the exactly "
+        "one dimension version whose half-open validity interval "
+        "[valid_from, valid_to) contains the fact time, with the "
+        "current version's open interval (valid_to NULL) matching "
+        "everything since its open.  Interval construction is "
+        "cdc_scd2_intervals' one keyed window; the lookup co-shuffles "
+        "both sides on the dimension key, and because intervals "
+        "partition the timeline per key the join multiplicity is "
+        "EXACTLY one (or zero before the first version) — never a "
+        "range-join blowup.  At 100 TB this executes as join_asof's "
+        "plan (last version at-or-before fact time), which is "
+        "equivalent precisely because the intervals tile the "
+        "timeline; facts predating the first version survive via the "
+        "left join with a null state."
+    ),
+)
+def join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase annotated with the user's state (SCD2 version)
+    valid at purchase time; pre-history purchases keep null state."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type", "ts", "event_id")
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    d = dim.alias("d")
+    return p.join(
+        d,
+        (F.col("d.user_id") == F.col("p.user_id"))
+        & (F.col("d.valid_from") <= F.col("p.ts"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col("p.ts") < F.col("d.valid_to"))
+        ),
+        "left",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("d.state").alias("state_at_purchase"),
+        F.col("d.valid_from").alias("state_since"),
+    )

@@ -568,3 +568,34 @@ def test_wilson_ci_brackets_p_hat_within_unit_interval(specs, spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
         assert r["ci_hi"] - r["ci_lo"] < 1.0
+
+
+def test_pit_scd2_multiplicity_and_prehistory(specs, spark, sf_dir):
+    """Every purchase must appear EXACTLY once (interval tiling), and
+    null states only for purchases before the user's first non-
+    purchase event."""
+    from collections import Counter
+
+    from bigdata_twitter_spark.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    first_state: dict = {}
+    n_purch = 0
+    for r in ev:
+        if r["event_type"] != "purchase":
+            u = r["user_id"]
+            if u not in first_state or r["ts"] < first_state[u]:
+                first_state[u] = r["ts"]
+        else:
+            n_purch += 1
+    out = specs["join_pit_scd2"].fn(spark, sf_dir).collect()
+    counts = Counter(r["purchase_id"] for r in out)
+    assert len(out) == n_purch and all(v == 1 for v in counts.values())
+    for r in out:
+        if r["state_at_purchase"] is None:
+            fs = first_state.get(r["user_id"])
+            assert fs is None or r["purchase_ts"] < fs
+        else:
+            assert r["state_since"] <= r["purchase_ts"]
