@@ -57,6 +57,8 @@ ZERO_ROW_KEYS = [
     "embed_pipeline_e2e",
     "scan_csv_quarantine",
     "agg_bitmap_distinct",
+    "join_pit_scd2",
+    "graph_also_bought_topk",
 ]
 
 
