@@ -25,6 +25,8 @@ never runs; recall there is governed by the declared LSH contract).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +41,20 @@ from .vectors import PAIR_COSINE_THRESHOLD, duck_cosine
 # bucketed SCALE path, so the bench tracks the plan that actually
 # runs on a big corpus instead of the deliberately-expensive twin.
 EXACT_PAIRS_MAX = 1500
+
+# Set by a harness that intends to hash-compare this operator's output
+# against the registered EXACT all-pairs oracle (tests/parity.py sets
+# it around every oracle-attached run).  The runtime guard below turns
+# the silent oracle/path regime mismatch into a named fail-fast error.
+EXPECT_EXACT_ORACLE_ENV = "BDT_EXPECT_EXACT_ORACLE"
+
+
+class ExactOracleRegimeExceeded(RuntimeError):
+    """The corpus routed dedup_embedding onto the probabilistic LSH
+    path while the caller declared (via BDT_EXPECT_EXACT_ORACLE) that
+    it will compare against the exact all-pairs oracle — that compare
+    would test the oracle's expired precondition, not the operator
+    (ADVICE r4/r5).  Callers must downgrade to a rows-only check."""
 
 
 @query(
@@ -85,6 +101,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import sim_pairs_threshold
 
     n = load(spark, sf_dir, "embeddings").count()  # catalog stats at scale
+    if n > EXACT_PAIRS_MAX and os.environ.get(EXPECT_EXACT_ORACLE_ENV):
+        raise ExactOracleRegimeExceeded(
+            f"{n} embeddings > EXACT_PAIRS_MAX={EXACT_PAIRS_MAX}: the "
+            "LSH path is selected, so the registered exact all-pairs "
+            "oracle is not valid at this scale — downgrade to a "
+            "rows-only check or run at n <= EXACT_PAIRS_MAX"
+        )
     miner = (
         sim_pairs_threshold if n <= EXACT_PAIRS_MAX else sim_pairs_bucketed
     )

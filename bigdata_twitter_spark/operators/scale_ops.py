@@ -138,7 +138,9 @@ KMV_SPACE = float(1 << 60)
 
 @query(
     "agg_kmv_distinct",
-    sql="""
+    # constants interpolated from KMV_K so the oracle can never
+    # silently desynchronize from the Spark side (ADVICE r5)
+    sql=f"""
     WITH h AS (
         SELECT DISTINCT event_type,
                md5(CAST(user_id AS VARCHAR)) AS hv
@@ -152,12 +154,12 @@ KMV_SPACE = float(1 << 60)
         SELECT event_type,
                CAST(MAX(rn) AS BIGINT) AS n_seen,
                MAX(hv) AS kth
-        FROM ranked WHERE rn <= 64
+        FROM ranked WHERE rn <= {KMV_K}
         GROUP BY event_type
     )
     SELECT event_type, n_seen,
-           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
-                ELSE (64 - 1)
+           CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE ({KMV_K} - 1)
                      / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
                         / 1152921504606846976.0)
            END AS est_users
@@ -258,7 +260,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = (
         e.groupBy(
             "event_type",
-            (F.col("user_id") / 64).cast("bigint").alias("word_idx"),
+            # integer floor division (`div`), matching the oracle's
+            # `//` for ALL id domains — float division truncates
+            # toward zero and loses exactness above 2^53
+            F.expr("user_id div 64").alias("word_idx"),
         )
         .agg(
             F.expr(
@@ -275,7 +280,7 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_kmv_union_intersect",
-    sql="""
+    sql=f"""
     WITH f AS (
         SELECT user_id,
                MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
@@ -291,19 +296,19 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(MAX(rn) AS BIGINT) AS n_seen,
                MAX(hv) AS kth,
                CAST(SUM(a * b) AS BIGINT) AS n_both
-        FROM ranked WHERE rn <= 64
+        FROM ranked WHERE rn <= {KMV_K}
     )
     SELECT n_seen, n_both,
-           CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
-                ELSE (64 - 1)
+           CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE ({KMV_K} - 1)
                      / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
                         / 1152921504606846976.0)
            END AS est_union,
            CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE)
                AS jaccard_est,
            (CAST(n_both AS DOUBLE) / CAST(n_seen AS DOUBLE))
-           * CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
-                  ELSE (64 - 1)
+           * CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                  ELSE ({KMV_K} - 1)
                        / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
                           / 1152921504606846976.0)
              END AS est_intersect
@@ -318,12 +323,15 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimated by the fraction of those k members flagged in "
         "BOTH sets, and the intersection size is that fraction times "
         "the KMV union estimate.  The per-user flag pass is one "
-        "partial agg; the union sketch needs only the global k-min, "
-        "declared here as a rank window (at 100 TB: per-partition "
-        "top-k heaps merged on the driver, k rows each — the same "
-        "replacement as agg_kmv_distinct's note).  All estimate "
-        "arithmetic is the same ordered IEEE expression on both "
-        "engines over exact BIGINT inputs."
+        "partial agg; the global k-min is computed in two bounded "
+        "levels — a per-nibble-bucket top-k window (16 hash-uniform "
+        "buckets, each keeps <= k rows, partitioned exchange) and a "
+        "final rank over the <= 16*k surviving candidates (an "
+        "aggregate-sized window, like a sketch merge, NOT a "
+        "data-sized sort: every global top-k member is a bucket-"
+        "local top-k member, so the two-level cut is exact).  All "
+        "estimate arithmetic is the same ordered IEEE expression on "
+        "both engines over exact BIGINT inputs."
     ),
 )
 def agg_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,9 +351,22 @@ def agg_kmv_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Two-level global k-min (no data-sized single-partition sort):
+    # level 1 keeps the k smallest hashes within each of the 16
+    # first-nibble buckets (hash-uniform, partitioned exchange); any
+    # global top-k hash is necessarily a top-k hash of its own bucket,
+    # so level 2 only ranks the <= 16*k survivors — a bounded,
+    # aggregate-sized window, the same shape as a sketch merge.
+    wb = Window.partitionBy("bucket").orderBy("hv")
+    cand = (
+        u.withColumn("bucket", F.substring("hv", 1, 1))
+        .withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= KMV_K)
+        .drop("bucket", "brn")
+    )
     w = Window.orderBy("hv")
     sk = (
-        u.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KMV_K)
         .agg(
             F.max("rn").cast("bigint").alias("n_seen"),
@@ -376,7 +397,7 @@ SLIDE_HOURS = 3  # each window covers [h-2, h]
 
 @query(
     "ts_sliding_distinct_kmv",
-    sql="""
+    sql=f"""
     WITH h AS (
         SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
                md5(CAST(user_id AS VARCHAR)) AS hv
@@ -387,7 +408,7 @@ SLIDE_HOURS = 3  # each window covers [h-2, h]
         FROM h
     ), pane AS (
         SELECT hr, list(hv ORDER BY hv) AS mins
-        FROM ranked WHERE rn <= 32
+        FROM ranked WHERE rn <= {PANE_K}
         GROUP BY hr
     ), hours AS (SELECT DISTINCT hr FROM pane
     ), win AS (
@@ -395,17 +416,17 @@ SLIDE_HOURS = 3  # each window covers [h-2, h]
                list_sort(list_distinct(flatten(list(p.mins)))) AS u
         FROM hours w
         JOIN pane p
-          ON p.hr >= w.hr - INTERVAL (3 - 1) HOUR AND p.hr <= w.hr
+          ON p.hr >= w.hr - INTERVAL ({SLIDE_HOURS} - 1) HOUR AND p.hr <= w.hr
         GROUP BY w.hr
     ), sk AS (
         SELECT win_end,
-               CAST(least(len(u), 32) AS BIGINT) AS n_seen,
-               u[CAST(least(len(u), 32) AS BIGINT)] AS kth
+               CAST(least(len(u), {PANE_K}) AS BIGINT) AS n_seen,
+               u[CAST(least(len(u), {PANE_K}) AS BIGINT)] AS kth
         FROM win
     )
     SELECT win_end, n_seen,
-           CASE WHEN n_seen < 32 THEN CAST(n_seen AS DOUBLE)
-                ELSE (32 - 1)
+           CASE WHEN n_seen < {PANE_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE ({PANE_K} - 1)
                      / (CAST((((((((((((((((CAST(0 AS BIGINT) * 16 + (strpos('0123456789abcdef', substring(kth, 1, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 6, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 7, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 8, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 9, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 10, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 11, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 12, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 13, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 14, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substring(kth, 15, 1)) - 1)) AS DOUBLE)
                         / 1152921504606846976.0)
            END AS est_users

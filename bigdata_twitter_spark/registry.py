@@ -30,88 +30,53 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# The driver evaluates exactly the first 50 ``queries()`` keys per round
-# (every round so far cut at key #50 in registration order).  This is
-# the round-5 window: after round 4, every registry key has at least
-# one driver row, so this round rotates to the STALE cohort — keys
-# whose latest driver row predates the round-3/4 session and loader
-# refactors that touch every operator.  Slot 1 is ``graph_pagerank``:
-# its unrolled-CTE oracle was promoted to hash-grade in round 4
-# (operators/graph.py) but its latest driver row is the old round-3
-# rows-only check, so this is the first driver hash row for that
-# oracle.  Then the 18 keys whose ONLY driver row is round 1 (udf/fn
-# families, similarity exact twins, the contract-weak simhash and
-# approx-count-distinct — a re-check re-records the same weak grade but
-# on current code), then 31 of the 48 round-2-cohort keys (windows,
-# sort/set/skew, batch timeseries, text analysis).  Deferred to round
-# 6: the remaining 17 round-2 keys (7 scan/sink format keys + the 10
-# streaming keys, whose checks are the slowest per slot).
+# The driver evaluates exactly the first 50 ``queries()`` keys per
+# round (every round so far cut at key #50 in registration order).
+# Round-6 window = the ENTIRE remaining staleness ledger, which is
+# exactly 50 keys (VERDICT r5 "Next round" #1):
 #
-# Mid-round amendment: the three multimodal keys whose outputs CHANGED
-# this round (true-binary PNG/WAV fixtures, VERDICT r4 #7 —
-# scan_binary_files, multimodal_image_resize, multimodal_audio_chunk)
-# and the six keys ADDED this round (sim_pairs_sharded_jobs,
-# multimodal_decode_errors, stream_static_join, profile_join_skew,
-# stream_upsert_versioned, table_compact_versioned) take the last
-# nine slots.  A key with changed output or no history has NO valid
-# driver evidence at all, which is staler than any unchanged round-2
-# row; the nine displaced round-2 keys (funnel_conversion,
-# ts_anomaly_zscore, ts_retention_cohort, ts_interpolate,
-# text_quality_score, text_lang_id, text_fingerprint,
-# text_token_count_bpe, text_keywords_topk) join the round-6 queue.
+#   * the 7 keys added late in round 5 that have never had a driver
+#     row at all (all local-parity hash_pass in PARITY_r05.json) —
+#     agg_kmv_union_intersect goes in only AFTER its single-partition
+#     global-k-min window was replaced this round with the two-level
+#     nibble-bucket cut (VERDICT r5 "What's wrong" #1), so the
+#     driver's first row certifies the fixed plan, never the weak one;
 #
-# Second amendment (same staleness logic): seventeen MORE keys were
-# added
-# later in round 5 (fn_url, agg_weighted_median, join_bloom_prefilter,
-# text_span_dedup, table_change_feed, table_vacuum_versioned,
-# ts_seasonal_decompose, fn_bitwise, sample_temperature_mixture,
-# join_asof_nearest, graph_degree_distribution, and the hash-grade
-# portable-hash twins dedup_minhash_md5 + dedup_simhash_md5 +
-# agg_kmv_distinct, plus the watermark-eviction-emitting
-# stream_stream_join_outer, the embedding-side flagship
-# embed_pipeline_e2e, and the scan_csv_quarantine ingestion error
-# channel) — never driver-checked, so they displace seventeen further
-# round-2 keys
-# (text_tokenize, text_ngrams, text_sentiment_lexicon,
-# text_lang_stats, ts_gap_fill, ts_sessionize_batch, top_active_users,
-# error_rate_per_day, ts_tumbling_counts, ts_sliding_counts,
-# join_skew_salted, set_except, set_intersect, limit_topk_global,
-# sort_multikey, win_dedup_latest, win_ntile_pctrank) into the
-# round-6 queue alongside the nine above.
-_R5_WINDOW = (
-    # -- first driver hash row for the round-4-promoted oracle --
-    "graph_pagerank",
-    # -- 18 keys whose only driver row is round 1 --
-    "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
-    "udtf_table_fn",
-    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
-    "fn_map",
-    "dedup_fuzzy_jaccard", "dedup_simhash",
-    "multimodal_bytes", "multimodal_decode_stub",
-    "sim_pairs_threshold", "embed_centroid_per_label", "sim_knn_join",
-    "agg_approx_count_distinct",
-    # -- 31 of the 48 round-2-cohort keys --
-    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
-    "win_range_frame", "win_ntile_pctrank_dist",
-    # -- 17 keys added late in round 5, never driver-checked --
-    "fn_url", "agg_weighted_median", "join_bloom_prefilter",
-    "text_span_dedup", "table_change_feed",
-    "table_vacuum_versioned", "ts_seasonal_decompose", "fn_bitwise",
-    "sample_temperature_mixture", "join_asof_nearest",
-    "graph_degree_distribution", "dedup_minhash_md5",
-    "dedup_simhash_md5", "agg_kmv_distinct",
-    "stream_stream_join_outer", "embed_pipeline_e2e",
-    "scan_csv_quarantine",
-    # -- 3 keys whose outputs changed this round (see above) --
-    "scan_binary_files", "multimodal_image_resize",
-    "multimodal_audio_chunk",
-    # -- 6 keys added this round, never driver-checked --
-    "sim_pairs_sharded_jobs", "multimodal_decode_errors",
-    "stream_static_join", "profile_join_skew",
-    "stream_upsert_versioned", "table_compact_versioned",
+#   * the 43 keys whose latest driver row is round 2 — including the
+#     whole streaming family, whose r2 evidence describes code that
+#     no longer exists (round 5 changed the state-store partition
+#     sizing under every streaming key).  After this window closes,
+#     every key in the registry has a driver row from round-3 code or
+#     later.
+_R6_WINDOW = (
+    # -- 7 keys never driver-checked (round-5 late additions) --
+    "agg_bitmap_distinct", "agg_kmv_union_intersect",
+    "agg_ratio_wilson_ci", "graph_also_bought_topk", "join_pit_scd2",
+    "table_clone_shallow", "ts_sliding_distinct_kmv",
+    # -- 43 keys whose latest driver row is round 2 --
+    # streaming family first: its machinery changed most recently
+    "stream_tumbling_agg", "stream_sliding_agg",
+    "stream_session_window", "stream_dedup", "stream_late_data",
+    "stream_stateful_running", "stream_stream_join",
+    "source_stream_file", "source_stream_rate",
+    "sink_stream_foreachbatch",
+    # scan/sink format keys
+    "scan_csv", "scan_json_lines", "scan_parquet",
+    "sink_json_lines", "sink_parquet", "join_bucketed_colocated",
+    # batch timeseries / windows / sets / sort
+    "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
+    "ts_gap_fill", "ts_interpolate", "ts_retention_cohort",
+    "ts_anomaly_zscore", "top_active_users", "error_rate_per_day",
+    "funnel_conversion", "win_dedup_latest", "win_ntile_pctrank",
+    "limit_topk_global", "sort_multikey", "set_intersect",
+    "set_except", "join_skew_salted", "agg_percentiles",
+    # text family
+    "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
+    "text_lang_stats", "text_quality_score", "text_lang_id",
+    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
 )
 
-assert len(_R5_WINDOW) == 50, len(_R5_WINDOW)
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 
 def query(
     name: str,
@@ -140,7 +105,7 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R5_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R6_WINDOW``
     tuple below defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round).
     Keys outside the window follow in registration order.
@@ -195,14 +160,14 @@ def load_all_operators() -> dict[str, QuerySpec]:
 
     # Final check order: the explicit 50-key round-5 window first, then
     # every remaining key in registration order.
-    missing = [k for k in _R5_WINDOW if k not in REGISTRY]
+    missing = [k for k in _R6_WINDOW if k not in REGISTRY]
     if missing:
         raise RuntimeError(
-            f"_R5_WINDOW names unregistered operator keys: {missing}; "
+            f"_R6_WINDOW names unregistered operator keys: {missing}; "
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in _R5_WINDOW:
+    for key in _R6_WINDOW:
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

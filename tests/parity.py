@@ -90,30 +90,43 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, key: str) 
         )
 
 
-def _oracle_valid_at_scale(spark, sf_dir: str, key: str) -> bool:
-    """Some oracles are exact only in a declared input regime; outside
-    it the hash compare would test the oracle's precondition, not the
-    operator.  dedup_embedding's all-pairs oracle is exact only while
-    the operator dispatches to the exact miner (n ≤ EXACT_PAIRS_MAX
-    embeddings); above that the probabilistic LSH path runs and sf0.1+
-    is bench-only for this key (ADVICE r4)."""
-    if key == "dedup_embedding":
-        from bigdata_twitter_spark.llm.embdedup import EXACT_PAIRS_MAX
-        from bigdata_twitter_spark.tables import load
-
-        return load(spark, sf_dir, "embeddings").count() <= EXACT_PAIRS_MAX
-    return True
-
-
 def check_query(spark, sf_dir: str, key: str) -> None:
+    """Run an operator and hash-compare against its DuckDB oracle.
+
+    Oracle-regime safety: some oracles are exact only in a declared
+    input regime (dedup_embedding's all-pairs oracle is exact only
+    while the operator dispatches to the exact miner, n ≤
+    EXACT_PAIRS_MAX embeddings).  The harness declares hash-compare
+    intent via BDT_EXPECT_EXACT_ORACLE; an operator whose regime has
+    expired fails fast with ExactOracleRegimeExceeded — the runtime
+    guard lives in the OPERATOR, so any harness (not just this one)
+    hits it — and the check downgrades to rows-only (ADVICE r4/r5).
+    """
+    import os
+
+    from bigdata_twitter_spark.llm.embdedup import (
+        EXPECT_EXACT_ORACLE_ENV,
+        ExactOracleRegimeExceeded,
+    )
     from bigdata_twitter_spark.registry import REGISTRY
 
     spec = REGISTRY[key]
-    sdf = spec.fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
-    if spec.sql is None or not _oracle_valid_at_scale(spark, sf_dir, key):
-        assert len(spark_pdf) >= 0  # rows-only check (driver-weak parity)
+    if spec.sql is not None:
+        os.environ[EXPECT_EXACT_ORACLE_ENV] = "1"
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except ExactOracleRegimeExceeded:
+            # Declared regime exceeded → the oracle is invalid here;
+            # re-run without the intent flag for a rows-only check.
+            os.environ.pop(EXPECT_EXACT_ORACLE_ENV, None)
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+            assert len(spark_pdf) >= 0
+            return
+        finally:
+            os.environ.pop(EXPECT_EXACT_ORACLE_ENV, None)
+        with duckdb_connect(sf_dir) as con:
+            oracle_pdf = con.sql(spec.sql).df()
+        compare_frames(spark_pdf, oracle_pdf, key)
         return
-    with duckdb_connect(sf_dir) as con:
-        oracle_pdf = con.sql(spec.sql).df()
-    compare_frames(spark_pdf, oracle_pdf, key)
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    assert len(spark_pdf) >= 0  # rows-only check (driver-weak parity)

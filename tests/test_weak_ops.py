@@ -627,3 +627,68 @@ def test_lsh_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
     got = _pairs(dd.dedup_minhash_lsh(spark, sf_dir))
     assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= got
     assert dd.LAST_LSH_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}
+
+
+def test_embedding_oracle_regime_guard_fires_past_exact_max(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r5 residual: at n > EXACT_PAIRS_MAX the operator must
+    fail FAST with the named regime error when a harness declares
+    exact-oracle intent (the silent alternative would hash-compare
+    the probabilistic LSH path against the exact all-pairs oracle),
+    and the parity harness must downgrade that to a rows-only check
+    instead of reporting a bogus mismatch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_twitter_spark.llm.embdedup import (
+        EXACT_PAIRS_MAX,
+        EXPECT_EXACT_ORACLE_ENV,
+        ExactOracleRegimeExceeded,
+        dedup_embedding,
+    )
+    from .parity import check_query
+
+    n = EXACT_PAIRS_MAX + 100  # 1600 vectors > the exact-path bound
+    rng = np.random.default_rng(7)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [rng.standard_normal(8).astype("float32") for _ in range(n)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 4 for i in range(n)], pa.int32()),
+        }
+    )
+    docs = pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype="int64"),
+                "text": ["t"] * n,
+                "lang": ["en"] * n,
+                "source": ["s"] * n,
+                "n_chars": np.ones(n, dtype="int64"),
+            }
+        )
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    # 1. the operator-side guard fires under declared intent
+    monkeypatch.setenv(EXPECT_EXACT_ORACLE_ENV, "1")
+    with _pytest.raises(ExactOracleRegimeExceeded):
+        dedup_embedding(spark, str(tmp_path))
+    monkeypatch.delenv(EXPECT_EXACT_ORACLE_ENV)
+
+    # 2. without intent the LSH path runs normally (no guard)
+    assert dedup_embedding(spark, str(tmp_path)).count() == n
+
+    # 3. the parity harness downgrades to rows-only, does not fail,
+    #    and does not leak the intent flag
+    check_query(spark, str(tmp_path), "dedup_embedding")
+    import os
+
+    assert EXPECT_EXACT_ORACLE_ENV not in os.environ
