@@ -151,6 +151,9 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import bloomjoin  # noqa: F401  (round 5)
     from .llm import embpipeline  # noqa: F401  (round 5)
 
+    # Round-6 additions (queue behind the explicit window).
+    from .llm import bucketjobs  # noqa: F401  (round 6)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401

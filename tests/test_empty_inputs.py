@@ -59,6 +59,8 @@ ZERO_ROW_KEYS = [
     "agg_bitmap_distinct",
     "join_pit_scd2",
     "graph_also_bought_topk",
+    # round-6 additions
+    "sim_pairs_bucket_jobs",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Semantic invariants for the round-6 additions (oracle parity is
+covered by test_parity.py).
+
+The headline claim under test: ``sim_pairs_bucket_jobs`` shards the
+similarity job loop by LSH band-bucket, so cross-shard jobs are
+provably empty and the job count is LINEAR in the shard count S —
+measured here against the mod-shard loop's S(S+1)/2 — while the mined
+pair set stays equal to the exact all-pairs answer at fixture scale
+(VERDICT r5 "Next round" #5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from bigdata_twitter_spark.registry import load_all_operators
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_operators()
+
+
+def test_bucket_jobs_equals_exact_miner_and_runs_linear_jobs(
+    specs, spark, sf_dir
+):
+    """Same pair set (ids AND 6dp cosines) as the exact all-pairs
+    miner, with ≤ S jobs on disk where mod-sharding needs S(S+1)/2."""
+    from bigdata_twitter_spark.llm import bucketjobs as bj
+
+    mined = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in specs["sim_pairs_bucket_jobs"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["a_id"], r["b_id"], r["cosine"])
+        for r in specs["sim_pairs_threshold"].fn(spark, sf_dir).collect()
+    }
+    assert mined == exact
+    assert mined, "fixture should contain pairs at the threshold"
+    audit = bj.LAST_JOB_AUDIT
+    assert audit["shards"] == bj.BUCKET_JOB_SHARDS
+    assert audit["jobs_run"] <= bj.BUCKET_JOB_SHARDS
+    assert audit["mod_shard_jobs"] == (
+        bj.BUCKET_JOB_SHARDS * (bj.BUCKET_JOB_SHARDS + 1) // 2
+    )
+    job_dirs = glob.glob(os.path.join(bj._RUN_BASE, "*", "job_*"))
+    assert len(job_dirs) == audit["jobs_run"]
+
+
+def test_bucket_jobs_job_count_measured_linear_in_shard_count(
+    spark, sf_dir, tmp_path
+):
+    """The sub-quadratic measurement: as S grows, jobs_run stays ≤ S
+    (cross-shard jobs never materialize) while the mod-shard loop's
+    job count grows as S(S+1)/2 — and the mined pair set is invariant
+    in S (sharding partitions buckets, never drops one)."""
+    from bigdata_twitter_spark.llm.bucketjobs import (
+        LAST_JOB_AUDIT,
+        run_bucket_jobs,
+    )
+
+    pair_sets = []
+    for s_count in (2, 4, 8, 16):
+        run_dir = str(tmp_path / f"s{s_count}")
+        os.makedirs(run_dir)
+        job_dirs = run_bucket_jobs(spark, sf_dir, run_dir, s_count)
+        assert LAST_JOB_AUDIT["jobs_run"] == len(job_dirs) <= s_count
+        assert LAST_JOB_AUDIT["mod_shard_jobs"] == (
+            s_count * (s_count + 1) // 2
+        )
+        pair_sets.append(
+            {
+                (r["a_id"], r["b_id"], r["cosine"])
+                for r in spark.read.parquet(*job_dirs).distinct().collect()
+            }
+        )
+    assert all(p == pair_sets[0] for p in pair_sets[1:])
+
+
+def test_bucket_jobs_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
+    """_SUCCESS-marked jobs are never recomputed; a torn job (marker
+    removed) is — the same handoff contract as sim_pairs_sharded_jobs."""
+    from bigdata_twitter_spark.llm.bucketjobs import run_bucket_jobs
+
+    run_dir = str(tmp_path / "resume")
+    os.makedirs(run_dir)
+    job_dirs = run_bucket_jobs(spark, sf_dir, run_dir, 4)
+    assert len(job_dirs) >= 2, "fixture should fill at least two shards"
+    mtimes = {d: os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in job_dirs}
+    # Tear ONE job (drop its commit marker) and resume.
+    torn = job_dirs[0]
+    os.remove(os.path.join(torn, "_SUCCESS"))
+    again = run_bucket_jobs(spark, sf_dir, run_dir, 4)
+    assert again == job_dirs
+    for d in job_dirs[1:]:
+        assert os.path.getmtime(os.path.join(d, "_SUCCESS")) == mtimes[d]
+    assert os.path.getmtime(os.path.join(torn, "_SUCCESS")) != mtimes[torn]
+
+
+def test_bucket_jobs_oracle_regime_guard(spark, sf_dir, monkeypatch):
+    """Past the plane-literal regime (bits_for(n) > ORACLE_BITS_MAX)
+    the operator must fail fast under declared exact-oracle intent and
+    the parity harness must downgrade to rows-only — the same contract
+    as dedup_embedding's guard."""
+    from bigdata_twitter_spark.llm import bucketjobs as bj
+    from bigdata_twitter_spark.llm.embdedup import (
+        EXPECT_EXACT_ORACLE_ENV,
+        ExactOracleRegimeExceeded,
+    )
+
+    from .parity import check_query
+
+    monkeypatch.setattr(bj, "ORACLE_BITS_MAX", 1)  # force the regime edge
+    monkeypatch.setenv(EXPECT_EXACT_ORACLE_ENV, "1")
+    with pytest.raises(ExactOracleRegimeExceeded):
+        bj.sim_pairs_bucket_jobs(spark, sf_dir)
+    monkeypatch.delenv(EXPECT_EXACT_ORACLE_ENV)
+    # without declared intent the operator runs the normal path
+    assert bj.sim_pairs_bucket_jobs(spark, sf_dir).count() >= 0
+    # and the harness downgrades instead of reporting a bogus mismatch
+    check_query(spark, sf_dir, "sim_pairs_bucket_jobs")
+    assert EXPECT_EXACT_ORACLE_ENV not in os.environ
