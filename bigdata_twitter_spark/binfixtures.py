@@ -29,6 +29,7 @@ from __future__ import annotations
 import array
 import hashlib
 import io
+import math
 import os
 import struct
 import tempfile
@@ -239,3 +240,384 @@ def png_sha_values_sql() -> str:
         for i in range(N_FILES)
     )
     return f"(VALUES {rows})"
+
+
+# ---- baseline JPEG (round 6, VERDICT r5 #7) --------------------------
+# PNG's zlib path never exercises the dominant web-crawl image format's
+# decode machinery: entropy (Huffman) decoding and the DCT transform
+# domain.  This section adds a clean-room baseline-sequential grayscale
+# JPEG encoder + decoder from the public ITU T.81 spec (Annex K example
+# quantization/Huffman tables).  The verification lever is that the
+# ENTROPY LAYER IS LOSSLESS over quantized DCT coefficients: the
+# encoder reaches the coefficients via pixels → forward DCT → quantize
+# (never touching Huffman), while the decoder reaches the same
+# integers via file bytes → marker parse → Huffman decode (never
+# touching the DCT).  The oracle states coefficient facts from the
+# first route at SQL-build time; Spark recomputes them by the second
+# route over the scanned bytes — agreement proves the entropy-decode
+# path with no shared arithmetic beyond the definition of the file.
+
+JPEG_DIR = os.path.join(FIXTURE_ROOT, "jpg")
+
+
+def jpeg_width(doc_id: int) -> int:
+    return 16 + (doc_id * 13) % 48
+
+
+def jpeg_height(doc_id: int) -> int:
+    return 16 + (doc_id * 5) % 48
+
+
+# ITU T.81 Annex K.1 luminance quantization table (natural row-major
+# order) and K.3 typical luminance Huffman tables.
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# zigzag position → natural (row-major) index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+_DCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_DCT_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """symbol → (code, length) per the canonical DHT construction."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
+AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
+
+
+def jpeg_quant_blocks(doc_id: int) -> list:
+    """Quantized-coefficient blocks via the FORWARD route (pixels →
+    DCT → quantize), natural order per block; block scan order is
+    left-to-right, top-to-bottom.  Edge blocks replicate the last
+    row/column (the conventional pad).
+
+    numpy-vectorized (import-time oracle build runs this for all 100
+    fixtures); determinism note: the encoder AND the oracle stats both
+    flow through THIS function, and the decoder never recomputes a DCT
+    — so the float summation order only has to agree with itself.
+    """
+    import numpy as np
+
+    w, h = jpeg_width(doc_id), jpeg_height(doc_id)
+    # T[u, x] = 0.5 * C(u) * cos((2x+1)uπ/16) — the orthonormal 8-DCT.
+    t = 0.5 * np.array(_DCT_COS) * np.array(_DCT_C)[:, None]
+    xs = np.minimum(np.arange((w + 7) // 8 * 8), w - 1)
+    ys = np.minimum(np.arange((h + 7) // 8 * 8), h - 1)
+    img = (3 * xs[None, :] + 7 * ys[:, None] + doc_id) % 256 - 128
+    q = np.array(QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    blocks = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            blk = img[by : by + 8, bx : bx + 8].astype(np.float64)
+            coeff = t @ blk @ t.T  # rows index v (y-freq), cols u (x-freq)
+            quant = np.floor(coeff / q + 0.5).astype(np.int64)
+            blocks.append([int(quant[v, u]) for v in range(8) for u in range(8)])
+    return blocks
+
+
+def jpeg_coeff_stats(doc_id: int) -> tuple:
+    """(n_blocks, dc_sum, ac_nonzero) from the forward route — the
+    oracle's closed form, no Huffman involved."""
+    blocks = jpeg_quant_blocks(doc_id)
+    dc_sum = sum(b[0] for b in blocks)
+    ac_nonzero = sum(1 for b in blocks for c in b[1:] if c != 0)
+    return len(blocks), dc_sum, ac_nonzero
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple:
+    """JPEG magnitude category: (size, raw bits) with the one's-
+    complement negative encoding of F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _dht_segment(tc_th: int, bits: list, vals: list) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def jpeg_bytes(doc_id: int) -> bytes:
+    """Spec-valid baseline-sequential grayscale JFIF via the real
+    pipeline: level shift → 8×8 DCT → Annex-K quantization → zigzag →
+    DC-differential + run-length AC Huffman coding, byte-stuffed."""
+    w, h = jpeg_width(doc_id), jpeg_height(doc_id)
+    bw = _BitWriter()
+    prev_dc = 0
+    for block in jpeg_quant_blocks(doc_id):
+        zz = [block[ZIGZAG[i]] for i in range(64)]
+        size, bits_v = _magnitude(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        code, length = DC_CODES[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits_v, size)
+        run = 0
+        for coeff in zz[1:]:
+            if coeff == 0:
+                run += 1
+                continue
+            while run > 15:
+                zrl, zl = AC_CODES[0xF0]
+                bw.write(zrl, zl)
+                run -= 16
+            size, bits_v = _magnitude(coeff)
+            code, length = AC_CODES[run * 16 + size]
+            bw.write(code, length)
+            bw.write(bits_v, size)
+            run = 0
+        if run:
+            eob, el = AC_CODES[0x00]
+            bw.write(eob, el)
+    zz_quant = bytes(QUANT_LUMA[ZIGZAG[i]] for i in range(64))
+    return (
+        b"\xff\xd8"  # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_quant  # DQT
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        + b"\x01\x11\x00"  # SOF0: 1 component, no subsampling, Tq=0
+        + _dht_segment(0x00, DC_BITS, DC_VALS)
+        + _dht_segment(0x10, AC_BITS, AC_VALS)
+        + b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # consume the stuffed 0x00
+            self.acc, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: "_BitReader", table: dict) -> int:
+    """table: (code, length) → symbol, decoded bit-serially (max 16)."""
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """F.2.2.1 EXTEND: map raw magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_coeffs(data: bytes) -> tuple:
+    """Parse a baseline grayscale JFIF and Huffman-decode the quantized
+    coefficient blocks — the REVERSE route (bytes → markers → entropy
+    decode), no DCT anywhere.  Returns (width, height, blocks) with
+    each block in natural order, DC differences resolved.
+
+    Clean-room decoder for the subset this engine emits (baseline
+    sequential, one 8-bit component, no restart markers); anything else
+    raises rather than guessing — a real corpus swaps in libjpeg at
+    this exact seam, like decode_png's PIL note."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG SOI")
+    pos, width, height = 2, None, None
+    dc_table: dict = {}
+    ac_table: dict = {}
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC0:  # SOF0 baseline
+            depth, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if (depth, ncomp) != (8, 1):
+                raise ValueError("decoder supports 8-bit grayscale only")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("decoder supports baseline sequential only")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            tpos = 0
+            while tpos < len(body):
+                tc_th = body[tpos]
+                bits = list(body[tpos + 1 : tpos + 17])
+                nvals = sum(bits)
+                vals = list(body[tpos + 17 : tpos + 17 + nvals])
+                table = {
+                    (code, length): sym
+                    for sym, (code, length) in _canonical_codes(
+                        bits, vals
+                    ).items()
+                }
+                if tc_th >> 4 == 0:
+                    dc_table = table
+                else:
+                    ac_table = table
+                tpos += 17 + nvals
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            scan = data[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if width is None or scan is None or not dc_table or not ac_table:
+        raise ValueError("missing SOF/SOS/DHT")
+    n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+    reader = _BitReader(scan)
+    blocks, prev_dc = [], 0
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        size = _huff_decode(reader, dc_table)
+        prev_dc += _extend(reader.read_bits(size), size)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            sym = _huff_decode(reader, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        block = [0] * 64
+        for i in range(64):
+            block[ZIGZAG[i]] = zz[i]
+        blocks.append(block)
+    return width, height, blocks
+
+
+def ensure_jpeg_dir() -> str:
+    return _ensure_dir(JPEG_DIR, "jpg", jpeg_bytes)
+
+
+def jpeg_oracle_values_sql() -> str:
+    """``(VALUES ...)`` rows of (doc_id, sha_hex, n_bytes, width,
+    height, n_blocks, dc_sum, ac_nonzero): sha/bytes via hashlib over
+    the generated file, coefficient stats via the FORWARD (DCT) route
+    — both independent of the Huffman decode Spark performs."""
+    rows = []
+    for i in range(N_FILES):
+        data = jpeg_bytes(i)
+        n_blocks, dc_sum, ac_nonzero = jpeg_coeff_stats(i)
+        rows.append(
+            f"({i}, '{hashlib.sha256(data).hexdigest()}', {len(data)}, "
+            f"{jpeg_width(i)}, {jpeg_height(i)}, {n_blocks}, {dc_sum}, "
+            f"{ac_nonzero})"
+        )
+    return "(VALUES " + ", ".join(rows) + ")"

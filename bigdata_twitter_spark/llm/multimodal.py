@@ -361,3 +361,107 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
     return d.mapInPandas(_decode_or_error_batches, schema=ERRORS_SCHEMA)
+
+
+JPEG_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "n_blocks int, dc_sum bigint, ac_nonzero bigint"
+)  # byte-level columns (n_bytes, sha_hex) are added JVM-side post-decode
+
+
+def _jpeg_decode_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Entropy-decode each baseline-JPEG payload (marker parse +
+    Huffman decode — binfixtures.decode_jpeg_coeffs) and emit
+    coefficient-level facts.  The Huffman layer is LOSSLESS over the
+    quantized DCT coefficients, so these integers are exactly what the
+    encoder's forward DCT route produced — and that forward route is
+    what the oracle restates, never touching Huffman or the bytes."""
+    from ..binfixtures import decode_jpeg_coeffs
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, blocks = decode_jpeg_coeffs(bytes(payload))
+            dc_sum = sum(b[0] for b in blocks)
+            ac_nonzero = sum(1 for b in blocks for c in b[1:] if c != 0)
+            rows.append((doc_id, w, h, len(blocks), dc_sum, ac_nonzero))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height",
+                "n_blocks", "dc_sum", "ac_nonzero",
+            ],
+        ).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "n_blocks": "int32", "dc_sum": "int64",
+                "ac_nonzero": "int64",
+            }
+        )
+
+
+def _jpeg_oracle_sql() -> str:
+    from ..binfixtures import jpeg_oracle_values_sql
+
+    return f"""
+    WITH facts(doc_id, sha_hex, n_bytes, width, height,
+               n_blocks, dc_sum, ac_nonzero) AS {jpeg_oracle_values_sql()}
+    SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(n_blocks AS INT) AS n_blocks,
+           CAST(dc_sum AS BIGINT) AS dc_sum,
+           CAST(ac_nonzero AS BIGINT) AS ac_nonzero,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           sha_hex
+    FROM facts
+    """
+
+
+@query(
+    "multimodal_jpeg_decode",
+    sql=_jpeg_oracle_sql(),
+    tables=(),
+    scale_note=(
+        "The entropy/transform decode path PNG's zlib route never "
+        "touches (VERDICT r5 #7): real baseline-JFIF files (clean-room "
+        "T.81 encoder, Annex-K tables) are scanned as binaryFile and "
+        "Huffman-decoded in Arrow-batched mapInPandas back to their "
+        "quantized DCT coefficients. The entropy layer is lossless "
+        "over those integers, so the oracle can state dc_sum / "
+        "ac_nonzero from the encoder's FORWARD route (pixels → DCT → "
+        "quantize, computed at SQL-build time with no Huffman), while "
+        "Spark reaches the same integers through marker parse + "
+        "Huffman decode of the scanned bytes — two disjoint "
+        "computational routes, hash-grade agreement. At 100 TB the "
+        "same seam swaps the clean-room decoder for libjpeg-turbo; "
+        "the quarantine channel for rotten files is "
+        "multimodal_decode_errors' try/except routing, unchanged."
+    ),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG entropy decode: binaryFile scan → Arrow
+    batches → Huffman decode to quantized DCT coefficients →
+    coefficient facts (block count, DC sum, nonzero AC count)."""
+    from ..binfixtures import ensure_jpeg_dir
+
+    root = ensure_jpeg_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.jpg$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    decoded = d.mapInPandas(_jpeg_decode_batches, schema=JPEG_SCHEMA)
+    # Byte-level facts ride the JVM expression path (length / sha2 over
+    # the scanned content), an engine independent of both the Python
+    # decoder and the oracle's build-time hashlib.
+    byte_facts = d.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.sha2("payload", 256)).alias("sha_hex"),
+    )
+    return decoded.join(byte_facts, "doc_id")

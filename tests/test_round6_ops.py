@@ -124,3 +124,65 @@ def test_bucket_jobs_oracle_regime_guard(spark, sf_dir, monkeypatch):
     # and the harness downgrades instead of reporting a bogus mismatch
     check_query(spark, sf_dir, "sim_pairs_bucket_jobs")
     assert EXPECT_EXACT_ORACLE_ENV not in os.environ
+
+
+def test_jpeg_codec_roundtrip_all_fixtures():
+    """The entropy layer must be LOSSLESS: Huffman-decoding the real
+    file bytes recovers exactly the quantized coefficients the forward
+    DCT route produced, for every fixture id — the property the
+    multimodal_jpeg_decode oracle stands on."""
+    from bigdata_twitter_spark import binfixtures as bf
+
+    for i in range(bf.N_FILES):
+        data = bf.jpeg_bytes(i)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        w, h, blocks = bf.decode_jpeg_coeffs(data)
+        assert (w, h) == (bf.jpeg_width(i), bf.jpeg_height(i))
+        assert blocks == bf.jpeg_quant_blocks(i), f"doc {i}"
+        n_blocks, dc_sum, ac_nonzero = bf.jpeg_coeff_stats(i)
+        assert n_blocks == len(blocks) == ((w + 7) // 8) * ((h + 7) // 8)
+        assert dc_sum == sum(b[0] for b in blocks)
+        assert ac_nonzero == sum(1 for b in blocks for c in b[1:] if c)
+
+
+def test_jpeg_entropy_stream_is_marker_clean():
+    """Byte stuffing must keep every 0xFF inside the entropy stream
+    followed by 0x00 — otherwise a real decoder would read a bogus
+    marker mid-scan (the spec rule the stuffing exists for)."""
+    from bigdata_twitter_spark import binfixtures as bf
+
+    for i in (0, 3, 17, 99):
+        data = bf.jpeg_bytes(i)
+        sos = data.index(b"\xff\xda")
+        seglen = int.from_bytes(data[sos + 2 : sos + 4], "big")
+        scan = data[sos + 2 + seglen : -2]  # strip EOI
+        j = 0
+        while j < len(scan):
+            if scan[j] == 0xFF:
+                assert scan[j + 1] == 0x00, f"unstuffed 0xFF at {j} in doc {i}"
+                j += 2
+            else:
+                j += 1
+
+
+def test_jpeg_decoder_rejects_structural_corruption():
+    """Structural damage must raise, never silently yield a frame:
+    truncation mid-entropy-stream, a progressive SOF, or a broken
+    signature.  (Unlike PNG, baseline JPEG carries NO integrity check
+    — a flipped ENTROPY byte can legally decode to different
+    coefficients, which is exactly why the oracle pins sha-256 over
+    the bytes alongside the coefficient facts.)"""
+    from bigdata_twitter_spark import binfixtures as bf
+
+    good = bf.jpeg_bytes(5)
+    # 1. truncation: cut mid-stream (drop EOI + tail of the scan)
+    with pytest.raises(ValueError):
+        bf.decode_jpeg_coeffs(good[:-12])
+    # 2. progressive SOF marker (0xC2) — outside the baseline subset
+    prog = bytearray(good)
+    prog[bytes(good).index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError):
+        bf.decode_jpeg_coeffs(bytes(prog))
+    # 3. broken signature
+    with pytest.raises(ValueError):
+        bf.decode_jpeg_coeffs(b"\x00" + good[1:])
