@@ -389,20 +389,76 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tables=("events",),
     scale_note=(
-        "Native session_window: state merges adjacent windows per key; "
-        "equivalent to the batch gap-and-island plan (cross-checked here)."
+        "Native session_window in APPEND mode: the round-6 ×100 replay "
+        "probe OOM'd the previous complete-mode plan (complete retains "
+        "every session in the memory sink AND the state store with no "
+        "eviction — state is O(users × sessions), the one streaming "
+        "state that grows with the corpus).  Append + watermark makes "
+        "eviction the emission mechanism, so state holds only OPEN "
+        "sessions; closed sessions leave through the executor-side "
+        "parquet bridge (never driver memory — session output is "
+        "data-sized).  Finite-replay determinism uses the sentinel "
+        "protocol from stream_stream_join_outer: one-file base batch, "
+        "then two future-dated sentinel batches so the final watermark "
+        "closes every real session (sentinel sessions filtered in the "
+        "read-back).  State merges adjacent windows per key; result ≡ "
+        "the batch gap-and-island plan (the oracle)."
     ),
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming 30-minute-gap sessions per user (native session windows)."""
+    """Streaming 30-minute-gap sessions per user (native session
+    windows, append mode — closed sessions emit on watermark passage)."""
+    base = load(spark, sf_dir, "events")
+    max_ts = base.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    path = _fresh_dir(
+        f"replay_session_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # ONE file for the whole base replay (same late-data reasoning as
+    # stream_stream_join_outer: rows split across micro-batches would
+    # be dropped against the earlier batch's watermark).
+    base.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    def _parts() -> set[str]:
+        return {f for f in os.listdir(path) if f.endswith(".parquet")}
+
+    seen = _parts()
+    batches = [seen]
+    # TWO sentinel batches (30/60 days out, user_id = -1): batch A's
+    # max event time only becomes the applied watermark while batch B
+    # runs, and availableNow has no watermark-only finalize batch — so
+    # closing every real session takes both (see the outer join's
+    # sentinel note for the measured failure without B).
+    for days, eid in ((30, -1), (60, -2)):
+        sent = spark.createDataFrame(
+            [(eid, max_ts + dt.timedelta(days=days), -1, "click", 0.0, "{}")],
+            EVENTS_US_SCHEMA,
+        )
+        sent.coalesce(1).write.mode("append").parquet(path)
+        now = _parts()
+        batches.append(now - seen)
+        seen = now
+    # Pin batch order base → A → B with strictly increasing PAST
+    # mtimes (the file source skips future-dated files and orders by
+    # (mtime, path) — see stream_stream_join_outer).
+    t0 = time.time() - 300
+    for i, group in enumerate(batches):
+        for f in group:
+            os.utime(os.path.join(path, f), (t0 + 100 * i, t0 + 100 * i))
+    apply_state_store_conf(spark)
+    stream = (
+        spark.readStream.schema(EVENTS_US_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
     agg = (
-        _stream_events(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
+        stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    res = _run_to_table(agg, "complete")
-    return res.select(
+    res = _run_to_parquet(agg, "session_window")
+    return res.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"),
