@@ -329,3 +329,74 @@ def test_kmv_union_global_kmin_is_two_level(spark, sf_dir):
     bucket_pos = plan.index("hashpartitioning(bucket")
     single_pos = plan.find("SinglePartition")
     assert single_pos == -1 or single_pos < bucket_pos, plan[:2000]
+
+
+# ---- round-6 pins: full property sets for the four LLM bench keys ----
+# (VERDICT r5 #8 — they were captured in PLANS but only partially
+# pinned; these make the scale-critical shape of each plan a test.)
+
+
+def test_sim_pairs_bucketed_one_bucket_shuffle_no_windows(spark, sf_dir):
+    """The bucket-local verify claim, pinned structurally: vectors
+    ship ONCE into their (band,bval) group — exactly one bucket-keyed
+    exchange — the persisted band table is reused (InMemoryTableScan),
+    and the plan carries no window and no single-partition exchange
+    (nothing global, nothing rank-shaped, at any scale)."""
+    plan = _plan(spark, sf_dir, "sim_pairs_bucketed")
+    # exactly TWO bucket-keyed exchanges: the vector-payload shuffle
+    # into verify groups, and the occupancy-audit aggregate over the
+    # persisted 3-int band rows (metadata-sized) — a third would mean
+    # the payload ships twice.
+    bucket_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(band" in ln
+    ]
+    assert len(bucket_exchanges) == 2, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "Window" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dedup_embedding_nothing_global_and_pairs_persisted(spark, sf_dir):
+    """Keep/drop resolution stays fully keyed: no single-partition
+    exchange, no window anywhere; the mined pair set is persisted
+    (consumed by both the neighbor count and the drop-side join) so
+    the miner runs once, not once per consumer."""
+    plan = _plan(spark, sf_dir, "dedup_embedding")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_semantic_dedup_exchanges_are_cluster_or_id_keyed(spark, sf_dir):
+    """Every shuffle in the semantic-dedup plan must be keyed on the
+    cluster or a vector/doc id (bounded occupancy either way) — no
+    global exchange, no window; centroid state rides broadcasts."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_cluster")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning(" not in ln:
+            continue
+        key = ln.split("Exchange hashpartitioning(", 1)[1]
+        assert key.startswith(("cluster", "vec_id", "a_id", "b_id")), ln
+
+
+def test_train_pipeline_windows_stay_bucketed_and_bounded(spark, sf_dir):
+    """The composite's rank machinery must stay the distributed
+    nibble-bucket shape: data-sized row_number windows partitioned
+    (bucket/_w0 keys), top-1 ranks optimized to WindowGroupLimit, and
+    the only SinglePartition exchanges the aggregate-sized offset/
+    stats reductions (bounded count — a new global shuffle on a
+    data-sized input shows up here as a count regression)."""
+    plan = _plan(spark, sf_dir, "train_pipeline_e2e")
+    assert "WindowGroupLimit" in plan, plan
+    rn_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number() windowspecdefinition(" in ln and "Window " in ln.replace("+- Window", "Window ")
+    ]
+    for ln in rn_windows:
+        spec = ln.split("row_number() windowspecdefinition(", 1)[1]
+        assert spec.startswith(("bucket", "_w0")), ln
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 4, f"{singles} single-partition exchanges:\n{plan}"
