@@ -57,3 +57,29 @@ def davg(col: str | Column) -> Column:
 
 def davg_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({expr})"
+
+
+def wide_dbl(sum_col: Column) -> Column:
+    """Deterministic decimal→double cast for WIDE sums (unscaled value
+    past 2^53), where the engines' native casts diverge: DuckDB casts
+    a wide decimal by dividing its (rounded) hugeint representation by
+    10^scale — two roundings — while Spark's BigDecimal cast rounds
+    once, so the results can differ in the last ulp (observed on the
+    per-group Σ price² co-moment, round 6).  Splitting into integer +
+    fraction makes the cast a fixed identical IEEE sequence on both
+    engines: BIGINT→double is one correctly-rounded instruction, the
+    <1 fraction has ≤4 decimal digits (cast correctly rounded in both
+    engines), and one final add.
+
+    Oracle twin: :func:`wide_dbl_sql`.
+    """
+    hi = F.floor(sum_col).cast("bigint").cast("double")
+    lo = (sum_col - F.floor(sum_col)).cast("double")
+    return hi + lo
+
+
+def wide_dbl_sql(sum_expr: str) -> str:
+    return (
+        f"(CAST(CAST(FLOOR({sum_expr}) AS BIGINT) AS DOUBLE)"
+        f" + CAST({sum_expr} - FLOOR({sum_expr}) AS DOUBLE))"
+    )

@@ -1,0 +1,334 @@
+"""Statistical-modeling aggregates (round 6): grouped OLS regression,
+CUSUM changepoint detection, and lagged autocorrelation — the
+fit/monitor/forecast-prep trio a warehouse user reaches for right
+after `agg_stats`' moments.
+
+House numeric rule (numerics.py): every accumulation that feeds the
+oracle hash is EXACT (decimal or integer co-moments — associative,
+order-independent, so they distribute across any partitioning), and
+the float math happens once per output row in an expression sequence
+token-identical on both engines.  This is what makes a regression or
+an ACF hash-grade where a naive double `sum()` would be
+partition-order noise.
+
+Window caution encoded here: a windowed SUM over DOUBLES is NOT
+hash-safe even when both engines sort identically — DuckDB evaluates
+window sums with a segment tree (different association order than
+Spark's running fold).  The CUSUM therefore accumulates the exact
+INTEGER running count and derives the standardized statistic per row
+as ``(S_t − t·μ)/σ`` — integers in the window, floats only in the
+final per-row expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..numerics import dec, wide_dbl, wide_dbl_sql
+from ..registry import query
+from ..tables import load
+
+
+_Q = "CAST(l_quantity AS DECIMAL(12,2))"
+_P = "CAST(l_extendedprice AS DECIMAL(12,2))"
+
+
+@query(
+    "agg_regression_per_group",
+    sql=f"""
+    WITH m AS (
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               {wide_dbl_sql(f'SUM({_Q})')} AS sx,
+               {wide_dbl_sql(f'SUM({_Q} * {_Q})')} AS sxx,
+               {wide_dbl_sql(f'SUM({_P})')} AS sy,
+               {wide_dbl_sql(f'SUM({_P} * {_P})')} AS syy,
+               {wide_dbl_sql(f'SUM({_Q} * {_P})')} AS sxy
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Per-group OLS (price ~ quantity) from exact decimal "
+        "co-moments in ONE grouped pass — n, Σx, Σy, Σxy, Σx², Σy² "
+        "partial-aggregate map-side and merge associatively, so the "
+        "plan is the same two-phase hash agg as agg_q1_pricing "
+        "however many executors hold the group; slope/intercept/r² "
+        "are one double expression per OUTPUT row (groups, not "
+        "rows).  The moment-sketch shape every MPP regression "
+        "(regr_slope etc.) uses internally, made hash-stable by "
+        "keeping the accumulators decimal."
+    ),
+)
+def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) least-squares fit of extendedprice
+    on quantity: slope, intercept, r² from exact co-moments."""
+    l = load(spark, sf_dir, "lineitem")
+    # wide_dbl (not a plain .cast("double")): the Σ price² co-moment's
+    # unscaled decimal exceeds 2^53, where the engines' native
+    # decimal→double casts diverge by an ulp (see numerics.wide_dbl).
+    m = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        wide_dbl(F.sum(dec("l_quantity"))).alias("sx"),
+        wide_dbl(F.sum(dec("l_quantity") * dec("l_quantity"))).alias("sxx"),
+        wide_dbl(F.sum(dec("l_extendedprice"))).alias("sy"),
+        wide_dbl(
+            F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        ).alias("syy"),
+        wide_dbl(
+            F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        ).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r2"),
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS nh,
+               CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mu,
+               sqrt((CAST(SUM(cnt * cnt) AS DOUBLE)
+                     - CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1)) AS sigma
+        FROM hourly GROUP BY 1
+    ),
+    walk AS (
+        SELECT h.event_type, h.hr, h.cnt,
+               CAST(SUM(h.cnt) OVER w AS BIGINT) AS run_cnt,
+               CAST(COUNT(*) OVER w AS BIGINT) AS t,
+               s.mu, s.sigma
+        FROM hourly h JOIN stats s USING (event_type)
+        WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT event_type, hr, cnt,
+               (CAST(run_cnt AS DOUBLE) - CAST(t AS DOUBLE) * mu) / sigma
+                   AS cusum
+        FROM walk
+    ),
+    f AS (
+        SELECT event_type, hr, cnt, cusum,
+               MAX(abs(cusum)) OVER (PARTITION BY event_type) AS mx
+        FROM c
+    )
+    SELECT event_type, hr, cnt, cusum,
+           abs(cusum) = mx
+           AND hr = MIN(CASE WHEN abs(cusum) = mx THEN hr END)
+                        OVER (PARTITION BY event_type)
+               AS is_changepoint
+    FROM f
+    """,
+    tables=("events",),
+    scale_note=(
+        "CUSUM drift monitor over the hourly series, one row per "
+        "(type, hour): the running statistic is derived as "
+        "(S_t − t·μ)/σ where S_t is an exact INTEGER window sum — "
+        "never a windowed double sum, which DuckDB evaluates with a "
+        "segment tree (different association order than Spark's "
+        "running fold) and would break the hash.  Windows partition "
+        "by event_type (keyed exchange, no global sort); μ/σ come "
+        "from exact integer co-moments broadcast back; the "
+        "changepoint flag is argmax-|cusum| with an earliest-hour "
+        "tiebreak, all comparisons on identical doubles.  State is "
+        "O(hours × types) — calendar-bounded."
+    ),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized CUSUM per event type over hourly counts, flagging
+    the maximum-deviation hour (the drift/changepoint candidate)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("nh"),
+        F.sum("cnt").cast("double").alias("scnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("double").alias("scnt2"),
+    ).select(
+        "event_type",
+        (F.col("scnt") / F.col("nh")).alias("mu"),
+        F.sqrt(
+            (F.col("scnt2") - F.col("scnt") * F.col("scnt") / F.col("nh"))
+            / (F.col("nh") - 1)
+        ).alias("sigma"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("run_cnt", F.sum("cnt").over(w).cast("bigint"))
+        .withColumn("t", F.count("*").over(w).cast("bigint"))
+    )
+    c = walk.select(
+        "event_type",
+        "hr",
+        "cnt",
+        (
+            (F.col("run_cnt").cast("double")
+             - F.col("t").cast("double") * F.col("mu"))
+            / F.col("sigma")
+        ).alias("cusum"),
+    )
+    wt = Window.partitionBy("event_type")
+    peak = F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(wt)
+    first_peak_hr = F.min(F.when(peak, F.col("hr"))).over(wt)
+    return c.withColumn(
+        "is_changepoint", peak & (F.col("hr") == first_peak_hr)
+    )
+
+
+ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "ts_autocorr_lag",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        FROM hourly
+    ),
+    base AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS sx,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sxx
+        FROM s GROUP BY 1
+    ),
+    lagged AS (
+        SELECT a.event_type, k.k,
+               COUNT(*) AS np,
+               CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy,
+               CAST(SUM(a.cnt) AS BIGINT) AS sh,
+               CAST(SUM(b.cnt) AS BIGINT) AS st
+        FROM s a
+        JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) k(k) ON TRUE
+        JOIN s b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+        GROUP BY 1, 2
+    )
+    SELECT b.event_type, l.k AS lag_k, b.n AS n_hours,
+           (CAST(l.sxy AS DOUBLE)
+            - CAST(b.sx AS DOUBLE) / b.n * CAST(l.sh AS DOUBLE)
+            - CAST(b.sx AS DOUBLE) / b.n * CAST(l.st AS DOUBLE)
+            + CAST(l.np AS DOUBLE)
+              * (CAST(b.sx AS DOUBLE) / b.n)
+              * (CAST(b.sx AS DOUBLE) / b.n))
+           / (CAST(b.sxx AS DOUBLE)
+              - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.n)
+               AS acf
+    FROM lagged l JOIN base b ON b.event_type = l.event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "Lag-1..3 autocorrelation of the hourly series per type "
+        "(seasonality screen before any forecast): series position "
+        "comes from one type-partitioned window, lag pairing is a "
+        "self-equi-join on (type, rn+k) — co-shuffled, never a "
+        "cross join — and every accumulated quantity (Σx, Σx², "
+        "Σx·x₊ₖ, head/tail sums) is an exact INTEGER, so the ACF is "
+        "one identical double expression per (type, lag) on both "
+        "engines.  The lag contract is 'next observed hour' (gap "
+        "hours are absent rows, as in ts_gap_fill's input)."
+    ),
+)
+def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1–3 over hourly event counts per type, from exact
+    integer co-moments."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    s = hourly.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hr"))
+        .alias("rn"),
+    )
+    base = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").cast("bigint").alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
+    )
+    ks = spark.range(1, len(ACF_LAGS) + 1).select(F.col("id").alias("k"))
+    a = s.alias("a")
+    b = s.alias("b")
+    lagged = (
+        a.join(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") == F.col("a.rn") + F.col("k")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "k")
+        .agg(
+            F.count("*").alias("np"),
+            F.sum(F.col("a.cnt") * F.col("b.cnt"))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum(F.col("a.cnt")).cast("bigint").alias("sh"),
+            F.sum(F.col("b.cnt")).cast("bigint").alias("st"),
+        )
+    )
+    j = lagged.join(base, "event_type")
+    mu = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "event_type",
+        F.col("k").alias("lag_k"),
+        F.col("n").alias("n_hours"),
+        (
+            (
+                F.col("sxy").cast("double")
+                - mu * F.col("sh").cast("double")
+                - mu * F.col("st").cast("double")
+                + F.col("np").cast("double") * mu * mu
+            )
+            / (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n")
+            )
+        ).alias("acf"),
+    )

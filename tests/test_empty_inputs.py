@@ -61,6 +61,9 @@ ZERO_ROW_KEYS = [
     "graph_also_bought_topk",
     # round-6 additions
     "sim_pairs_bucket_jobs",
+    "agg_regression_per_group",
+    "ts_changepoint_cusum",
+    "ts_autocorr_lag",
 ]
 
 

@@ -186,3 +186,64 @@ def test_jpeg_decoder_rejects_structural_corruption():
     # 3. broken signature
     with pytest.raises(ValueError):
         bf.decode_jpeg_coeffs(b"\x00" + good[1:])
+
+
+def test_regression_matches_builtin_estimators(specs, spark, sf_dir):
+    """The exact-co-moment OLS must agree with Spark's builtin
+    regr_slope/regr_intercept/corr (float-accumulating, hence not
+    oracle-safe, but fine as an independent 1e-9-relative referee)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in specs["agg_regression_per_group"].fn(spark, sf_dir).collect()
+    }
+    ref = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("regr_slope(l_extendedprice, l_quantity)").alias("s"),
+            F.expr("regr_intercept(l_extendedprice, l_quantity)").alias("i"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(got) > 0
+    for r in ref:
+        g = got[(r["l_returnflag"], r["l_linestatus"])]
+        assert abs(g["slope"] - r["s"]) <= 1e-9 * max(1.0, abs(r["s"]))
+        assert abs(g["intercept"] - r["i"]) <= 1e-9 * max(1.0, abs(r["i"]))
+        assert abs(g["r2"] - r["c"] ** 2) <= 1e-9
+
+
+def test_cusum_flags_exactly_one_changepoint_per_type(specs, spark, sf_dir):
+    """Exactly one flagged hour per type (argmax with earliest-hour
+    tiebreak), and the cusum at the final hour returns to ~0 — the
+    telescoping identity Σ(x_i − μ) = 0 over the full series."""
+    rows = specs["ts_changepoint_cusum"].fn(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, series in by_type.items():
+        flags = [r for r in series if r["is_changepoint"]]
+        assert len(flags) == 1, (t, len(flags))
+        last = max(series, key=lambda r: r["hr"])
+        # (S_n − n·μ)/σ with μ = S_n/n is 0 up to float cancellation
+        assert abs(last["cusum"]) < 1e-6, (t, last["cusum"])
+
+
+def test_autocorr_is_bounded_and_complete(specs, spark, sf_dir):
+    """One row per (type, lag 1..3); every ACF in [−1, 1]; and the
+    hourly fixture (heavily diurnal) shows nonzero lag-1 structure."""
+    rows = specs["ts_autocorr_lag"].fn(spark, sf_dir).collect()
+    from bigdata_twitter_spark.operators.statistics import ACF_LAGS
+
+    keys = {(r["event_type"], r["lag_k"]) for r in rows}
+    types = {t for t, _ in keys}
+    assert keys == {(t, k) for t in types for k in ACF_LAGS}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9, r
+    assert any(abs(r["acf"]) > 0.01 for r in rows if r["lag_k"] == 1)
