@@ -496,3 +496,101 @@ def ts_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_users"),
     )
+
+
+SAMPLE_PPS_K = 20  # picks per group
+
+
+@query(
+    "sample_weighted_pps",
+    sql=f"""
+    WITH h AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS w,
+               md5(CAST(o_orderkey AS VARCHAR)) AS hv
+        FROM orders
+    ),
+    c AS (
+        SELECT o_orderkey, o_orderpriority, w, hv,
+               CAST(SUM(w * 100) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY hv, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS wi,
+               CAST(SUM(w * 100) OVER (PARTITION BY o_orderpriority)
+                    AS BIGINT) AS tot
+        FROM h
+    ),
+    j AS (
+        SELECT *,
+               (wi * {SAMPLE_PPS_K}) // tot AS ji,
+               (COALESCE(lag(wi) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY hv, o_orderkey), 0)
+                * {SAMPLE_PPS_K}) // tot AS jprev
+        FROM c
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(ji - jprev AS BIGINT) AS n_slots
+    FROM j WHERE ji > jprev
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Weighted sampling WITHOUT transcendentals: systematic "
+        "PPS (probability-proportional-to-size) over the md5-hash "
+        "order — a row is selected when its exact-decimal cumulative "
+        "weight crosses a multiple of W/k, tested as the INTEGER "
+        "comparison (Σw·100·k) div (W·100), so selection is exact on "
+        "both engines at any scale (the A-ES u^(1/w) key would rank "
+        "by pow/ln, which neither engine rounds identically).  One "
+        "group-partitioned window over the exact decimal cumsum; "
+        "inclusion probability ∝ weight by the systematic-PPS "
+        "theorem; heavy rows (w ≥ W/k) report their multiplicity in "
+        "n_slots instead of duplicating output rows.  The hash order "
+        "is the deterministic stand-in for the random permutation — "
+        "same seedable-reproducibility contract as "
+        "sample_hash_stratified."
+    ),
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=20 orders per priority, selected with probability ∝
+    o_totalprice via exact-integer systematic PPS over md5 order."""
+    from pyspark.sql import Window
+
+    from ..numerics import dec
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        dec("o_totalprice").alias("w"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("hv"),
+    )
+    wseq = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("hv", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    c = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "w",
+        "hv",
+        (F.sum(F.col("w") * 100).over(wseq)).cast("bigint").alias("wi"),
+        (F.sum(F.col("w") * 100).over(wall)).cast("bigint").alias("tot"),
+    )
+    j = c.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "w",
+        F.expr(f"(wi * {SAMPLE_PPS_K}) div tot").alias("ji"),
+        F.expr(
+            f"(coalesce(lag(wi) over (partition by o_orderpriority"
+            f" order by hv, o_orderkey), 0) * {SAMPLE_PPS_K}) div tot"
+        ).alias("jprev"),
+    )
+    return j.filter(F.col("ji") > F.col("jprev")).select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("w").cast("double").alias("weight"),
+        (F.col("ji") - F.col("jprev")).cast("bigint").alias("n_slots"),
+    )

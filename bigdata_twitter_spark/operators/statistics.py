@@ -332,3 +332,133 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("acf"),
     )
+
+
+# Smoothing constants chosen BINARY-EXACT (0.5 = 2^-1, 0.25 = 2^-2):
+# the fold below is a fixed sequence of IEEE ops, and exact constants
+# remove any literal-parsing variance between engines.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+HOLT_HORIZON = 3
+
+
+@query(
+    "ts_holt_linear",
+    sql=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    seed AS (
+        SELECT a.event_type, a.n, CAST(2 AS BIGINT) AS rn,
+               {HOLT_ALPHA} * b.x + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x))
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * b.x
+                               + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x)))
+                              - a.x)
+               + (1 - {HOLT_BETA}) * (b.x - a.x) AS trend
+        FROM s a JOIN s b ON b.event_type = a.event_type AND b.rn = 2
+        WHERE a.rn = 1
+    ),
+    rec AS (
+        SELECT event_type, n, rn, level, trend FROM seed
+        UNION ALL
+        SELECT r.event_type, r.n, s.rn,
+               {HOLT_ALPHA} * s.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend)
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * s.x
+                               + (1 - {HOLT_ALPHA}) * (r.level + r.trend))
+                              - r.level)
+               + (1 - {HOLT_BETA}) * r.trend AS trend
+        FROM rec r
+        JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours, level, trend,
+           level + 1 * trend AS forecast_1,
+           level + 2 * trend AS forecast_2,
+           level + 3 * trend AS forecast_3
+    FROM rec WHERE rn = n
+    """,
+    tables=("events",),
+    scale_note=(
+        "Holt double-exponential smoothing over the hourly series per "
+        "type, with an h=1..3 linear forecast — an inherently "
+        "SEQUENTIAL recurrence, handled Spark-side as an ordered "
+        "aggregate fold per key (collect the calendar-bounded hourly "
+        "array, one F.aggregate over a level/trend struct) — state is "
+        "O(hours) per type, the same bound as the CUSUM walk, and the "
+        "fold runs inside the executor, never on the driver.  The "
+        "oracle restates the SAME left fold as a recursive CTE, so "
+        "both engines execute the identical IEEE sequence (α=2^-1, "
+        "β=2^-2 binary-exact; seed level/trend from the first two "
+        "observations).  Keys fold independently — the recurrence is "
+        "sequential in TIME, embarrassingly parallel in KEYS, which "
+        "is what makes it viable at 100 TB (one shuffle on "
+        "event_type, then per-key folds)."
+    ),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) smoothing of hourly counts per type;
+    emits the final state and a 3-hour forecast."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("double").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    # Seed from x1, x2 (level=smoothed x2 with trend x2-x1), then fold
+    # x3.. with the textbook recurrence — token-identical to the
+    # oracle's recursive CTE step.
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(xs, 3, size(xs) - 2),
+            named_struct(
+                'level', CAST({a} AS DOUBLE) * xs[1]
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (xs[0] + (xs[1] - xs[0])),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * xs[1]
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (xs[0] + (xs[1] - xs[0]))) - xs[0])
+                         + (1 - CAST({b} AS DOUBLE)) * (xs[1] - xs[0])),
+            (acc, x) -> named_struct(
+                'level', CAST({a} AS DOUBLE) * x
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (acc.level + acc.trend),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * x
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (acc.level + acc.trend)) - acc.level)
+                         + (1 - CAST({b} AS DOUBLE)) * acc.trend)
+        )
+        """
+    )
+    st = series.filter(F.size("xs") >= 2).select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        fold.alias("st"),
+    )
+    lvl, trd = F.col("st.level"), F.col("st.trend")
+    return st.select(
+        "event_type",
+        "n_hours",
+        lvl.alias("level"),
+        trd.alias("trend"),
+        (lvl + 1 * trd).alias("forecast_1"),
+        (lvl + 2 * trd).alias("forecast_2"),
+        (lvl + 3 * trd).alias("forecast_3"),
+    )

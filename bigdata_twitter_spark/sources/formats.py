@@ -255,3 +255,49 @@ def scan_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(dsum("value"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@query(
+    "scan_text_lines",
+    sql="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "Raw-text-line ingestion (the log-file source format the "
+        "csv/json keys don't cover): events are serialized as "
+        "pipe-delimited lines, read back with spark.read.text — one "
+        "string column, splittable like any text file — and parsed "
+        "with a single split() projection (pure map-side codegen; at "
+        "100 TB the parse fuses into the scan exactly like the CSV "
+        "path).  Timestamps travel as epoch microseconds so the text "
+        "round-trip has no formatter variance to diverge on; the "
+        "oracle reads the original parquet, so equality proves the "
+        "write→read→parse loop lossless."
+    ),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lines round-trip: write events as pipe-delimited lines,
+    re-read with spark.read.text, parse back to typed columns."""
+    e = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_micros("ts").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    path = _workdir(
+        spark, f"text_events_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), "\\|")
+    return raw.select(
+        parts.getItem(0).cast("bigint").alias("event_id"),
+        parts.getItem(1).cast("bigint").alias("ts_us"),
+        parts.getItem(2).cast("bigint").alias("user_id"),
+        parts.getItem(3).alias("event_type"),
+    )

@@ -64,6 +64,9 @@ ZERO_ROW_KEYS = [
     "agg_regression_per_group",
     "ts_changepoint_cusum",
     "ts_autocorr_lag",
+    "sample_weighted_pps",
+    "ts_holt_linear",
+    "scan_text_lines",
 ]
 
 

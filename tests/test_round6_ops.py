@@ -247,3 +247,69 @@ def test_autocorr_is_bounded_and_complete(specs, spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9, r
     assert any(abs(r["acf"]) > 0.01 for r in rows if r["lag_k"] == 1)
+
+
+def test_weighted_pps_allocates_exactly_k_slots(specs, spark, sf_dir):
+    """Systematic PPS invariants: every group allocates EXACTLY k
+    slots (Σ n_slots = k — the last cumulative crossing is W·k/W = k),
+    and selection is weight-biased (the mean sampled weight exceeds
+    the population mean)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.operators.scale_ops import SAMPLE_PPS_K
+    from bigdata_twitter_spark.tables import load
+
+    rows = specs["sample_weighted_pps"].fn(spark, sf_dir).collect()
+    slots: dict = {}
+    for r in rows:
+        slots[r["o_orderpriority"]] = slots.get(r["o_orderpriority"], 0) + r["n_slots"]
+        assert r["n_slots"] >= 1 and r["weight"] > 0
+    assert slots and all(v == SAMPLE_PPS_K for v in slots.values()), slots
+    pop_mean = (
+        load(spark, sf_dir, "orders").agg(F.avg("o_totalprice")).collect()[0][0]
+    )
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > pop_mean, (sample_mean, pop_mean)
+
+
+def test_holt_linear_matches_python_fold_exactly(specs, spark, sf_dir):
+    """The executor-side F.aggregate fold must equal an independent
+    Python reimplementation BIT-FOR-BIT (both are the same left-fold
+    IEEE sequence; α/β binary-exact) — the referee that pins the
+    recurrence itself, not just Spark-vs-DuckDB agreement."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.operators.statistics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    series = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").cast("double").alias("x"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in series:
+        by_type.setdefault(r["event_type"], []).append((r["hr"], r["x"]))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_holt_linear"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {t for t, s in by_type.items() if len(s) >= 2}
+    for t, s in by_type.items():
+        if len(s) < 2:
+            continue
+        xs = [x for _, x in sorted(s)]
+        a, b = HOLT_ALPHA, HOLT_BETA
+        level = a * xs[1] + (1 - a) * (xs[0] + (xs[1] - xs[0]))
+        trend = b * (level - xs[0]) + (1 - b) * (xs[1] - xs[0])
+        for x in xs[2:]:
+            new_level = a * x + (1 - a) * (level + trend)
+            trend = b * (new_level - level) + (1 - b) * trend
+            level = new_level
+        assert got[t]["level"] == level, t
+        assert got[t]["trend"] == trend, t
+        assert got[t]["forecast_3"] == level + 3 * trend, t
