@@ -17,7 +17,7 @@ is a key rename, not new code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -381,4 +381,133 @@ def agg_ratio_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_hat"),
         ((center - half) / denom).alias("ci_lo"),
         ((center + half) / denom).alias("ci_hi"),
+    )
+
+
+PCTL_BINS = 128
+
+
+@query(
+    "agg_percentile_binned",
+    sql=f"""
+    WITH v AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS v100
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority, MIN(v100) AS lo, MAX(v100) AS hi,
+               COUNT(*) AS n
+        FROM v GROUP BY 1
+    ),
+    b AS (
+        SELECT v.o_orderpriority,
+               ((v.v100 - g.lo) * {PCTL_BINS}) // (g.hi - g.lo + 1) AS bin,
+               g.lo, g.hi, g.n
+        FROM v JOIN g USING (o_orderpriority)
+    ),
+    h AS (
+        SELECT o_orderpriority, bin, lo, hi, n, COUNT(*) AS c
+        FROM b GROUP BY 1, 2, 3, 4, 5
+    ),
+    cum AS (
+        SELECT *,
+               CAST(SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cc
+        FROM h
+    ),
+    pick AS (
+        SELECT o_orderpriority, p.p, lo, hi, n, MIN(bin) AS bin
+        FROM cum
+        JOIN (VALUES (50), (90), (99)) p(p) ON TRUE
+        WHERE cc >= (n * p.p + 99) // 100
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    est AS (
+        SELECT o_orderpriority, p, n,
+               CAST(lo + (CAST(bin AS DOUBLE) + 0.5)
+                         * (CAST(hi - lo + 1 AS DOUBLE) / {PCTL_BINS})
+                    AS DOUBLE) / 100 AS e
+        FROM pick
+    )
+    SELECT o_orderpriority,
+           MIN(CASE WHEN p = 50 THEN e END) AS p50,
+           MIN(CASE WHEN p = 90 THEN e END) AS p90,
+           MIN(CASE WHEN p = 99 THEN e END) AS p99,
+           CAST(MIN(n) AS BIGINT) AS n
+    FROM est GROUP BY 1
+    """,
+    tables=("orders",),
+    scale_note=(
+        "The PORTABLE hash-grade twin of agg_approx_percentile (the "
+        "same role the md5 twins play for the MinHash/SimHash/HLL "
+        "families): percentile estimation from a 128-bin equal-width "
+        "histogram whose bin assignment is EXACT integer arithmetic "
+        "on cent-scaled values — ((v−lo)·B) div (hi−lo+1) — so the "
+        "sketch is deterministic on both engines at any scale.  Bin "
+        "counts are mergeable ints partial-aggregated map-side "
+        "(shuffle = bins × groups rows, the same bounded-memory "
+        "contract as the t-digest path); the rank threshold ceil(p·n) "
+        "is integer; only the final bin-midpoint estimate is float, "
+        "from identical ints.  Error ≤ half a bin width (~0.4% of the "
+        "group range), pinned against the exact percentile locally."
+    ),
+)
+def agg_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 per order priority from a deterministic 128-bin
+    integer histogram sketch (mergeable, engine-portable)."""
+    from ..numerics import dec
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (dec("o_totalprice") * 100).cast("bigint").alias("v100"),
+    )
+    g = o.groupBy("o_orderpriority").agg(
+        F.min("v100").alias("lo"),
+        F.max("v100").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    b = o.join(F.broadcast(g), "o_orderpriority").select(
+        "o_orderpriority",
+        F.expr(f"((v100 - lo) * {PCTL_BINS}) div (hi - lo + 1)").alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    h = b.groupBy("o_orderpriority", "bin", "lo", "hi", "n").agg(
+        F.count("*").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.withColumn("cc", F.sum("c").over(wcum).cast("bigint"))
+    ps = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    pick = (
+        cum.join(F.broadcast(ps))
+        .filter(F.col("cc") >= F.expr("(n * p + 99) div 100"))
+        .groupBy("o_orderpriority", "p", "lo", "hi", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.select(
+        "o_orderpriority",
+        "p",
+        "n",
+        (
+            (
+                F.col("lo")
+                + (F.col("bin").cast("double") + 0.5)
+                * ((F.col("hi") - F.col("lo") + 1).cast("double") / PCTL_BINS)
+            ).cast("double")
+            / 100
+        ).alias("e"),
+    )
+    return est.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("p") == 50, F.col("e"))).alias("p50"),
+        F.min(F.when(F.col("p") == 90, F.col("e"))).alias("p90"),
+        F.min(F.when(F.col("p") == 99, F.col("e"))).alias("p99"),
+        F.min("n").cast("bigint").alias("n"),
     )

@@ -511,7 +511,7 @@ SAMPLE_PPS_K = 20  # picks per group
         FROM orders
     ),
     c AS (
-        SELECT o_orderkey, o_orderpriority, w, hv,
+        SELECT o_orderkey, o_orderpriority, w,
                CAST(SUM(w * 100) OVER (PARTITION BY o_orderpriority
                                        ORDER BY hv, o_orderkey
                                        ROWS BETWEEN UNBOUNDED PRECEDING
@@ -523,9 +523,8 @@ SAMPLE_PPS_K = 20  # picks per group
     j AS (
         SELECT *,
                (wi * {SAMPLE_PPS_K}) // tot AS ji,
-               (COALESCE(lag(wi) OVER (PARTITION BY o_orderpriority
-                                       ORDER BY hv, o_orderkey), 0)
-                * {SAMPLE_PPS_K}) // tot AS jprev
+               ((wi - CAST(w * 100 AS BIGINT)) * {SAMPLE_PPS_K}) // tot
+                   AS jprev
         FROM c
     )
     SELECT o_orderpriority, o_orderkey,
@@ -541,19 +540,28 @@ SAMPLE_PPS_K = 20  # picks per group
         "weight crosses a multiple of W/k, tested as the INTEGER "
         "comparison (Σw·100·k) div (W·100), so selection is exact on "
         "both engines at any scale (the A-ES u^(1/w) key would rank "
-        "by pow/ln, which neither engine rounds identically).  One "
-        "group-partitioned window over the exact decimal cumsum; "
-        "inclusion probability ∝ weight by the systematic-PPS "
-        "theorem; heavy rows (w ≥ W/k) report their multiplicity in "
-        "n_slots instead of duplicating output rows.  The hash order "
-        "is the deterministic stand-in for the random permutation — "
-        "same seedable-reproducibility contract as "
+        "by pow/ln, which neither engine rounds identically).  The "
+        "cumulative weight is computed the DISTRIBUTED way — the "
+        "nibble-bucket + broadcast-offsets rank train_shuffle_shard "
+        "uses: intra-(group, hash-nibble) window (16 hash-uniform "
+        "partitions per group) plus an aggregate-sized bucket-offset "
+        "join; the hash-prefix bucket keeps global order, so wi "
+        "equals the single-window value exactly, without any "
+        "data-sized per-group sort (the oracle restates the plain "
+        "window — identical integers).  A row's predecessor cumsum "
+        "is wi − w·100 by construction, so no lag pass.  Inclusion "
+        "probability ∝ weight by the systematic-PPS theorem; heavy "
+        "rows (w ≥ W/k) report multiplicity in n_slots.  The hash "
+        "order is the deterministic stand-in for the random "
+        "permutation — same reproducibility contract as "
         "sample_hash_stratified."
     ),
 )
 def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=20 orders per priority, selected with probability ∝
-    o_totalprice via exact-integer systematic PPS over md5 order."""
+    o_totalprice via exact-integer systematic PPS over md5 order —
+    cumulative weights computed two-level (nibble buckets + broadcast
+    offsets), never a data-sized per-group window."""
     from pyspark.sql import Window
 
     from ..numerics import dec
@@ -563,20 +571,46 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         dec("o_totalprice").alias("w"),
         F.md5(F.col("o_orderkey").cast("string")).alias("hv"),
-    )
+    ).withColumn("bucket", F.substring("hv", 1, 1))
+    # Level 1: cumulative weight within each (group, hash-nibble)
+    # bucket — 16 hash-uniform partitions per group, so no partition
+    # is data-sized at any scale.
     wseq = (
-        Window.partitionBy("o_orderpriority")
+        Window.partitionBy("o_orderpriority", "bucket")
         .orderBy("hv", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = o.withColumn(
+        "wi_local", F.sum(F.col("w") * 100).over(wseq).cast("bigint")
+    )
+    # Level 2: per-bucket totals → cumulative offsets across the 16
+    # buckets in bucket order (aggregate-sized: groups × 16 rows) +
+    # per-group grand totals; broadcast back.  bucket = hv[0] makes
+    # (bucket, hv) order ≡ global hv order, so offset + local cumsum
+    # equals the single-window cumulative EXACTLY.
+    btot = local.groupBy("o_orderpriority", "bucket").agg(
+        F.sum(F.col("w") * 100).cast("bigint").alias("bt")
+    )
+    woff = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     wall = Window.partitionBy("o_orderpriority")
-    c = o.select(
+    offsets = btot.select(
+        "o_orderpriority",
+        "bucket",
+        F.coalesce(F.sum("bt").over(woff), F.lit(0)).alias("off"),
+        F.sum("bt").over(wall).alias("tot"),
+    )
+    c = local.join(
+        F.broadcast(offsets), ["o_orderpriority", "bucket"]
+    ).select(
         "o_orderkey",
         "o_orderpriority",
         "w",
-        "hv",
-        (F.sum(F.col("w") * 100).over(wseq)).cast("bigint").alias("wi"),
-        (F.sum(F.col("w") * 100).over(wall)).cast("bigint").alias("tot"),
+        (F.col("wi_local") + F.col("off")).alias("wi"),
+        "tot",
     )
     j = c.select(
         "o_orderkey",
@@ -584,8 +618,7 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.expr(f"(wi * {SAMPLE_PPS_K}) div tot").alias("ji"),
         F.expr(
-            f"(coalesce(lag(wi) over (partition by o_orderpriority"
-            f" order by hv, o_orderkey), 0) * {SAMPLE_PPS_K}) div tot"
+            f"((wi - CAST(w * 100 AS BIGINT)) * {SAMPLE_PPS_K}) div tot"
         ).alias("jprev"),
     )
     return j.filter(F.col("ji") > F.col("jprev")).select(

@@ -67,6 +67,7 @@ ZERO_ROW_KEYS = [
     "sample_weighted_pps",
     "ts_holt_linear",
     "scan_text_lines",
+    "agg_percentile_binned",
 ]
 
 

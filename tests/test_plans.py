@@ -400,3 +400,19 @@ def test_train_pipeline_windows_stay_bucketed_and_bounded(spark, sf_dir):
         assert spec.startswith(("bucket", "_w0")), ln
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 4, f"{singles} single-partition exchanges:\n{plan}"
+
+
+def test_weighted_pps_window_is_bucket_partitioned(spark, sf_dir):
+    """The PPS cumulative weight must run as the two-level cut: the
+    data-sized window partitions by (group, hash-nibble bucket) — 16
+    hash-uniform partitions per group — never by the 5-value group
+    alone (a data-sized per-group sort at 100 TB, the same killer
+    class as agg_kmv_union_intersect's old global k-min)."""
+    plan = _plan(spark, sf_dir, "sample_weighted_pps")
+    assert "hashpartitioning(o_orderpriority" in plan, plan
+    assert "bucket" in plan, plan
+    # the data-sized exchange must carry BOTH keys
+    assert any(
+        "hashpartitioning(o_orderpriority" in ln and "bucket" in ln
+        for ln in plan.splitlines()
+    ), plan

@@ -313,3 +313,37 @@ def test_holt_linear_matches_python_fold_exactly(specs, spark, sf_dir):
         assert got[t]["level"] == level, t
         assert got[t]["trend"] == trend, t
         assert got[t]["forecast_3"] == level + 3 * trend, t
+
+
+def test_percentile_binned_within_half_bin_of_order_stat(specs, spark, sf_dir):
+    """The binned estimate targets the ceil(p·n)-th ORDER STATISTIC
+    (the sketch's rank contract — `percentile()`'s interpolated value
+    can sit several bins away across a sparse tail gap, so it is the
+    wrong referee).  That order statistic lies INSIDE the picked bin,
+    so the midpoint estimate must be within half a bin width of it."""
+    import math
+
+    from bigdata_twitter_spark.operators.profiling import PCTL_BINS
+    from bigdata_twitter_spark.tables import load
+
+    est = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_percentile_binned"].fn(spark, sf_dir).collect()
+    }
+    vals: dict = {}
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        vals.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    assert set(est) == set(vals) and est
+    for g, e in est.items():
+        xs = sorted(vals[g])
+        n = len(xs)
+        # cent-scaled integer half-plus-edge bound, mirroring the
+        # operator's (hi-lo+1)/B integer bin width
+        width = (int(round(xs[-1] * 100)) - int(round(xs[0] * 100)) + 1) / PCTL_BINS
+        for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+            order_stat = xs[math.ceil(n * p / 100) - 1]
+            assert abs(e[col] * 100 - order_stat * 100) <= width / 2 + 1, (
+                g, col, e[col], order_stat,
+            )
