@@ -909,3 +909,100 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+FUNNEL_WINDOW_HOURS = 2
+
+
+@query(
+    "ts_funnel_sequence",
+    sql=f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    a AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click
+        FROM s
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN event_type = 'view' AND last_click IS NOT NULL
+                    THEN last_click + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+               END AS view_deadline
+        FROM a
+    ),
+    m AS (
+        SELECT *,
+               MAX(view_deadline) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS best_deadline
+        FROM d
+    )
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'purchase'
+                       AND best_deadline >= ts THEN 1 END) > 0 AS matched,
+           MIN(CASE WHEN event_type = 'purchase'
+                     AND best_deadline >= ts THEN ts END)
+               AS first_completion
+    FROM m
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "Ordered 3-step funnel with a time window (the windowFunnel / "
+        "sequenceMatch capability): click → view → purchase in strict "
+        "(ts, event_id) order with purchase ≤ click + 2h.  The naive "
+        "chain join is cubic in per-user activity; this plan is ONE "
+        "LINEAR per-user scan built on a completeness lemma — if any "
+        "valid chain exists through a view, the chain through that "
+        "view's LATEST prior click is also valid (later click ⇒ later "
+        "deadline) — so two running-max windows suffice: last click "
+        "before each view (its deadline = click + window), then best "
+        "deadline before each purchase.  Both windows partition by "
+        "user_id (keyed exchange reused by the final groupBy); state "
+        "per row is one timestamp.  Timestamp comparisons/interval "
+        "arithmetic are exact µs on both engines."
+    ),
+)
+def ts_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered click→view→purchase funnel completion within a
+    2-hour window of the anchoring click, as one linear keyed scan."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select("user_id", "ts", "event_id", "event_type")
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = e.withColumn(
+        "last_click",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(wprev),
+    )
+    d = a.withColumn(
+        "view_deadline",
+        F.when(
+            (F.col("event_type") == "view") & F.col("last_click").isNotNull(),
+            F.col("last_click")
+            + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOUR"),
+        ),
+    )
+    m = d.withColumn(
+        "best_deadline", F.max("view_deadline").over(wprev)
+    )
+    hit = (F.col("event_type") == "purchase") & (
+        F.col("best_deadline") >= F.col("ts")
+    )
+    return m.groupBy("user_id").agg(
+        (F.count(F.when(hit, F.lit(1))) > 0).alias("matched"),
+        F.min(F.when(hit, F.col("ts"))).alias("first_completion"),
+    )

@@ -68,6 +68,7 @@ ZERO_ROW_KEYS = [
     "ts_holt_linear",
     "scan_text_lines",
     "agg_percentile_binned",
+    "ts_funnel_sequence",
 ]
 
 

@@ -347,3 +347,56 @@ def test_percentile_binned_within_half_bin_of_order_stat(specs, spark, sf_dir):
             assert abs(e[col] * 100 - order_stat * 100) <= width / 2 + 1, (
                 g, col, e[col], order_stat,
             )
+
+
+def test_funnel_sequence_matches_bruteforce_chain_search(specs, spark, sf_dir):
+    """The linear-scan plan rests on a completeness lemma (latest prior
+    click dominates); referee it against the DEFINITION — brute-force
+    ∃(click < view < purchase ≤ click+2h) in (ts, event_id) order —
+    recomputed in Python per user, including first_completion."""
+    import datetime as dt
+
+    from bigdata_twitter_spark.operators.timeseries import (
+        FUNNEL_WINDOW_HOURS,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    events = (
+        load(spark, sf_dir, "events")
+        .filter("event_type in ('click','view','purchase')")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in events:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    got = {
+        r["user_id"]: (r["matched"], r["first_completion"])
+        for r in specs["ts_funnel_sequence"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_user)
+    window = dt.timedelta(hours=FUNNEL_WINDOW_HOURS)
+    n_matched = 0
+    for u, evs in by_user.items():
+        evs.sort()
+        first = None
+        for k, (pts, _, ptype) in enumerate(evs):
+            if ptype != "purchase":
+                continue
+            ok = any(
+                ctype == "click" and pts <= cts + window
+                and any(
+                    vtype == "view"
+                    for (vts, vid, vtype) in evs[i + 1 : k]
+                )
+                for i, (cts, cid, ctype) in enumerate(evs[:k])
+            )
+            if ok:
+                first = pts
+                break
+        assert got[u][0] == (first is not None), u
+        assert got[u][1] == first, u
+        n_matched += first is not None
+    assert n_matched > 0, "fixture should contain completed funnels"
