@@ -291,7 +291,7 @@ def ts_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("sx"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sxx"),
     )
-    ks = spark.range(1, len(ACF_LAGS) + 1).select(F.col("id").alias("k"))
+    ks = spark.createDataFrame([(k,) for k in ACF_LAGS], "k bigint")
     a = s.alias("a")
     b = s.alias("b")
     lagged = (
