@@ -69,6 +69,7 @@ ZERO_ROW_KEYS = [
     "scan_text_lines",
     "agg_percentile_binned",
     "ts_funnel_sequence",
+    "sink_zorder_clustered",
 ]
 
 

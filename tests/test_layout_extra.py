@@ -76,3 +76,41 @@ def test_clustered_files_have_disjoint_key_spans(spark, sf_dir):
     # Adjacent files may share at most their boundary key.
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"overlapping file spans: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_zorder_files_are_narrow_in_both_dimensions(spark, sf_dir):
+    """The Z-order win, quantified: after Morton clustering, the MEAN
+    per-file span must be a small fraction of the global span in BOTH
+    user_id and hour simultaneously — a single-dimension sort can make
+    only its own column narrow (the hour spans of user-sorted files
+    cover essentially the whole calendar)."""
+    import pyarrow.parquet as pq
+
+    specs = load_all_operators()
+    specs["sink_zorder_clustered"].fn(spark, sf_dir).collect()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), "bdt_spark_layout")
+    files = _parquet_files(os.path.join(base, f"zorder_events_{tag}"))
+    assert len(files) >= 8
+
+    def spans(col: str) -> tuple[list, int]:
+        los, his = [], []
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            st = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            los.append(min(s.min for s in st))
+            his.append(max(s.max for s in st))
+        global_span = max(his) - min(los)
+        return [h - l for l, h in zip(los, his)], global_span
+
+    for col in ("user_id", "hr"):
+        file_spans, global_span = spans(col)
+        mean_span = sum(file_spans) / len(file_spans)
+        # 16 files tile a 2-D square into ~4x4 cells ⇒ each dimension's
+        # expected per-file span ≈ global/4; allow 2x slack for Morton
+        # boundary files that straddle quadrant seams.
+        assert mean_span <= global_span / 2, (col, mean_span, global_span)
