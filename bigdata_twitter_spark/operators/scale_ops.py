@@ -627,3 +627,114 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").cast("double").alias("weight"),
         (F.col("ji") - F.col("jprev")).cast("bigint").alias("n_slots"),
     )
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 64  # buckets per row
+CMS_PROBE_USERS = tuple(range(10))  # fixed probe set for the readout
+
+
+def _cms_bucket_sql(d: str, item: str) -> str:
+    """Bucket of ``item`` in hash row ``d``: first two hex digits of
+    md5(d || ':' || item) mod width — engine-portable (the same
+    hex-nibble Horner fold the KMV family uses)."""
+    hexd = f"md5(CAST({d} AS VARCHAR) || ':' || CAST({item} AS VARCHAR))"
+    nib = "0123456789abcdef"
+    return (
+        f"(((strpos('{nib}', substring({hexd}, 1, 1)) - 1) * 16"
+        f" + (strpos('{nib}', substring({hexd}, 2, 1)) - 1))"
+        f" % {CMS_WIDTH})"
+    )
+
+
+def _cms_bucket_spark(d: str, item: str) -> str:
+    hexd = f"md5(concat(CAST({d} AS STRING), ':', CAST({item} AS STRING)))"
+    return (
+        f"(CAST(conv(substring({hexd}, 1, 2), 16, 10) AS BIGINT)"
+        f" % {CMS_WIDTH})"
+    )
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    sql=f"""
+    WITH d AS (SELECT unnest(range({CMS_DEPTH})) AS d),
+    cells AS (
+        SELECT d.d, {_cms_bucket_sql('d.d', 'e.user_id')} AS bucket,
+               COUNT(*) AS c
+        FROM events e, d
+        GROUP BY 1, 2
+    ),
+    probe AS (
+        SELECT p.user_id, d.d,
+               {_cms_bucket_sql('d.d', 'p.user_id')} AS bucket
+        FROM (VALUES {", ".join(f"({u})" for u in CMS_PROBE_USERS)})
+             p(user_id), d
+    ),
+    est AS (
+        SELECT p.user_id, MIN(COALESCE(c.c, 0)) AS cms_est
+        FROM probe p
+        LEFT JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+        GROUP BY 1
+    ),
+    truth AS (
+        SELECT user_id, COUNT(*) AS true_n
+        FROM events GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(COALESCE(t.true_n, 0) AS BIGINT) AS true_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= COALESCE(t.true_n, 0) AS never_underestimates
+    FROM est e LEFT JOIN truth t ON t.user_id = e.user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "Count-min sketch with a PORTABLE hash family (md5 bucket per "
+        "depth row — the same hex-Horner trick as the KMV twins), so "
+        "the whole sketch is hash-grade instead of the engine-binary "
+        "F.count_min_sketch: cell counts are exact integers built in "
+        "ONE grouped pass over an explode-by-depth (shuffle = "
+        "depth×width cells, 256 rows, regardless of input size — the "
+        "sketch IS the shuffle bound), estimates are min-over-rows, "
+        "and the one-sided guarantee (never underestimates, "
+        "overestimate ≤ εN with ε=e/width) is emitted as a column the "
+        "oracle checks row by row.  Mergeable by cell-wise addition — "
+        "at 100 TB daily cell tables merge into any window without "
+        "rescans, the same rollup story as the KMV/bitmap keys."
+    ),
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-count estimates for a fixed probe set from a
+    4×64 count-min sketch (exact integer cells, portable hashes)."""
+    e = load(spark, sf_dir, "events")
+    d = spark.range(CMS_DEPTH).select(F.col("id").alias("d"))
+    cells = (
+        e.join(F.broadcast(d))
+        .select("d", F.expr(_cms_bucket_spark("d", "user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probe = spark.createDataFrame(
+        [(u,) for u in CMS_PROBE_USERS], "user_id bigint"
+    ).join(F.broadcast(d)).select(
+        "user_id",
+        "d",
+        F.expr(_cms_bucket_spark("d", "user_id")).alias("bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["d", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    return (
+        est.join(truth, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(F.col("true_n"), F.lit(0)).cast("bigint").alias("true_n"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") >= F.coalesce(F.col("true_n"), F.lit(0))).alias(
+                "never_underestimates"
+            ),
+        )
+    )

@@ -400,3 +400,24 @@ def test_funnel_sequence_matches_bruteforce_chain_search(specs, spark, sf_dir):
         assert got[u][1] == first, u
         n_matched += first is not None
     assert n_matched > 0, "fixture should contain completed funnels"
+
+
+def test_cms_one_sided_guarantee_and_merge(specs, spark, sf_dir):
+    """CMS invariants: every probe estimate ≥ its true count (the
+    one-sided guarantee), and the estimate for a present user is at
+    most true + e/width·N (the classic bound, generous at this N)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.operators.scale_ops import CMS_WIDTH
+    from bigdata_twitter_spark.tables import load
+
+    rows = specs["agg_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    assert rows
+    n_total = load(spark, sf_dir, "events").count()
+    bound = math.e / CMS_WIDTH * n_total
+    for r in rows:
+        assert r["never_underestimates"], r
+        assert r["cms_est"] >= r["true_n"], r
+        assert r["cms_est"] - r["true_n"] <= 3 * bound, r
