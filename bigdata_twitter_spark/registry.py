@@ -154,6 +154,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     # Round-6 additions (queue behind the explicit window).
     from .llm import bucketjobs  # noqa: F401  (round 6)
     from .operators import statistics  # noqa: F401  (round 6)
+    from .llm import pcapower  # noqa: F401  (round 6)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

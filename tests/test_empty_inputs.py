@@ -70,6 +70,7 @@ ZERO_ROW_KEYS = [
     "agg_percentile_binned",
     "ts_funnel_sequence",
     "sink_zorder_clustered",
+    "embed_pca_power_exact",
 ]
 
 

@@ -421,3 +421,40 @@ def test_cms_one_sided_guarantee_and_merge(specs, spark, sf_dir):
         assert r["never_underestimates"], r
         assert r["cms_est"] >= r["true_n"], r
         assert r["cms_est"] - r["true_n"] <= 3 * bound, r
+
+
+def test_pca_power_exact_recovers_eigh_top_component(specs, spark, sf_dir):
+    """The rounded 200-step power iteration must recover numpy eigh's
+    top eigenvector of the SAME quantized covariance to cosine ≥ 0.999
+    with Rayleigh quotient ≥ 0.9999·λmax — the algorithm-level referee
+    the hash-grade oracle alone can't provide (it proves both engines
+    run the same iteration, not that the iteration found the
+    principal axis)."""
+    import numpy as np
+
+    from bigdata_twitter_spark.llm.pcapower import SCALE, power_iterate
+    from bigdata_twitter_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    x = np.array([r["embedding"] for r in emb], dtype="float64")
+    q = np.floor(x * SCALE + 0.5).astype(np.int64)
+    n = q.shape[0]
+    v = np.array(
+        power_iterate(n, q.sum(axis=0).tolist(), (q.T @ q).ravel().tolist())
+    )
+    c = np.cov(q.T)
+    ev, evec = np.linalg.eigh(c)
+    top = evec[:, np.argmax(ev)]
+    cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    rq = float(v @ c @ v) / float(v @ v)
+    assert rq >= 0.9999 * ev.max(), (rq, ev.max())
+    # and the registered operator's projections use exactly this axis
+    rows = specs["embed_pca_power_exact"].fn(spark, sf_dir).collect()
+    assert len(rows) == n
+    mu = q.mean(axis=0)
+    want = np.round((q - mu) @ v / SCALE, 4)
+    got = np.array(
+        [r["pc1"] for r in sorted(rows, key=lambda r: r["vec_id"])]
+    )
+    assert np.allclose(np.round(got, 4), want, atol=2e-4)
