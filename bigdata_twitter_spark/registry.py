@@ -155,6 +155,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import bucketjobs  # noqa: F401  (round 6)
     from .operators import statistics  # noqa: F401  (round 6)
     from .llm import pcapower  # noqa: F401  (round 6)
+    from .sources import deletionvectors  # noqa: F401  (round 6)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

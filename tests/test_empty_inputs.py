@@ -71,6 +71,7 @@ ZERO_ROW_KEYS = [
     "ts_funnel_sequence",
     "sink_zorder_clustered",
     "embed_pca_power_exact",
+    "table_deletion_vectors",
 ]
 
 

@@ -458,3 +458,31 @@ def test_pca_power_exact_recovers_eigh_top_component(specs, spark, sf_dir):
         [r["pc1"] for r in sorted(rows, key=lambda r: r["vec_id"])]
     )
     assert np.allclose(np.round(got, 4), want, atol=2e-4)
+
+
+def test_deletion_vectors_never_rewrite_data_files(specs, spark, sf_dir):
+    """The merge-on-read contract: the DELETE leaves every data file
+    byte-identical (same file set), the sidecar carries exactly the
+    deleted positions, and sidecar bytes ≪ table bytes — the
+    O(deleted) not O(table) property deletion vectors exist for."""
+    from bigdata_twitter_spark.sources.deletionvectors import (
+        DV_DELETE_MOD,
+        DV_DELETE_RESIDUE,
+        LAST_DV_INFO,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    out = specs["table_deletion_vectors"].fn(spark, sf_dir)
+    survivors = out.count()
+    e = load(spark, sf_dir, "events")
+    n_total = e.count()
+    n_deleted = e.filter(
+        f"event_id % {DV_DELETE_MOD} = {DV_DELETE_RESIDUE}"
+    ).count()
+    assert n_deleted > 0 and survivors == n_total - n_deleted
+    assert LAST_DV_INFO["data_files_untouched"]
+    assert LAST_DV_INFO["dv_entries"] == n_deleted
+    # O(deleted) not O(table): sidecar cost is a bounded number of
+    # bytes PER DELETED ROW (a table-size ratio is meaningless at toy
+    # scale, where parquet per-file overhead dominates both sides).
+    assert LAST_DV_INFO["sidecar_bytes"] / n_deleted <= 64
