@@ -90,10 +90,14 @@ def table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_metadata.file_path").alias("_file"),
         F.col("_metadata.row_index").alias("_pos"),
     )
-    # The DELETE: only matched positions leave the executors.
+    # The DELETE: only matched positions leave the executors.  One
+    # sidecar file per commit (coalesce of an O(deleted)-row set) —
+    # at scale, shard the sidecar per DATA file instead
+    # (repartition("_file")), which is Delta's on-disk DV shape.
     (
         meta.filter(F.col("event_id") % DV_DELETE_MOD == DV_DELETE_RESIDUE)
         .select("_file", "_pos")
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(sidecar)
     )
