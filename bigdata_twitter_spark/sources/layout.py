@@ -345,3 +345,94 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return back.select("user_id", "hr", "zval")
+
+
+MANIFEST_PROBE_USERS = (3, 6)
+N_MANIFEST_FILES = 16
+
+LAST_PRUNE_INFO: dict = {}
+
+
+@query(
+    "scan_manifest_pruned",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id BETWEEN {MANIFEST_PROBE_USERS[0]}
+                      AND {MANIFEST_PROBE_USERS[1]}
+    GROUP BY user_id
+    """,
+    tables=("events",),
+    scale_note=(
+        "EXPLICIT manifest pruning (the Iceberg/Delta planning step, "
+        "distinct from sink_sorted_clustered's implicit row-group "
+        "skipping): a manifest of per-file (min, max, rows) zone maps "
+        "is built from parquet FOOTERS only (driver metadata listing, "
+        "no data read), the planner intersects the probe predicate "
+        "with it, and Spark's scan receives ONLY the surviving file "
+        "list — the scan's task count is ∝ matching files, not table "
+        "files, before any I/O happens.  LAST_PRUNE_INFO records "
+        "files_total vs files_read (pruning pinned in tests).  At "
+        "100 TB the manifest is itself a table consulted with a "
+        "filter — this operator is that loop in miniature; "
+        "correctness holds because pruning only DROPS files whose "
+        "zone map cannot intersect the predicate (oracle = plain "
+        "filter over everything)."
+    ),
+)
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan a selective scan through a file-level zone-map manifest:
+    read only the files whose (min,max) span intersects the probe."""
+    import pyarrow.parquet as pq
+
+    from ..numerics import dec
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _layout_dir(f"manifest_events_{tag}")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    (
+        e.repartitionByRange(N_MANIFEST_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # Manifest build: footers only (metadata read, no row I/O).
+    manifest = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.read_metadata(fp)
+            idx = md.schema.names.index("user_id")
+            stats = [
+                md.row_group(i).column(idx).statistics
+                for i in range(md.num_row_groups)
+            ]
+            if not stats:
+                continue
+            manifest.append(
+                (fp, min(s.min for s in stats), max(s.max for s in stats))
+            )
+    lo, hi = MANIFEST_PROBE_USERS
+    keep = [fp for fp, fmin, fmax in manifest if fmax >= lo and fmin <= hi]
+    LAST_PRUNE_INFO.clear()
+    LAST_PRUNE_INFO.update(
+        {"files_total": len(manifest), "files_read": len(keep)}
+    )
+    # Zero surviving files: run the identical aggregation over an
+    # empty slice of the base so the schema is the plan's own.
+    src = (
+        spark.read.parquet(*keep)
+        if keep
+        else spark.read.parquet(path).limit(0)
+    )
+    return (
+        src.filter(F.col("user_id").between(lo, hi))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )

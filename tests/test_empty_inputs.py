@@ -72,6 +72,7 @@ ZERO_ROW_KEYS = [
     "sink_zorder_clustered",
     "embed_pca_power_exact",
     "table_deletion_vectors",
+    "scan_manifest_pruned",
 ]
 
 

@@ -486,3 +486,35 @@ def test_deletion_vectors_never_rewrite_data_files(specs, spark, sf_dir):
     # bytes PER DELETED ROW (a table-size ratio is meaningless at toy
     # scale, where parquet per-file overhead dominates both sides).
     assert LAST_DV_INFO["sidecar_bytes"] / n_deleted <= 64
+
+
+def test_manifest_pruning_reads_fraction_of_files(specs, spark, sf_dir):
+    """The planner must hand Spark a pruned file list: files_read ≪
+    files_total for the selective probe, with the answer equal to the
+    unpruned filter (covered by oracle parity; here re-checked against
+    a direct computation to keep the invariant local)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.sources.layout import (
+        LAST_PRUNE_INFO,
+        MANIFEST_PROBE_USERS,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    got = {
+        r["user_id"]: r["n"]
+        for r in specs["scan_manifest_pruned"].fn(spark, sf_dir).collect()
+    }
+    assert LAST_PRUNE_INFO["files_total"] >= 8
+    # strict pruning; at fixture scale the probe touches ≤ half the
+    # files (16→1 at sf0.01; user cardinality bounds it at sf0.001)
+    assert LAST_PRUNE_INFO["files_read"] <= LAST_PRUNE_INFO["files_total"] // 2
+    want = {
+        r["user_id"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("user_id").between(*MANIFEST_PROBE_USERS))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
