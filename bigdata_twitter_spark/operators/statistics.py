@@ -462,3 +462,128 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lvl + 2 * trd).alias("forecast_2"),
         (lvl + 3 * trd).alias("forecast_3"),
     )
+
+
+BACKTEST_H = 3  # held-out horizon (hours)
+
+
+@query(
+    "ts_forecast_backtest",
+    sql=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    train AS (SELECT * FROM s WHERE n >= {BACKTEST_H} + 2),
+    seed AS (
+        SELECT a.event_type, a.n, CAST(2 AS BIGINT) AS rn,
+               {HOLT_ALPHA} * b.x + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x))
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * b.x
+                               + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x)))
+                              - a.x)
+               + (1 - {HOLT_BETA}) * (b.x - a.x) AS trend
+        FROM train a JOIN train b ON b.event_type = a.event_type
+                                 AND b.rn = 2
+        WHERE a.rn = 1
+    ),
+    rec AS (
+        SELECT event_type, n, rn, level, trend FROM seed
+        UNION ALL
+        SELECT r.event_type, r.n, t.rn,
+               {HOLT_ALPHA} * t.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend)
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * t.x
+                               + (1 - {HOLT_ALPHA}) * (r.level + r.trend))
+                              - r.level)
+               + (1 - {HOLT_BETA}) * r.trend AS trend
+        FROM rec r
+        JOIN train t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+        WHERE r.rn < r.n - {BACKTEST_H}
+    ),
+    fit AS (SELECT * FROM rec WHERE rn = n - {BACKTEST_H}),
+    horizon AS (SELECT unnest(range(1, {BACKTEST_H} + 1)) AS h)
+    SELECT f.event_type, CAST(hz.h AS INT) AS h,
+           f.level + hz.h * f.trend AS forecast,
+           a.x AS actual,
+           abs(f.level + hz.h * f.trend - a.x) AS abs_err
+    FROM fit f
+    JOIN horizon hz ON TRUE
+    JOIN s a ON a.event_type = f.event_type
+            AND a.rn = f.n - {BACKTEST_H} + hz.h
+    """,
+    tables=("events",),
+    scale_note=(
+        "Rolling-origin forecast BACKTEST — the evaluation loop that "
+        "turns ts_holt_linear from a smoother into a forecaster you "
+        "can trust: hold out the last 3 observed hours per type, fit "
+        "the same Holt fold on the prefix (identical recurrence, "
+        "identical IEEE sequence on both engines), and emit forecast "
+        "vs actual with absolute error per horizon.  Same scale "
+        "posture as the smoother (sequential in time, parallel in "
+        "keys; one shuffle, calendar-bounded per-key folds); at "
+        "100 TB the backtest is the gate a forecast model passes "
+        "before anyone schedules capacity from it."
+    ),
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hold out the last 3 hours per type, forecast them with the
+    prefix-fitted Holt state, and report per-horizon absolute error."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("double").alias("x"))
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("hr", "x"))),
+            lambda s: s["x"],
+        ).alias("xs")
+    ).filter(F.size("xs") >= BACKTEST_H + 2)
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(xs, 3, size(xs) - 2 - {BACKTEST_H}),
+            named_struct(
+                'level', CAST({a} AS DOUBLE) * xs[1]
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (xs[0] + (xs[1] - xs[0])),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * xs[1]
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (xs[0] + (xs[1] - xs[0]))) - xs[0])
+                         + (1 - CAST({b} AS DOUBLE)) * (xs[1] - xs[0])),
+            (acc, x) -> named_struct(
+                'level', CAST({a} AS DOUBLE) * x
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (acc.level + acc.trend),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * x
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (acc.level + acc.trend)) - acc.level)
+                         + (1 - CAST({b} AS DOUBLE)) * acc.trend)
+        )
+        """
+    )
+    st = series.select("event_type", "xs", fold.alias("st"))
+    hz = spark.createDataFrame([(h,) for h in range(1, BACKTEST_H + 1)], "h int")
+    j = st.join(F.broadcast(hz))
+    forecast = F.col("st.level") + F.col("h") * F.col("st.trend")
+    actual = F.element_at(
+        "xs", (F.size("xs") - BACKTEST_H + F.col("h")).cast("int")
+    )
+    return j.select(
+        "event_type",
+        "h",
+        forecast.alias("forecast"),
+        actual.alias("actual"),
+        F.abs(forecast - actual).alias("abs_err"),
+    )

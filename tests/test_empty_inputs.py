@@ -73,6 +73,7 @@ ZERO_ROW_KEYS = [
     "embed_pca_power_exact",
     "table_deletion_vectors",
     "scan_manifest_pruned",
+    "ts_forecast_backtest",
 ]
 
 

@@ -518,3 +518,53 @@ def test_manifest_pruning_reads_fraction_of_files(specs, spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_forecast_backtest_matches_python_prefix_fold(specs, spark, sf_dir):
+    """The backtest must fit on EXACTLY the prefix (series minus the
+    3-hour holdout) with the same fold as ts_holt_linear, and report
+    |forecast − actual| per horizon — referee'd bit-for-bit by an
+    independent Python fold on the truncated series."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.operators.statistics import (
+        BACKTEST_H,
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    series = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").cast("double").alias("x"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in series:
+        by_type.setdefault(r["event_type"], []).append((r["hr"], r["x"]))
+    got: dict = {}
+    for r in specs["ts_forecast_backtest"].fn(spark, sf_dir).collect():
+        got[(r["event_type"], r["h"])] = r
+    a, b = HOLT_ALPHA, HOLT_BETA
+    n_rows = 0
+    for t, s in by_type.items():
+        xs = [x for _, x in sorted(s)]
+        if len(xs) < BACKTEST_H + 2:
+            continue
+        train = xs[: len(xs) - BACKTEST_H]
+        level = a * train[1] + (1 - a) * (train[0] + (train[1] - train[0]))
+        trend = b * (level - train[0]) + (1 - b) * (train[1] - train[0])
+        for x in train[2:]:
+            nl = a * x + (1 - a) * (level + trend)
+            trend = b * (nl - level) + (1 - b) * trend
+            level = nl
+        for h in range(1, BACKTEST_H + 1):
+            r = got[(t, h)]
+            fc = level + h * trend
+            actual = xs[len(xs) - BACKTEST_H + h - 1]
+            assert r["forecast"] == fc, (t, h)
+            assert r["actual"] == actual, (t, h)
+            assert r["abs_err"] == abs(fc - actual), (t, h)
+            n_rows += 1
+    assert n_rows and len(got) == n_rows
