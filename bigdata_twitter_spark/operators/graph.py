@@ -420,3 +420,76 @@ def graph_also_bought_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ALSO_BOUGHT_K)
         .select("part", "rnk", "other", "n_common")
     )
+
+
+KHOP_SOURCE = 1  # customer vertex the BFS starts from
+KHOP_K = 3
+
+
+def _khop_oracle_sql() -> str:
+    sql = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey + {PART_OFFSET} AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, p AS dst FROM cp
+          UNION ALL SELECT p AS src, c AS dst FROM cp),
+    f0 AS (SELECT CAST({KHOP_SOURCE} AS BIGINT) AS v)"""
+    for k in range(1, KHOP_K + 1):
+        sql += f""",
+    f{k} AS (SELECT DISTINCT e.dst AS v
+             FROM e JOIN f{k - 1} ON e.src = f{k - 1}.v)"""
+    unions = "\n        UNION ALL ".join(
+        f"SELECT v, {k} AS h FROM f{k}" for k in range(KHOP_K + 1)
+    )
+    sql += f"""
+    SELECT v AS vertex, CAST(MIN(h) AS INT) AS hops
+    FROM ({unions})
+    GROUP BY v
+    """
+    return sql
+
+
+@query(
+    "graph_khop_reach",
+    sql=_khop_oracle_sql(),
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "k-hop BFS reachability (the neighborhood/blast-radius query "
+        "PageRank's module lacked): frontier expansion as K fixed "
+        "iterations of one edge-keyed join + distinct each — the "
+        "Pregel-as-DataFrame shape with the edge list persisted once "
+        "and every iteration reusing the src hash partitioning; "
+        "min-hop resolution is one grouped MIN over the stacked "
+        "frontiers.  PURE INTEGER end to end — no float anywhere, so "
+        "the unrolled-CTE oracle is exact by construction.  At 100 TB "
+        "frontier joins are the bounded cost: each hop touches "
+        "edges(frontier), never edges(graph), and the bipartite "
+        "degree cap bounds fan-out per hop."
+    ),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices within 3 hops of customer 1 on the co-purchase graph,
+    with their minimum hop distance."""
+    edges = copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frontier = spark.createDataFrame(
+        [(KHOP_SOURCE,)], "v bigint"
+    )
+    layers = [frontier.withColumn("h", F.lit(0))]
+    for k in range(1, KHOP_K + 1):
+        frontier = (
+            edges.join(frontier, edges["src"] == frontier["v"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        layers.append(frontier.withColumn("h", F.lit(k)))
+    stacked = layers[0]
+    for layer in layers[1:]:
+        stacked = stacked.unionAll(layer)
+    out = stacked.groupBy(F.col("v").alias("vertex")).agg(
+        F.min("h").cast("int").alias("hops")
+    )
+    edges.unpersist()
+    return out

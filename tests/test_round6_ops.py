@@ -568,3 +568,32 @@ def test_forecast_backtest_matches_python_prefix_fold(specs, spark, sf_dir):
             assert r["abs_err"] == abs(fc - actual), (t, h)
             n_rows += 1
     assert n_rows and len(got) == n_rows
+
+
+def test_khop_bfs_layers_are_consistent(specs, spark, sf_dir):
+    """BFS invariants: the source sits at hop 0; the bipartite graph
+    alternates vertex spaces by hop parity (odd = parts, even =
+    customers); and every hop-k vertex has a hop-(k−1) neighbor."""
+    from bigdata_twitter_spark.operators.graph import (
+        KHOP_K,
+        KHOP_SOURCE,
+        PART_OFFSET,
+        copurchase_edges,
+    )
+
+    rows = specs["graph_khop_reach"].fn(spark, sf_dir).collect()
+    hops = {r["vertex"]: r["hops"] for r in rows}
+    assert hops[KHOP_SOURCE] == 0
+    assert set(hops.values()) == set(range(KHOP_K + 1))
+    for v, h in hops.items():
+        assert (v >= PART_OFFSET) == (h % 2 == 1), (v, h)
+    adj: dict = {}
+    for e in copurchase_edges(spark, sf_dir).collect():
+        adj.setdefault(e["src"], set()).add(e["dst"])
+    for v, h in hops.items():
+        if h == 0:
+            continue
+        assert any(
+            hops.get(u) == h - 1 for u in adj for x in [None]
+            if v in adj[u]
+        ), (v, h)
