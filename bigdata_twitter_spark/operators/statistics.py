@@ -342,6 +342,39 @@ HOLT_BETA = 0.25
 HOLT_HORIZON = 3
 
 
+def _holt_fold_expr(holdout: int) -> "F.Column":
+    """The Holt fold over ``xs`` minus a ``holdout`` tail — ONE
+    definition shared by the smoother and the backtest so the
+    recurrence (and its oracle twins) can never desynchronize."""
+    a, b = HOLT_ALPHA, HOLT_BETA
+    return F.expr(
+        f"""
+        aggregate(
+            slice(xs, 3, size(xs) - 2 - {holdout}),
+            named_struct(
+                'level', CAST({a} AS DOUBLE) * xs[1]
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (xs[0] + (xs[1] - xs[0])),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * xs[1]
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (xs[0] + (xs[1] - xs[0]))) - xs[0])
+                         + (1 - CAST({b} AS DOUBLE)) * (xs[1] - xs[0])),
+            (acc, x) -> named_struct(
+                'level', CAST({a} AS DOUBLE) * x
+                         + (1 - CAST({a} AS DOUBLE))
+                           * (acc.level + acc.trend),
+                'trend', CAST({b} AS DOUBLE)
+                         * ((CAST({a} AS DOUBLE) * x
+                             + (1 - CAST({a} AS DOUBLE))
+                               * (acc.level + acc.trend)) - acc.level)
+                         + (1 - CAST({b} AS DOUBLE)) * acc.trend)
+        )
+        """
+    )
+
+
+
 @query(
     "ts_holt_linear",
     sql=f"""
@@ -418,35 +451,10 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["x"],
         ).alias("xs")
     )
-    a, b = HOLT_ALPHA, HOLT_BETA
     # Seed from x1, x2 (level=smoothed x2 with trend x2-x1), then fold
     # x3.. with the textbook recurrence — token-identical to the
-    # oracle's recursive CTE step.
-    fold = F.expr(
-        f"""
-        aggregate(
-            slice(xs, 3, size(xs) - 2),
-            named_struct(
-                'level', CAST({a} AS DOUBLE) * xs[1]
-                         + (1 - CAST({a} AS DOUBLE))
-                           * (xs[0] + (xs[1] - xs[0])),
-                'trend', CAST({b} AS DOUBLE)
-                         * ((CAST({a} AS DOUBLE) * xs[1]
-                             + (1 - CAST({a} AS DOUBLE))
-                               * (xs[0] + (xs[1] - xs[0]))) - xs[0])
-                         + (1 - CAST({b} AS DOUBLE)) * (xs[1] - xs[0])),
-            (acc, x) -> named_struct(
-                'level', CAST({a} AS DOUBLE) * x
-                         + (1 - CAST({a} AS DOUBLE))
-                           * (acc.level + acc.trend),
-                'trend', CAST({b} AS DOUBLE)
-                         * ((CAST({a} AS DOUBLE) * x
-                             + (1 - CAST({a} AS DOUBLE))
-                               * (acc.level + acc.trend)) - acc.level)
-                         + (1 - CAST({b} AS DOUBLE)) * acc.trend)
-        )
-        """
-    )
+    # oracle's recursive CTE step (shared definition: _holt_fold_expr).
+    fold = _holt_fold_expr(holdout=0)
     st = series.filter(F.size("xs") >= 2).select(
         "event_type",
         F.size("xs").cast("bigint").alias("n_hours"),
@@ -547,32 +555,7 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["x"],
         ).alias("xs")
     ).filter(F.size("xs") >= BACKTEST_H + 2)
-    a, b = HOLT_ALPHA, HOLT_BETA
-    fold = F.expr(
-        f"""
-        aggregate(
-            slice(xs, 3, size(xs) - 2 - {BACKTEST_H}),
-            named_struct(
-                'level', CAST({a} AS DOUBLE) * xs[1]
-                         + (1 - CAST({a} AS DOUBLE))
-                           * (xs[0] + (xs[1] - xs[0])),
-                'trend', CAST({b} AS DOUBLE)
-                         * ((CAST({a} AS DOUBLE) * xs[1]
-                             + (1 - CAST({a} AS DOUBLE))
-                               * (xs[0] + (xs[1] - xs[0]))) - xs[0])
-                         + (1 - CAST({b} AS DOUBLE)) * (xs[1] - xs[0])),
-            (acc, x) -> named_struct(
-                'level', CAST({a} AS DOUBLE) * x
-                         + (1 - CAST({a} AS DOUBLE))
-                           * (acc.level + acc.trend),
-                'trend', CAST({b} AS DOUBLE)
-                         * ((CAST({a} AS DOUBLE) * x
-                             + (1 - CAST({a} AS DOUBLE))
-                               * (acc.level + acc.trend)) - acc.level)
-                         + (1 - CAST({b} AS DOUBLE)) * acc.trend)
-        )
-        """
-    )
+    fold = _holt_fold_expr(holdout=BACKTEST_H)
     st = series.select("event_type", "xs", fold.alias("st"))
     hz = spark.createDataFrame([(h,) for h in range(1, BACKTEST_H + 1)], "h int")
     j = st.join(F.broadcast(hz))
