@@ -342,6 +342,51 @@ HOLT_BETA = 0.25
 HOLT_HORIZON = 3
 
 
+def _holt_sql_ctes(stop: str) -> str:
+    """Shared oracle CTE text for the Holt recurrence (hourly →
+    numbered series → seed → recursive fold), iterating while
+    ``rn < stop`` — one definition for the smoother (stop = n) and
+    the backtest (stop = n − BACKTEST_H), mirroring _holt_fold_expr."""
+    return f"""hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+    ),
+    seed AS (
+        SELECT a.event_type, a.n, CAST(2 AS BIGINT) AS rn,
+               {HOLT_ALPHA} * b.x + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x))
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * b.x
+                               + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x)))
+                              - a.x)
+               + (1 - {HOLT_BETA}) * (b.x - a.x) AS trend
+        FROM s a JOIN s b ON b.event_type = a.event_type AND b.rn = 2
+        WHERE a.rn = 1
+    ),
+    rec AS (
+        SELECT event_type, n, rn, level, trend FROM seed
+        UNION ALL
+        SELECT r.event_type, r.n, t.rn,
+               {HOLT_ALPHA} * t.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend)
+                   AS level,
+               {HOLT_BETA} * (({HOLT_ALPHA} * t.x
+                               + (1 - {HOLT_ALPHA}) * (r.level + r.trend))
+                              - r.level)
+               + (1 - {HOLT_BETA}) * r.trend AS trend
+        FROM rec r
+        JOIN s t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+        WHERE r.rn < {stop}
+    )"""
+
+
+
 def _holt_fold_expr(holdout: int) -> "F.Column":
     """The Holt fold over ``xs`` minus a ``holdout`` tail — ONE
     definition shared by the smoother and the backtest so the
@@ -378,42 +423,7 @@ def _holt_fold_expr(holdout: int) -> "F.Column":
 @query(
     "ts_holt_linear",
     sql=f"""
-    WITH RECURSIVE hourly AS (
-        SELECT event_type,
-               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
-               CAST(COUNT(*) AS DOUBLE) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    s AS (
-        SELECT event_type, x,
-               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM hourly
-    ),
-    seed AS (
-        SELECT a.event_type, a.n, CAST(2 AS BIGINT) AS rn,
-               {HOLT_ALPHA} * b.x + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x))
-                   AS level,
-               {HOLT_BETA} * (({HOLT_ALPHA} * b.x
-                               + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x)))
-                              - a.x)
-               + (1 - {HOLT_BETA}) * (b.x - a.x) AS trend
-        FROM s a JOIN s b ON b.event_type = a.event_type AND b.rn = 2
-        WHERE a.rn = 1
-    ),
-    rec AS (
-        SELECT event_type, n, rn, level, trend FROM seed
-        UNION ALL
-        SELECT r.event_type, r.n, s.rn,
-               {HOLT_ALPHA} * s.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend)
-                   AS level,
-               {HOLT_BETA} * (({HOLT_ALPHA} * s.x
-                               + (1 - {HOLT_ALPHA}) * (r.level + r.trend))
-                              - r.level)
-               + (1 - {HOLT_BETA}) * r.trend AS trend
-        FROM rec r
-        JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
-    )
+    WITH RECURSIVE {_holt_sql_ctes("r.n")}
     SELECT event_type, CAST(n AS BIGINT) AS n_hours, level, trend,
            level + 1 * trend AS forecast_1,
            level + 2 * trend AS forecast_2,
@@ -478,45 +488,7 @@ BACKTEST_H = 3  # held-out horizon (hours)
 @query(
     "ts_forecast_backtest",
     sql=f"""
-    WITH RECURSIVE hourly AS (
-        SELECT event_type,
-               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
-               CAST(COUNT(*) AS DOUBLE) AS x
-        FROM events GROUP BY 1, 2
-    ),
-    s AS (
-        SELECT event_type, x,
-               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM hourly
-    ),
-    train AS (SELECT * FROM s WHERE n >= {BACKTEST_H} + 2),
-    seed AS (
-        SELECT a.event_type, a.n, CAST(2 AS BIGINT) AS rn,
-               {HOLT_ALPHA} * b.x + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x))
-                   AS level,
-               {HOLT_BETA} * (({HOLT_ALPHA} * b.x
-                               + (1 - {HOLT_ALPHA}) * (a.x + (b.x - a.x)))
-                              - a.x)
-               + (1 - {HOLT_BETA}) * (b.x - a.x) AS trend
-        FROM train a JOIN train b ON b.event_type = a.event_type
-                                 AND b.rn = 2
-        WHERE a.rn = 1
-    ),
-    rec AS (
-        SELECT event_type, n, rn, level, trend FROM seed
-        UNION ALL
-        SELECT r.event_type, r.n, t.rn,
-               {HOLT_ALPHA} * t.x + (1 - {HOLT_ALPHA}) * (r.level + r.trend)
-                   AS level,
-               {HOLT_BETA} * (({HOLT_ALPHA} * t.x
-                               + (1 - {HOLT_ALPHA}) * (r.level + r.trend))
-                              - r.level)
-               + (1 - {HOLT_BETA}) * r.trend AS trend
-        FROM rec r
-        JOIN train t ON t.event_type = r.event_type AND t.rn = r.rn + 1
-        WHERE r.rn < r.n - {BACKTEST_H}
-    ),
+    WITH RECURSIVE {_holt_sql_ctes(f"r.n - {BACKTEST_H}")},
     fit AS (SELECT * FROM rec WHERE rn = n - {BACKTEST_H}),
     horizon AS (SELECT unnest(range(1, {BACKTEST_H} + 1)) AS h)
     SELECT f.event_type, CAST(hz.h AS INT) AS h,
