@@ -343,34 +343,56 @@ DC_CODES = _canonical_codes(DC_BITS, DC_VALS)
 AC_CODES = _canonical_codes(AC_BITS, AC_VALS)
 
 
-def jpeg_quant_blocks(doc_id: int) -> list:
-    """Quantized-coefficient blocks via the FORWARD route (pixels →
-    DCT → quantize), natural order per block; block scan order is
-    left-to-right, top-to-bottom.  Edge blocks replicate the last
-    row/column (the conventional pad).
+def quant_blocks_of(img) -> list:
+    """Quantized-coefficient blocks of a LEVEL-SHIFTED padded image
+    (2-D int array, already edge-replicated to 8-multiples) via the
+    FORWARD route (DCT → quantize), natural order per block; block
+    scan order is left-to-right, top-to-bottom.
 
-    numpy-vectorized (import-time oracle build runs this for all 100
-    fixtures); determinism note: the encoder AND the oracle stats both
-    flow through THIS function, and the decoder never recomputes a DCT
-    — so the float summation order only has to agree with itself.
+    Determinism note: the encoder AND the oracle stats both flow
+    through THIS function, and the decoder never recomputes a DCT —
+    so the float summation order only has to agree with itself.
     """
     import numpy as np
 
-    w, h = jpeg_width(doc_id), jpeg_height(doc_id)
     # T[u, x] = 0.5 * C(u) * cos((2x+1)uπ/16) — the orthonormal 8-DCT.
     t = 0.5 * np.array(_DCT_COS) * np.array(_DCT_C)[:, None]
-    xs = np.minimum(np.arange((w + 7) // 8 * 8), w - 1)
-    ys = np.minimum(np.arange((h + 7) // 8 * 8), h - 1)
-    img = (3 * xs[None, :] + 7 * ys[:, None] + doc_id) % 256 - 128
     q = np.array(QUANT_LUMA, dtype=np.float64).reshape(8, 8)
     blocks = []
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
+    for by in range(0, img.shape[0], 8):
+        for bx in range(0, img.shape[1], 8):
             blk = img[by : by + 8, bx : bx + 8].astype(np.float64)
             coeff = t @ blk @ t.T  # rows index v (y-freq), cols u (x-freq)
             quant = np.floor(coeff / q + 0.5).astype(np.int64)
             blocks.append([int(quant[v, u]) for v in range(8) for u in range(8)])
     return blocks
+
+
+def padded_image(pixels, w: int, h: int):
+    """Level-shift + edge-replicate an arbitrary pixel grid (callable
+    (x, y) -> 0..255) to 8-multiple dimensions."""
+    import numpy as np
+
+    xs = np.minimum(np.arange((w + 7) // 8 * 8), w - 1)
+    ys = np.minimum(np.arange((h + 7) // 8 * 8), h - 1)
+    return (
+        np.array([[pixels(int(x), int(y)) for x in xs] for y in ys],
+                 dtype=np.int64)
+        - 128
+    )
+
+
+def jpeg_quant_blocks(doc_id: int) -> list:
+    """Fixture-pixel wrapper over :func:`quant_blocks_of` (numpy
+    builds the formula image directly — vectorized for the import-time
+    oracle build over all 100 fixtures)."""
+    import numpy as np
+
+    w, h = jpeg_width(doc_id), jpeg_height(doc_id)
+    xs = np.minimum(np.arange((w + 7) // 8 * 8), w - 1)
+    ys = np.minimum(np.arange((h + 7) // 8 * 8), h - 1)
+    img = (3 * xs[None, :] + 7 * ys[:, None] + doc_id) % 256 - 128
+    return quant_blocks_of(img)
 
 
 def jpeg_coeff_stats(doc_id: int) -> tuple:
@@ -422,14 +444,13 @@ def _dht_segment(tc_th: int, bits: list, vals: list) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def jpeg_bytes(doc_id: int) -> bytes:
-    """Spec-valid baseline-sequential grayscale JFIF via the real
-    pipeline: level shift → 8×8 DCT → Annex-K quantization → zigzag →
-    DC-differential + run-length AC Huffman coding, byte-stuffed."""
-    w, h = jpeg_width(doc_id), jpeg_height(doc_id)
+def jpeg_bytes_of(blocks: list, w: int, h: int) -> bytes:
+    """Spec-valid baseline-sequential grayscale JFIF from pre-quantized
+    coefficient blocks: zigzag → DC-differential + run-length AC
+    Huffman coding, byte-stuffed."""
     bw = _BitWriter()
     prev_dc = 0
-    for block in jpeg_quant_blocks(doc_id):
+    for block in blocks:
         zz = [block[ZIGZAG[i]] for i in range(64)]
         size, bits_v = _magnitude(zz[0] - prev_dc)
         prev_dc = zz[0]
@@ -467,6 +488,15 @@ def jpeg_bytes(doc_id: int) -> bytes:
         + b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
         + bw.flush()
         + b"\xff\xd9"  # EOI
+    )
+
+
+def jpeg_bytes(doc_id: int) -> bytes:
+    """Fixture wrapper: the real pipeline (level shift → 8×8 DCT →
+    Annex-K quantization) over the formula pixels, then the entropy
+    encoder."""
+    return jpeg_bytes_of(
+        jpeg_quant_blocks(doc_id), jpeg_width(doc_id), jpeg_height(doc_id)
     )
 
 

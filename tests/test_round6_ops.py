@@ -597,3 +597,57 @@ def test_khop_bfs_layers_are_consistent(specs, spark, sf_dir):
             hops.get(u) == h - 1 for u in adj for x in [None]
             if v in adj[u]
         ), (v, h)
+
+
+# ---- hypothesis fuzz for the clean-room JPEG codec ------------------
+# The 100 deterministic fixtures exercise one pixel formula; the fuzz
+# drives ARBITRARY images through encode→decode and checks the
+# entropy-lossless property holds for every coefficient pattern the
+# random pixels produce (long zero runs → ZRL chains, high-frequency
+# noise → deep AC categories, flat blocks → EOB-only blocks).
+
+from hypothesis import HealthCheck, given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31),
+    mode=st.sampled_from(["random", "flat", "stripes", "extreme"]),
+)
+def test_jpeg_roundtrip_fuzz(w, h, seed, mode):
+    """encode(pixels) → Huffman-decode == forward-quantized
+    coefficients, for ARBITRARY dimensions (incl. non-multiple-of-8
+    and 1-pixel edges) and pixel patterns: random noise (deep AC
+    categories), flat fields (EOB-only blocks), stripes (ZRL runs),
+    and 0/255 checkerboards (max AC energy) — driven through the
+    image-level codec entry points, not the fixture formula."""
+    import random
+
+    from bigdata_twitter_spark import binfixtures as bf
+
+    rng = random.Random(seed)
+    if mode == "random":
+        px = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    elif mode == "flat":
+        v = rng.randrange(256)
+        px = [[v] * w for _ in range(h)]
+    elif mode == "stripes":
+        period = rng.randrange(1, 4)
+        px = [[255 * ((x // period) % 2) for x in range(w)]
+              for _ in range(h)]
+    else:  # extreme: checkerboard of 0/255 — max AC energy
+        px = [[255 * ((x + y) % 2) for x in range(w)] for y in range(h)]
+
+    img = bf.padded_image(lambda x, y: px[y][x], w, h)
+    blocks = bf.quant_blocks_of(img)
+    data = bf.jpeg_bytes_of(blocks, w, h)
+    dw, dh, decoded = bf.decode_jpeg_coeffs(data)
+    assert (dw, dh) == (w, h)
+    assert decoded == blocks
