@@ -71,6 +71,13 @@ def wide_dbl(sum_col: Column) -> Column:
     <1 fraction has ≤4 decimal digits (cast correctly rounded in both
     engines), and one final add.
 
+    Domain: the integer part must fit BIGINT (|⌊v⌋| < 2^63 — holds for
+    every co-moment this engine accumulates; DECIMAL sums beyond that
+    should pre-scale).  Accuracy: within 1 ulp of the integer part —
+    for tiny NEGATIVE values (|v| ≪ 1) the hi+lo add cancels and
+    relative error degrades, which no sum-of-products use case hits;
+    determinism (the actual requirement) holds everywhere.
+
     Oracle twin: :func:`wide_dbl_sql`.
     """
     hi = F.floor(sum_col).cast("bigint").cast("double")

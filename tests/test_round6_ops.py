@@ -651,3 +651,80 @@ def test_jpeg_roundtrip_fuzz(w, h, seed, mode):
     dw, dh, decoded = bf.decode_jpeg_coeffs(data)
     assert (dw, dh) == (w, h)
     assert decoded == blocks
+
+
+def _wide_dbl_py(units: int) -> float:
+    """Python emulation of numerics.wide_dbl on a value with 4 fraction
+    digits given as scaled units: hi = floor as int→double (one
+    correctly-rounded conversion), lo = ≤4-digit fraction (one
+    correctly-rounded conversion), one final add."""
+    from decimal import Decimal
+
+    v = Decimal(units) / (10**4)
+    import math
+
+    hi_int = math.floor(v)
+    lo = v - hi_int
+    return float(hi_int) + float(lo)
+
+
+@hyp_settings(max_examples=60, deadline=None)
+@given(
+    # domain: integer part must fit BIGINT (documented in wide_dbl)
+    units=st.integers(min_value=-(9 * 10**22), max_value=9 * 10**22),
+)
+def test_wide_dbl_matches_duckdb_and_stays_accurate(units):
+    """numerics.wide_dbl's claim, property-tested: the split cast
+    computed by DuckDB's SQL twin over a true DECIMAL value equals the
+    Python emulation for ANY decimal(…,4) magnitude in the documented
+    domain (incl. far past 2^53, where the engines' NATIVE casts
+    diverge), and stays within ~1 ulp of the INTEGER PART (the
+    documented accuracy bound — tiny negatives cancel)."""
+    import duckdb
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.numerics import wide_dbl_sql
+
+    exact = Decimal(units) / (10**4)
+    # a true DECIMAL literal — a division expression would come back
+    # DOUBLE in DuckDB and short-circuit the split under test
+    expr = wide_dbl_sql(f"CAST('{exact}' AS DECIMAL(38,4))")
+    duck = duckdb.sql(f"SELECT {expr} AS v").fetchone()[0]
+    py = _wide_dbl_py(units)
+    assert duck == py, (units, duck, py)
+    import math
+
+    hi = math.floor(exact)
+    bound = Decimal(max(abs(float(hi)), 1.0)) * Decimal(2) ** -50
+    assert abs(Decimal(repr(duck)) - exact) <= bound, (units, duck)
+
+
+def test_wide_dbl_spark_side_matches_emulation(spark):
+    """The Spark column twin on adversarial values: the measured
+    round-6 divergence case (Σ price² co-moment) plus 2^53-boundary
+    neighbors — Spark's split cast must equal the Python emulation
+    (and hence DuckDB's, by the property above) bit for bit."""
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.numerics import wide_dbl
+
+    cases = [
+        36792986450733467,  # the measured divergence (3679298645073.3467)
+        (1 << 53) * 10**4 + 7,
+        (1 << 53) * 10**4 - 3,
+        (1 << 60) + 12345,
+        -36792986450733467,
+        12345,
+        0,
+    ]
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(u),) for u in cases], "units decimal(38,0)"
+    ).select(
+        F.col("units"),
+        wide_dbl((F.col("units") / 10000).cast("decimal(38,4)")).alias("v"),
+    )
+    got = {int(r["units"]): r["v"] for r in df.collect()}
+    for u in cases:
+        assert got[u] == _wide_dbl_py(u), (u, got[u], _wide_dbl_py(u))
