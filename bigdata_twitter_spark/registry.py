@@ -32,51 +32,54 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver evaluates exactly the first 50 ``queries()`` keys per
 # round (every round so far cut at key #50 in registration order).
-# Round-6 window = the ENTIRE remaining staleness ledger, which is
-# exactly 50 keys (VERDICT r5 "Next round" #1):
+# Round-7 window per SURVEY §P9 / VERDICT r6 "Next round" #1:
 #
-#   * the 7 keys added late in round 5 that have never had a driver
-#     row at all (all local-parity hash_pass in PARITY_r05.json) —
-#     agg_kmv_union_intersect goes in only AFTER its single-partition
-#     global-k-min window was replaced this round with the two-level
-#     nibble-bucket cut (VERDICT r5 "What's wrong" #1), so the
-#     driver's first row certifies the fixed plan, never the weak one;
+#   * the 17 round-6 additions, never driver-checked (all local-parity
+#     hash_pass in PARITY_r06.json), in P9's order;
 #
-#   * the 43 keys whose latest driver row is round 2 — including the
-#     whole streaming family, whose r2 evidence describes code that
-#     no longer exists (round 5 changed the state-store partition
-#     sizing under every streaming key).  After this window closes,
-#     every key in the registry has a driver row from round-3 code or
-#     later.
-_R6_WINDOW = (
-    # -- 7 keys never driver-checked (round-5 late additions) --
-    "agg_bitmap_distinct", "agg_kmv_union_intersect",
-    "agg_ratio_wilson_ci", "graph_also_bought_topk", "join_pit_scd2",
-    "table_clone_shallow", "ts_sliding_distinct_kmv",
-    # -- 43 keys whose latest driver row is round 2 --
-    # streaming family first: its machinery changed most recently
-    "stream_tumbling_agg", "stream_sliding_agg",
-    "stream_session_window", "stream_dedup", "stream_late_data",
-    "stream_stateful_running", "stream_stream_join",
-    "source_stream_file", "source_stream_rate",
-    "sink_stream_foreachbatch",
-    # scan/sink format keys
-    "scan_csv", "scan_json_lines", "scan_parquet",
-    "sink_json_lines", "sink_parquet", "join_bucketed_colocated",
-    # batch timeseries / windows / sets / sort
-    "ts_tumbling_counts", "ts_sliding_counts", "ts_sessionize_batch",
-    "ts_gap_fill", "ts_interpolate", "ts_retention_cohort",
-    "ts_anomaly_zscore", "top_active_users", "error_rate_per_day",
-    "funnel_conversion", "win_dedup_latest", "win_ntile_pctrank",
-    "limit_topk_global", "sort_multikey", "set_intersect",
-    "set_except", "join_skew_salted", "agg_percentiles",
-    # text family
-    "text_tokenize", "text_ngrams", "text_sentiment_lexicon",
-    "text_lang_stats", "text_quality_score", "text_lang_id",
-    "text_fingerprint", "text_token_count_bpe", "text_keywords_topk",
+#   * the 2 round-7 additions (text_chunk_sliding / embed_chunk_pool,
+#     the RAG chunking pair VERDICT r6 "What's missing" #4 asked for)
+#     so their first driver rows land the round they are written;
+#
+#   * stream_transform_with_state early (VERDICT r6 "Next round" #5:
+#     it carries the vendored-protobuf seam, the one dependency-
+#     sensitive path — a fresh row certifies it against the current
+#     container; its last row is r4);
+#
+#   * 30 of the 46 r3-cohort keys (latest driver row = round 3, code
+#     unchanged since but the r4/r5 loader/session machinery moved
+#     under them), riskiest first: streaming/checkpoint, the
+#     dedup/sim/embed families, sinks and CDC, then the agg tail.
+#     The 16 remaining r3 keys (pure-SQL scalar/agg/text shapes)
+#     queue for round 8.
+_R7_WINDOW = (
+    # -- 17 round-6 additions, never driver-checked --
+    "sim_pairs_bucket_jobs", "multimodal_jpeg_decode",
+    "agg_regression_per_group", "ts_changepoint_cusum",
+    "ts_autocorr_lag", "sample_weighted_pps", "ts_holt_linear",
+    "scan_text_lines", "agg_percentile_binned", "ts_funnel_sequence",
+    "sink_zorder_clustered", "agg_heavy_hitters_cms",
+    "embed_pca_power_exact", "table_deletion_vectors",
+    "scan_manifest_pruned", "ts_forecast_backtest", "graph_khop_reach",
+    # -- round-7 additions: RAG chunking pair --
+    "text_chunk_sliding", "embed_chunk_pool",
+    # -- dependency-sensitive refresh (vendored-protobuf seam) --
+    "stream_transform_with_state",
+    # -- 30 r3-cohort keys, riskiest machinery first --
+    "stream_checkpoint_resume", "stream_topk_per_window",
+    "doc_pipeline_e2e", "dedup_exact", "dedup_components",
+    "dedup_containment", "dedup_embedding", "dedup_minhash_lsh",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_batch_queries_topk",
+    "sim_pairs_bucketed", "embed_pca_project", "embed_quantize_int8",
+    "multimodal_frame_sample", "sink_compact_small_files",
+    "sink_partitioned_parquet", "sink_sorted_clustered",
+    "scan_schema_evolution", "merge_upsert", "cdc_scd2_intervals",
+    "join_asof", "join_star_3way", "join_range_binned",
+    "join_broadcast", "agg_q1_pricing", "agg_stats", "agg_hll_sketch",
+    "agg_approx_percentile", "agg_histogram",
 )
 
-assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
+assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
 
 def query(
     name: str,
@@ -105,7 +108,7 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R6_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R7_WINDOW``
     tuple below defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round).
     Keys outside the window follow in registration order.
@@ -157,6 +160,9 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import pcapower  # noqa: F401  (round 6)
     from .sources import deletionvectors  # noqa: F401  (round 6)
 
+    # Round-7 additions (window-listed, so ordering is explicit).
+    from .text import chunking  # noqa: F401  (round 7)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401
@@ -166,14 +172,14 @@ def load_all_operators() -> dict[str, QuerySpec]:
 
     # Final check order: the explicit 50-key round-5 window first, then
     # every remaining key in registration order.
-    missing = [k for k in _R6_WINDOW if k not in REGISTRY]
+    missing = [k for k in _R7_WINDOW if k not in REGISTRY]
     if missing:
         raise RuntimeError(
-            f"_R6_WINDOW names unregistered operator keys: {missing}; "
+            f"_R7_WINDOW names unregistered operator keys: {missing}; "
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in _R6_WINDOW:
+    for key in _R7_WINDOW:
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

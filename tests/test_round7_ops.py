@@ -1,0 +1,150 @@
+"""Semantic invariants for the round-7 RAG-chunking pair (oracle
+parity is covered by test_parity.py; these pin the properties a
+downstream RAG/embedding pipeline actually relies on).
+
+- ``text_chunk_sliding``: exact provenance — every chunk's text is the
+  literal token slice at (start_offset, n_chunk_tokens) of its source
+  doc; full coverage — every token of every doc lands in ≥1 chunk;
+  the overlap geometry (stride, window, tail) matches the W/S spec.
+- ``embed_chunk_pool``: pooled values are exactly what re-deriving
+  them from text_chunk_sliding's chunks gives (the two keys must
+  agree on chunk geometry forever); mean is exact-integer-sum ÷ count.
+- Plan pins: chunking is shuffle-free codegen; pooling has exactly
+  one (doc_id, pos)-keyed exchange with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from bigdata_twitter_spark.registry import load_all_operators
+from bigdata_twitter_spark.text import chunking as ck
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all_operators()
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().split(" ") if t]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from bigdata_twitter_spark.tables import load
+
+    return {
+        r["doc_id"]: _py_tokens(r["text"])
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def chunks(specs, spark, sf_dir):
+    return specs["text_chunk_sliding"].fn(spark, sf_dir).collect()
+
+
+def test_chunk_provenance_is_exact(docs, chunks):
+    """chunk_text == the source doc's token slice at the declared
+    (start_offset, n_chunk_tokens) — offsets are real, not decorative."""
+    assert chunks
+    for r in chunks:
+        toks = docs[r["doc_id"]]
+        lo = r["start_offset"]
+        want = toks[lo : lo + r["n_chunk_tokens"]]
+        assert r["chunk_text"] == " ".join(want), r
+        # Every chunk is full-window except possibly the tail.
+        assert r["n_chunk_tokens"] == min(
+            ck.CHUNK_WINDOW, len(toks) - lo
+        ), r
+
+
+def test_chunk_geometry_covers_every_token(docs, chunks):
+    """W/S sliding geometry: chunk_id k starts at k*S; chunk count is
+    the minimal count whose windows cover the doc; union of windows
+    covers [0, n)."""
+    per_doc = defaultdict(list)
+    for r in chunks:
+        per_doc[r["doc_id"]].append(r)
+    for doc_id, toks in docs.items():
+        rows = sorted(per_doc[doc_id], key=lambda r: r["chunk_id"])
+        n = len(toks)
+        if n == 0:
+            assert not rows
+            continue
+        want_chunks = (
+            1
+            if n <= ck.CHUNK_WINDOW
+            else (n - ck.CHUNK_WINDOW + ck.CHUNK_STRIDE - 1)
+            // ck.CHUNK_STRIDE
+            + 1
+        )
+        assert [r["chunk_id"] for r in rows] == list(range(want_chunks))
+        assert all(
+            r["start_offset"] == r["chunk_id"] * ck.CHUNK_STRIDE
+            for r in rows
+        )
+        covered = set()
+        for r in rows:
+            covered.update(
+                range(r["start_offset"], r["start_offset"] + r["n_chunk_tokens"])
+            )
+        assert covered == set(range(n)), doc_id
+        # Last window reaches the final token; no window is empty.
+        last = rows[-1]
+        assert last["start_offset"] + last["n_chunk_tokens"] == n
+        assert all(r["n_chunk_tokens"] > 0 for r in rows)
+
+
+def test_pool_rederives_from_chunks(specs, spark, sf_dir, chunks):
+    """embed_chunk_pool == pooling recomputed in pure Python from
+    text_chunk_sliding's own output — the two keys share one chunk
+    geometry and one encoder definition."""
+    pooled = specs["embed_chunk_pool"].fn(spark, sf_dir).collect()
+    assert pooled
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[0], 16)
+
+    sums: dict[tuple[int, int], int] = defaultdict(int)
+    maxes: dict[tuple[int, int], int] = defaultdict(int)
+    counts: dict[int, int] = defaultdict(int)
+    for r in chunks:
+        counts[r["doc_id"]] += 1
+        vec = [0] * ck.POOL_DIMS
+        for tok in _py_tokens(r["chunk_text"]):
+            vec[bucket(tok)] += 1
+        for j, v in enumerate(vec):
+            sums[(r["doc_id"], j)] += v
+            maxes[(r["doc_id"], j)] = max(maxes[(r["doc_id"], j)], v)
+
+    assert len(pooled) == len(counts) * ck.POOL_DIMS
+    for r in pooled:
+        key = (r["doc_id"], r["pos"])
+        assert r["n_chunks"] == counts[r["doc_id"]], r
+        assert r["max_val"] == maxes[key], r
+        assert r["mean_val"] == round(
+            sums[key] / counts[r["doc_id"]], 6
+        ), r
+
+
+def test_chunk_plan_is_shuffle_free_codegen(specs, spark, sf_dir):
+    df = specs["text_chunk_sliding"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # Codegen spans render as "*(n)" stage markers in toString().
+    assert "*(1)" in plan and "*(2)" in plan, plan
+    # Only doc_id + text leave the scan (column pruning).
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read_schema.count(":") == 2, read_schema
+
+
+def test_pool_plan_has_one_partial_agged_exchange(specs, spark, sf_dir):
+    df = specs["embed_chunk_pool"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan
