@@ -160,8 +160,10 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import pcapower  # noqa: F401  (round 6)
     from .sources import deletionvectors  # noqa: F401  (round 6)
 
-    # Round-7 additions (window-listed, so ordering is explicit).
+    # Round-7 additions (chunking pair is window-listed; the rest
+    # queue behind the window for their first driver rows in round 8).
     from .text import chunking  # noqa: F401  (round 7)
+    from .llm import phash  # noqa: F401  (round 7)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

@@ -148,3 +148,48 @@ def test_pool_plan_has_one_partial_agged_exchange(specs, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_phash_band_join_is_complete_and_exact(specs, spark, sf_dir):
+    """dedup_image_phash == brute-force all-pairs hamming ≤ 7 over the
+    per-image hashes (pigeonhole: ≤7 differing bits cannot touch all 8
+    bands, so band-equality candidates lose no qualifying pair)."""
+    import itertools
+
+    from bigdata_twitter_spark.llm import phash as ph
+
+    hashes = {
+        r["doc_id"]: r["phash"]
+        for r in specs["multimodal_image_phash"].fn(spark, sf_dir).collect()
+    }
+    mined = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in specs["dedup_image_phash"].fn(spark, sf_dir).collect()
+    }
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b, bin((hashes[a] ^ hashes[b]) & mask).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & mask).count("1")
+        <= ph.PHASH_MAX_HAMMING
+    }
+    assert mined == brute
+    assert mined, "fixture corpus should contain near-dup images"
+
+
+def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
+    """The Spark-side hash (real PNG bytes → decode → hash) equals the
+    generator-closed-form hash for every file — the disjoint-route
+    decode certification, independently of the oracle machinery."""
+    from bigdata_twitter_spark import binfixtures as bf
+    from bigdata_twitter_spark.llm import phash as ph
+
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["phash"], r["n_ones"])
+        for r in specs["multimodal_image_phash"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == bf.N_FILES
+    for d in range(bf.N_FILES):
+        w, h = bf.png_width(d), bf.png_height(d)
+        hv, ones = ph.phash64(w, h, lambda x, y, d=d: bf.pixel(x, y, d))
+        assert got[d] == (w, h, hv, ones), d
