@@ -138,3 +138,187 @@ def multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
     return d.mapInPandas(_chunk_batches, schema=AUDIO_SCHEMA)
+
+
+# ---- voice-activity detection (round 7) ------------------------------
+# Energy-gated segmentation: the pre-filter a speech corpus runs
+# before transcription/alignment — frames whose energy clears the
+# per-file mean are "active", and the per-file activity profile
+# (active count, longest contiguous run) decides keep/drop/split.
+# Frames are NON-overlapping (hop = window): segmentation semantics,
+# unlike the STFT chunker's 400/160 overlap above.  Everything stays
+# INTEGER (energy = Σ sample², activity = energy·n_frames > Σenergy —
+# the mean test cleared of division) so the oracle is exact.
+VAD_FRAME = 400  # 25 ms at 16 kHz, non-overlapping
+
+VAD_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_len bigint, energy bigint"
+)
+
+
+def _vad_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow framer: row → ⌈n/F⌉ non-overlapping frames with exact
+    int64 energies from REAL decoded PCM."""
+    import numpy as np
+
+    from ..binfixtures import decode_wav
+
+    for pdf in batches:
+        doc, idx, length, energy = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, n, samples = decode_wav(bytes(payload))
+            sig = np.asarray(samples, dtype=np.int64)
+            for i in range(0, (n + VAD_FRAME - 1) // VAD_FRAME):
+                chunk = sig[i * VAD_FRAME : (i + 1) * VAD_FRAME]
+                doc.append(doc_id)
+                idx.append(i)
+                length.append(len(chunk))
+                energy.append(int((chunk * chunk).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "frame_idx": pd.Series(idx, dtype="int64"),
+                "frame_len": pd.Series(length, dtype="int64"),
+                "energy": pd.Series(energy, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_vad",
+    sql=f"""
+    WITH ids AS (SELECT unnest(range(0, {_BF_N_FILES})) AS doc_id),
+    meta AS (
+        SELECT doc_id, 1600 + (doc_id * 37) % 3200 AS n FROM ids
+    ),
+    f AS (
+        SELECT doc_id, n,
+               unnest(range((n + {VAD_FRAME} - 1) // {VAD_FRAME}))
+                   AS frame_idx
+        FROM meta
+    ),
+    s AS (
+        SELECT doc_id, frame_idx,
+               unnest(range(least({VAD_FRAME},
+                                  n - frame_idx * {VAD_FRAME}))) AS j
+        FROM f
+    ),
+    en AS (
+        SELECT doc_id, frame_idx,
+               CAST(SUM(
+                   ((doc_id * 31 + (frame_idx * {VAD_FRAME} + j) * 17)
+                    % 65536 - 32768)
+                   * ((doc_id * 31 + (frame_idx * {VAD_FRAME} + j) * 17)
+                      % 65536 - 32768)) AS BIGINT) AS energy
+        FROM s GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(energy) AS BIGINT) AS te,
+               COUNT(*) AS nf
+        FROM en GROUP BY doc_id
+    ),
+    act AS (
+        SELECT en.doc_id, en.frame_idx
+        FROM en JOIN tot USING (doc_id)
+        WHERE en.energy * tot.nf > tot.te
+    ),
+    isl AS (
+        SELECT doc_id,
+               frame_idx - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx) AS grp
+        FROM act
+    ),
+    runs AS (
+        SELECT doc_id, COUNT(*) AS run FROM isl GROUP BY doc_id, grp
+    )
+    SELECT tot.doc_id,
+           CAST(tot.nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(a.n_active, 0) AS BIGINT) AS n_active,
+           CAST(COALESCE(r.longest, 0) AS BIGINT) AS longest_run,
+           round(CAST(COALESCE(a.n_active, 0) AS DOUBLE) / tot.nf, 6)
+               AS active_ratio
+    FROM tot
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_active
+               FROM act GROUP BY doc_id) a USING (doc_id)
+    LEFT JOIN (SELECT doc_id, MAX(run) AS longest
+               FROM runs GROUP BY doc_id) r USING (doc_id)
+    """,
+    tables=(),
+    scale_note=(
+        "Energy-gated VAD over REAL decoded PCM: the Arrow pass emits "
+        "one int64 energy per non-overlapping frame (rows ∝ seconds / "
+        "25 ms, batch-bounded); activity, runs, and ratios are then "
+        "pure JVM relational algebra — a per-file count agg, a "
+        "broadcast totals join (file-count-sized), and one gaps-and-"
+        "islands window partitioned by file.  The mean-energy gate is "
+        "the division-free integer test energy·n_frames > Σenergy, so "
+        "every activity decision is exact on both engines; the only "
+        "float is the final 6dp ratio.  Oracle route: closed-form "
+        "sample formula, never the bytes — agreement proves WAV parse "
+        "+ framing + energy arithmetic end to end."
+    ),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file voice-activity profile from real WAV decode: frame
+    count, active-frame count (energy above the per-file mean),
+    longest active run, and activity ratio."""
+    from pyspark.sql import Window
+
+    from ..binfixtures import ensure_wav_dir
+
+    root = ensure_wav_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.wav$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    frames = d.mapInPandas(_vad_frame_batches, schema=VAD_FRAME_SCHEMA)
+    tot = frames.groupBy("doc_id").agg(
+        F.sum("energy").alias("te"), F.count("*").alias("nf")
+    )
+    act = (
+        frames.join(F.broadcast(tot), "doc_id")
+        .filter(F.col("energy") * F.col("nf") > F.col("te"))
+        .select("doc_id", "frame_idx")
+    )
+    isl = act.withColumn(
+        "grp",
+        F.col("frame_idx")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("frame_idx")
+        ),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(F.count("*").alias("run"))
+    return (
+        tot.join(
+            act.groupBy("doc_id").agg(F.count("*").alias("n_active")),
+            "doc_id",
+            "left",
+        )
+        .join(
+            runs.groupBy("doc_id").agg(F.max("run").alias("longest")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("nf").cast("bigint").alias("n_frames"),
+            F.coalesce(F.col("n_active"), F.lit(0))
+            .cast("bigint")
+            .alias("n_active"),
+            F.coalesce(F.col("longest"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_run"),
+            F.round(
+                F.coalesce(F.col("n_active"), F.lit(0)).cast("double")
+                / F.col("nf"),
+                6,
+            ).alias("active_ratio"),
+        )
+    )

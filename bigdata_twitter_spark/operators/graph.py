@@ -493,3 +493,98 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# ---- label propagation (round 7) -------------------------------------
+# Community detection over the co-purchase graph: synchronous LPA with
+# a deterministic update (most-frequent neighbor label, ties to the
+# smallest label).  A FIXED iteration count makes the loop
+# SQL-expressible — the oracle unrolls the same K steps — and pure
+# integer labels make it exact by construction (the graph_khop_reach
+# argument).  Distinct from dedup_components' min-label propagation:
+# min-label converges to connected components, frequency voting finds
+# DENSE communities inside one component.
+LPA_ITERATIONS = 4
+
+
+def _lpa_oracle_sql() -> str:
+    sql = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey + {PART_OFFSET} AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (SELECT c AS src, p AS dst FROM cp
+          UNION ALL SELECT p AS src, c AS dst FROM cp),
+    v AS (SELECT DISTINCT src AS v FROM e),
+    l0 AS (SELECT v, v AS lab FROM v)"""
+    prev = "l0"
+    for it in range(1, LPA_ITERATIONS + 1):
+        sql += f""",
+    n{it} AS (
+        SELECT e.dst AS v, p.lab, COUNT(*) AS cnt
+        FROM e JOIN {prev} p ON e.src = p.v
+        GROUP BY e.dst, p.lab
+    ),
+    l{it} AS (
+        SELECT v, lab FROM n{it}
+        QUALIFY row_number() OVER (PARTITION BY v
+                                   ORDER BY cnt DESC, lab ASC) = 1
+    )"""
+        prev = f"l{it}"
+    sql += f"""
+    SELECT CASE WHEN v >= {PART_OFFSET} THEN v - {PART_OFFSET}
+           ELSE v END AS vertex,
+           v >= {PART_OFFSET} AS is_part,
+           CAST(lab AS BIGINT) AS community
+    FROM {prev}
+    """
+    return sql
+
+
+@query(
+    "graph_label_propagation",
+    sql=_lpa_oracle_sql(),
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Synchronous label propagation, K fixed iterations: each step "
+        "is one edge-keyed join + one (vertex, label) count agg + one "
+        "vertex-keyed top-1 window — the Pregel-as-DataFrame shape "
+        "PageRank established, with labels staying INTEGER end to end "
+        "so the unrolled-CTE oracle is exact, not approximate.  Edges "
+        "persist once and every iteration reuses the vertex hash "
+        "partitioning; state is one label per vertex, never a "
+        "driver-side graph.  The deterministic tie-break (max count, "
+        "then min label) removes the RNG real LPA uses, so results "
+        "are reproducible across engines and executor counts."
+    ),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels after 4 synchronous LPA rounds (most-frequent
+    neighbor label, deterministic smallest-label tie-break)."""
+    edges = persist_fresh(
+        "lpa_edges", sf_dir, copurchase_edges(spark, sf_dir)
+    )
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn(
+        "lab", F.col("v")
+    )
+    top1 = Window.partitionBy("v").orderBy(
+        F.col("cnt").desc(), F.col("lab").asc()
+    )
+    for _ in range(LPA_ITERATIONS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["v"])
+            .groupBy(F.col("dst").alias("v"), "lab")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return labels.select(
+        F.when(F.col("v") >= PART_OFFSET, F.col("v") - PART_OFFSET)
+        .otherwise(F.col("v"))
+        .alias("vertex"),
+        (F.col("v") >= PART_OFFSET).alias("is_part"),
+        F.col("lab").cast("bigint").alias("community"),
+    )

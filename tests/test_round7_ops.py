@@ -177,6 +177,74 @@ def test_phash_band_join_is_complete_and_exact(specs, spark, sf_dir):
     assert mined, "fixture corpus should contain near-dup images"
 
 
+def test_lpa_matches_python_reference(specs, spark, sf_dir):
+    """graph_label_propagation == a brute-force Python synchronous LPA
+    (most-frequent neighbor label, min-label tie-break) over the same
+    collected edge set — algorithm-level referee independent of both
+    engines' SQL."""
+    from collections import Counter, defaultdict
+
+    from bigdata_twitter_spark.operators.graph import (
+        LPA_ITERATIONS,
+        PART_OFFSET,
+        copurchase_edges,
+    )
+
+    edges = defaultdict(list)
+    for r in copurchase_edges(spark, sf_dir).collect():
+        edges[r["dst"]].append(r["src"])
+    labels = {v: v for v in edges}
+    for _ in range(LPA_ITERATIONS):
+        nxt = {}
+        for v, nbrs in edges.items():
+            cnt = Counter(labels[u] for u in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        labels = nxt
+    want = {
+        (v - PART_OFFSET if v >= PART_OFFSET else v, v >= PART_OFFSET): lab
+        for v, lab in labels.items()
+    }
+    got = {
+        (r["vertex"], r["is_part"]): r["community"]
+        for r in specs["graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # Voting actually merged vertices into communities (not identity).
+    assert len(set(got.values())) < len(got)
+
+
+def test_vad_matches_python_reference(specs, spark, sf_dir):
+    """multimodal_audio_vad == a pure-Python recomputation from the
+    generator closed form (frames, mean-energy gate, longest run)."""
+    from bigdata_twitter_spark import binfixtures as bf
+    from bigdata_twitter_spark.llm.audio import VAD_FRAME
+
+    got = {
+        r["doc_id"]: (
+            r["n_frames"], r["n_active"], r["longest_run"],
+            r["active_ratio"],
+        )
+        for r in specs["multimodal_audio_vad"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == bf.N_FILES
+    for d in range(bf.N_FILES):
+        n = bf.wav_n_samples(d)
+        energies = []
+        for s in range(0, n, VAD_FRAME):
+            frame = [bf.wav_sample(i, d) for i in range(s, min(s + VAD_FRAME, n))]
+            energies.append(sum(v * v for v in frame))
+        te, nf = sum(energies), len(energies)
+        active = [e * nf > te for e in energies]
+        longest = run = 0
+        for a in active:
+            run = run + 1 if a else 0
+            longest = max(longest, run)
+        assert got[d] == (
+            nf, sum(active), longest, round(sum(active) / nf, 6)
+        ), d
+
+
 def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
     """The Spark-side hash (real PNG bytes → decode → hash) equals the
     generator-closed-form hash for every file — the disjoint-route
