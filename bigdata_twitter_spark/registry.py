@@ -164,6 +164,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     # queue behind the window for their first driver rows in round 8).
     from .text import chunking  # noqa: F401  (round 7)
     from .llm import phash  # noqa: F401  (round 7)
+    from .llm import mmr  # noqa: F401  (round 7)
 
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.

@@ -539,3 +539,57 @@ def text_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_lang_id_eval",
+    sql="""
+    WITH scored AS (
+        SELECT lang = 'en' AS label_en,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN ('the', 'a'))) AS DOUBLE)
+               / len(string_split(text, ' ')) >= 0.05 AS pred_en
+        FROM documents
+    ),
+    conf AS (
+        SELECT label_en, pred_en, COUNT(*) AS n
+        FROM scored GROUP BY label_en, pred_en
+    )
+    SELECT label_en, pred_en, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / (SELECT SUM(n) FROM conf), 6) AS share
+    FROM conf
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Classifier evaluation as an operator (the ann_recall_eval "
+        "pattern for the text side): confusion matrix of the marker "
+        "lang-id heuristic against the corpus's labeled lang column.  "
+        "One map-side scoring pass + a two-phase count agg over ≤4 "
+        "cells + a 1-row broadcast total — output size is constant at "
+        "any corpus scale, so the quality gate a curation pipeline "
+        "runs before trusting a filter costs one scan."
+    ),
+)
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix (counts + corpus shares) of the heuristic
+    lang-id against the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    markers = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    ratio = markers.cast("double") / F.size(F.split(F.col("text"), " "))
+    conf = (
+        d.select(
+            (F.col("lang") == "en").alias("label_en"),
+            (ratio >= 0.05).alias("pred_en"),
+        )
+        .groupBy("label_en", "pred_en")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = conf.agg(F.sum("n").alias("tot"))
+    return conf.join(F.broadcast(total)).select(
+        "label_en",
+        "pred_en",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )

@@ -245,6 +245,86 @@ def test_vad_matches_python_reference(specs, spark, sf_dir):
         ), d
 
 
+def test_mmr_trajectory_matches_greedy_replay(specs, spark, sf_dir):
+    """embed_mmr_diverse's selection sequence == a Python replay of
+    the greedy over ENGINE-produced cosines (pairwise 6dp cosine
+    matrix computed by the same Spark fold), so the referee checks the
+    argmax trajectory without re-deriving floats in Python."""
+    from bigdata_twitter_spark.llm import mmr as mm
+    from bigdata_twitter_spark.llm.vectors import spark_cosine
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (
+            (r["rank"], r["vec_id"], r["relevance"], r["mmr_score"])
+            for r in specs["embed_mmr_diverse"].fn(spark, sf_dir).collect()
+        )
+    )
+    assert [r[0] for r in got] == list(range(1, mm.MMR_K + 1))
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == mm.MMR_QUERY_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    rel_rows = (
+        e.filter(F.col("vec_id") != mm.MMR_QUERY_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", spark_cosine("embedding", "qv").alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(mm.MMR_POOL)
+        .collect()
+    )
+    rel = {r["vec_id"]: r["rel"] for r in rel_rows}
+    pool_ids = sorted(rel)
+    p = e.filter(F.col("vec_id").isin(pool_ids))
+    a, b = p.alias("a"), p.alias("b")
+    sims = {
+        (r["ai"], r["bi"]): r["c"]
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ai"),
+            F.col("b.vec_id").alias("bi"),
+            spark_cosine("a.embedding", "b.embedding").alias("c"),
+        )
+        .collect()
+    }
+
+    def cos(x, y):
+        return sims[(x, y) if x < y else (y, x)]
+
+    sel = [min(rel, key=lambda v: (-rel[v], v))]
+    scores = [rel[sel[0]]]
+    while len(sel) < mm.MMR_K:
+        best, best_score = None, None
+        for d in pool_ids:
+            if d in sel:
+                continue
+            s = (rel[d] - max(cos(d, s0) for s0 in sel)) / 2
+            if best is None or (s, -d) > (best_score, -best):
+                best, best_score = d, s
+        sel.append(best)
+        scores.append(best_score)
+    def round_half_up(x: float) -> float:
+        # Spark/DuckDB round() is HALF_UP over the shortest decimal
+        # repr; Python's built-in is banker's — emulate the engines
+        # (this referee actually hit the 0.1692455 boundary).
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        )
+
+    for k, (rank, vid, r_rel, r_score) in enumerate(got):
+        assert vid == sel[k], (got, sel)
+        assert r_rel == rel[vid]
+        assert abs(r_score - round_half_up(scores[k])) < 1e-9
+    # Diversification actually kicked in: MMR order differs from the
+    # pure-relevance order somewhere in the top-K.
+    by_rel = sorted(rel, key=lambda v: (-rel[v], v))[: mm.MMR_K]
+    assert sel != by_rel or len(set(scores)) > 1
+
+
 def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
     """The Spark-side hash (real PNG bytes → decode → hash) equals the
     generator-closed-form hash for every file — the disjoint-route
