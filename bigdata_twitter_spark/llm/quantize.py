@@ -163,3 +163,112 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("energy_kept"),
         head3.alias("head3_renormed"),
     )
+
+
+# ---- 1-bit (binary) quantization + hamming search (round 7) ----------
+# The aggressive end of the quantization ladder (float32 → int8 →
+# matryoshka → BINARY): keep only each dimension's sign, pack the 64
+# dims into ONE int64, search by popcount(xor) hamming, then re-rank
+# the shortlist with exact cosines — the memory layout that serves
+# billion-vector corpora from RAM (64× smaller than float32).
+BINQ_QUERY_ID = 0
+BINQ_TOPK = 10
+
+
+@query(
+    "embed_binary_quantize",
+    sql=f"""
+    WITH b AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN embedding[u.i + 1] <= 0 THEN 0
+                        WHEN u.i = 63
+                        THEN CAST(-9223372036854775808 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << u.i)
+                        END) AS BIGINT) AS code
+        FROM embeddings, UNNEST(range(0, {DIMS})) AS u(i)
+        GROUP BY vec_id
+    ),
+    q AS (SELECT code AS qcode FROM b WHERE vec_id = {BINQ_QUERY_ID}),
+    qv AS (SELECT embedding AS qemb FROM embeddings
+           WHERE vec_id = {BINQ_QUERY_ID}),
+    short AS (
+        SELECT b.vec_id,
+               CAST(bit_count(xor(b.code, q.qcode)) AS INT) AS hamming
+        FROM b, q
+        WHERE b.vec_id <> {BINQ_QUERY_ID}
+        ORDER BY hamming ASC, b.vec_id ASC
+        LIMIT {BINQ_TOPK}
+    )
+    SELECT s.vec_id, s.hamming,
+           __BINQ_COS__ AS cosine
+    FROM short s
+    JOIN embeddings e ON e.vec_id = s.vec_id, qv
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Binary quantization search: sign-bit packing is per-row "
+        "codegen (64 dims → one int64, 64× smaller than float32); the "
+        "search is one scan computing popcount(xor) against the "
+        "broadcast query code — integer end to end, so shortlist "
+        "membership and order are engine-exact (ties by vec_id); only "
+        "the TOPK-row re-rank touches floats (the shared 6dp cosine), "
+        "on rows fetched by a TOPK-sized join.  At 100 TB the packed "
+        "codes column is the resident index and this plan is the "
+        "serving path; the bit-63 two's-complement wrap is stated "
+        "explicitly in the oracle (the dedup_simhash_md5 idiom)."
+    ),
+)
+def embed_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit binary codes + hamming top-10 for the vec_id=0 query,
+    re-ranked with exact 6dp cosines."""
+    from .vectors import spark_cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    pack = F.expr(
+        f"aggregate(sequence(0, {DIMS - 1}), 0L, (acc, i) -> acc +"
+        " (CASE WHEN element_at(embedding, i + 1) > 0"
+        "  THEN shiftleft(1L, i) ELSE 0L END))"
+    )
+    codes = e.select("vec_id", pack.alias("code"))
+    q = codes.filter(F.col("vec_id") == BINQ_QUERY_ID).select(
+        F.col("code").alias("qcode")
+    )
+    short = (
+        codes.filter(F.col("vec_id") != BINQ_QUERY_ID)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.bit_count(F.col("code").bitwiseXOR(F.col("qcode")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(BINQ_TOPK)
+    )
+    qv = e.filter(F.col("vec_id") == BINQ_QUERY_ID).select(
+        F.col("embedding").alias("qemb")
+    )
+    return (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "hamming",
+            spark_cosine("embedding", "qemb").alias("cosine"),
+        )
+    )
+
+
+def _inject_binq_cos() -> None:
+    """Splice the shared 6dp cosine fragment into the binary-quantize
+    oracle (kept out of the decorator literal for reuse of the exact
+    llm/vectors.py fragment both engines already hash-match)."""
+    from ..registry import REGISTRY
+    from .vectors import duck_cosine
+
+    REGISTRY["embed_binary_quantize"].sql = REGISTRY[
+        "embed_binary_quantize"
+    ].sql.replace("__BINQ_COS__", duck_cosine("e.embedding", "qv.qemb"))
+
+
+_inject_binq_cos()

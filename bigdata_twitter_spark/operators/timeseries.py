@@ -1006,3 +1006,155 @@ def ts_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.when(hit, F.lit(1))) > 0).alias("matched"),
         F.min(F.when(hit, F.col("ts"))).alias("first_completion"),
     )
+
+
+# ---- hysteresis burst detection (round 7) ----------------------------
+# Burst episodes over the dense hourly series per type with a TWO-
+# threshold (hysteresis) gate: a burst OPENS when the count exceeds
+# 2× the type's mean rate and stays open until the count drops below
+# the mean — the Schmitt-trigger shape that keeps single-hour dips
+# from fragmenting one episode into many (what a plain z-score flag
+# like ts_anomaly_zscore cannot express, because the decision depends
+# on the PREVIOUS state).  The state recurrence needs no recursion:
+# state(t) = the most recent crossing EVENT at or before t — one
+# last(ignore nulls) running window.  Threshold tests are the
+# division-free integer comparisons count·n_hours vs {2·, 1·}Σcount,
+# so every open/close decision is exact on both engines.
+
+
+@query(
+    "ts_burst_hysteresis",
+    sql="""
+    WITH b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+        FROM events
+    ),
+    r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+    hrs AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM r
+    ),
+    t AS (SELECT DISTINCT event_type FROM b),
+    c AS (SELECT h, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    g AS (
+        SELECT hrs.h, t.event_type, COALESCE(c.n, 0) AS n
+        FROM hrs CROSS JOIN t
+        LEFT JOIN c ON c.h = hrs.h AND c.event_type = t.event_type
+    ),
+    m AS (
+        SELECT event_type, SUM(n) AS tot, COUNT(*) AS nh
+        FROM g GROUP BY event_type
+    ),
+    ev AS (
+        SELECT g.h, g.event_type, g.n,
+               CASE WHEN g.n * m.nh > 2 * m.tot THEN 1
+                    WHEN g.n * m.nh < m.tot THEN 0
+                    ELSE NULL END AS crossing
+        FROM g JOIN m USING (event_type)
+    ),
+    st AS (
+        SELECT h, event_type, n,
+               COALESCE(last_value(crossing IGNORE NULLS)
+                        OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING), 0) AS state
+        FROM ev
+    ),
+    isl AS (
+        SELECT h, event_type, n,
+               CAST(date_diff('hour', TIMESTAMP '1970-01-01', h) AS BIGINT)
+               - row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS grp
+        FROM st WHERE state = 1
+    )
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+                                   ORDER BY MIN(h)) AS INT) AS burst_id,
+           MIN(h) AS start_hour,
+           MAX(h) AS end_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(MAX(n) AS BIGINT) AS peak
+    FROM isl GROUP BY event_type, grp
+    """,
+    tables=("events",),
+    scale_note=(
+        "Stateful burst segmentation WITHOUT recursion: the hysteresis "
+        "recurrence collapses to last(crossing IGNORE NULLS) over one "
+        "type-partitioned running window, because state only changes "
+        "at threshold crossings — so the plan is the dense-grid build "
+        "(grid-sized, ts_gap_fill's shape), a broadcast per-type "
+        "mean join, ONE running window, and a gaps-and-islands "
+        "aggregation.  All decisions are integer (count·n_hours vs "
+        "Σcount tests; epoch-hour arithmetic for islands), output is "
+        "episode-sized.  At 100 TB the only data-sized pass is the "
+        "hourly pre-aggregation; everything after runs on the "
+        "(hours × types) grid."
+    ),
+)
+def ts_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst episodes (start, end, length, peak) per event type under
+    a 2×mean open / 1×mean close hysteresis gate over the dense
+    hourly series."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    rng = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    g = (
+        hours.crossJoin(types)
+        .join(F.broadcast(hourly), ["h", "event_type"], "left")
+        .select(
+            "h", "event_type",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    m = g.groupBy("event_type").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("nh")
+    )
+    ev = g.join(F.broadcast(m), "event_type").withColumn(
+        "crossing",
+        F.when(F.col("n") * F.col("nh") > 2 * F.col("tot"), F.lit(1))
+        .when(F.col("n") * F.col("nh") < F.col("tot"), F.lit(0)),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    st = ev.withColumn(
+        "state",
+        F.coalesce(F.last("crossing", ignorenulls=True).over(run), F.lit(0)),
+    )
+    isl = (
+        st.filter(F.col("state") == 1)
+        .withColumn(
+            "grp",
+            (F.unix_timestamp("h") / 3600).cast("bigint")
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+    )
+    per_burst = isl.groupBy("event_type", "grp").agg(
+        F.min("h").alias("start_hour"),
+        F.max("h").alias("end_hour"),
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.max("n").cast("bigint").alias("peak"),
+    )
+    return per_burst.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("start_hour"))
+        .cast("int")
+        .alias("burst_id"),
+        "start_hour",
+        "end_hour",
+        "n_hours",
+        "peak",
+    )

@@ -325,6 +325,96 @@ def test_mmr_trajectory_matches_greedy_replay(specs, spark, sf_dir):
     assert sel != by_rel or len(set(scores)) > 1
 
 
+def test_binary_quantize_shortlist_is_true_hamming_topk(specs, spark, sf_dir):
+    """embed_binary_quantize's shortlist == the true top-10 by
+    (hamming, vec_id) over sign-bit codes recomputed in Python from
+    the raw embeddings (pure integer referee)."""
+    from bigdata_twitter_spark.llm.quantize import BINQ_QUERY_ID, BINQ_TOPK
+    from bigdata_twitter_spark.tables import load
+
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def code(v):
+        c = 0
+        for i, x in enumerate(v):
+            if x > 0:
+                c |= 1 << i
+        return c
+
+    qc = code(vecs[BINQ_QUERY_ID])
+    ham = {
+        vid: bin(code(v) ^ qc).count("1")
+        for vid, v in vecs.items()
+        if vid != BINQ_QUERY_ID
+    }
+    want = sorted(ham, key=lambda v: (ham[v], v))[:BINQ_TOPK]
+    got = {
+        r["vec_id"]: r["hamming"]
+        for r in specs["embed_binary_quantize"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(got) == sorted(want)
+    assert all(got[v] == ham[v] for v in got)
+
+
+def test_burst_hysteresis_matches_python_state_machine(specs, spark, sf_dir):
+    """ts_burst_hysteresis == a direct Python replay of the Schmitt-
+    trigger state machine over the dense hourly series (open at
+    count > 2·mean, close at count < mean, hold otherwise)."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = defaultdict(dict)
+    rows = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in rows:
+        hourly[r["event_type"]][r["h"]] = r["n"]
+    lo = min(h for d in hourly.values() for h in d)
+    hi = max(h for d in hourly.values() for h in d)
+    grid = []
+    h = lo
+    while h <= hi:
+        grid.append(h)
+        h += dt.timedelta(hours=1)
+
+    want = set()
+    for et, counts in hourly.items():
+        series = [counts.get(h, 0) for h in grid]
+        tot, nh = sum(series), len(series)
+        state, episodes = 0, []
+        for h, n in zip(grid, series):
+            if n * nh > 2 * tot:
+                state = 1
+            elif n * nh < tot:
+                state = 0
+            if state == 1:
+                if episodes and episodes[-1][1] == h - dt.timedelta(hours=1):
+                    episodes[-1][1] = h
+                    episodes[-1][2] += 1
+                    episodes[-1][3] = max(episodes[-1][3], n)
+                else:
+                    episodes.append([h, h, 1, n])
+        for i, (s, e, cnt, peak) in enumerate(episodes, 1):
+            want.add((et, i, s, e, cnt, peak))
+
+    got = {
+        (r["event_type"], r["burst_id"], r["start_hour"], r["end_hour"],
+         r["n_hours"], r["peak"])
+        for r in specs["ts_burst_hysteresis"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "fixture series should contain at least one burst"
+
+
 def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
     """The Spark-side hash (real PNG bytes → decode → hash) equals the
     generator-closed-form hash for every file — the disjoint-route
