@@ -588,3 +588,117 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") >= PART_OFFSET).alias("is_part"),
         F.col("lab").cast("bigint").alias("community"),
     )
+
+
+# ---- k-core peeling (round 7) ----------------------------------------
+# Dense-subgraph extraction: the k-core is the maximal subgraph where
+# every vertex keeps degree ≥ k (here k=20) — the standard spam/influencer filter
+# before community detection.  Computed by iterative PEELING (drop
+# sub-k vertices, recompute degrees, repeat): a FIXED round count
+# makes it SQL-expressible (unrolled CTEs) and pure integer makes it
+# exact; at fixture scale the peel converges well inside the budget
+# and the referee proves the fixpoint (one more round changes
+# nothing).
+# K chosen so peeling BITES on the fixture graph (K=20: 10%/5%/4% of
+# vertices peeled at sf0.001/0.01/0.1, fixpoint in 5/3/4 rounds — all
+# inside the 6-round budget; K≤15 peels almost nothing, K=25 empties
+# the core).
+KCORE_K = 20
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle_sql() -> str:
+    # Every e{it} is referenced twice by the next round (directly and
+    # through its degree table) — inlined CTEs re-evaluate per
+    # reference, doubling work per round (measured 33.5 s → 0.0 s at
+    # sf0.001 with MATERIALIZED; the SQL twin of the persist() the
+    # Spark loop needs for the same reason).
+    sql = f"""
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_partkey + {PART_OFFSET} AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e0 AS MATERIALIZED (SELECT c AS src, p AS dst FROM cp
+           UNION ALL SELECT p AS src, c AS dst FROM cp)"""
+    prev = "e0"
+    for it in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    k{it} AS MATERIALIZED (
+        SELECT src AS v FROM {prev}
+        GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+    ),
+    e{it} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        WHERE e.src IN (SELECT v FROM k{it})
+          AND e.dst IN (SELECT v FROM k{it})
+    )"""
+        prev = f"e{it}"
+    sql += f"""
+    SELECT CASE WHEN src >= {PART_OFFSET} THEN src - {PART_OFFSET}
+           ELSE src END AS vertex,
+           src >= {PART_OFFSET} AS is_part,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY 1, 2
+    """
+    return sql
+
+
+@query(
+    "graph_kcore_peel",
+    sql=_kcore_oracle_sql(),
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Iterative peeling, R fixed rounds: each round is one degree "
+        "agg (two-phase, map-side combine) + two vertex-keyed semi-"
+        "joins restricting the edge set — the monotone-shrinking "
+        "cousin of the PageRank loop (every round's input is a subset "
+        "of the last, so cost only falls).  Vertex partitioning is "
+        "reused across rounds; survivors + their in-core degrees are "
+        "the output, never a driver-side graph.  Integer end to end ⇒ "
+        "the unrolled-CTE oracle is exact; the referee runs one extra "
+        "round to prove the fixture fixpoint was reached, so the "
+        "fixed R is the converged k-core, not an approximation."
+    ),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertices of the 20-core of the co-purchase graph (after 6 peel
+    rounds — converged at every fixture scale) with their in-core
+    degrees."""
+    # Each round references the previous edge set TWICE (directly and
+    # through its degree table).  persist() alone is NOT enough here:
+    # it reuses cached DATA but Catalyst still re-analyzes a logical
+    # plan that doubles per round — measured 3 s at 4 rounds but 29 s
+    # at 6 (analysis cost, not execution).  localCheckpoint truncates
+    # the lineage each round, so plan size stays constant and each
+    # round is one small eager job (the standard Spark idiom for
+    # iterative algorithms whose rounds branch).
+    edges = persist_fresh(
+        "kcore_edges", sf_dir, copurchase_edges(spark, sf_dir)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("v"))
+        )
+        edges = (
+            edges.join(keep, edges["src"] == keep["v"], "left_semi")
+            .join(
+                keep.select(F.col("v").alias("w")),
+                F.col("dst") == F.col("w"),
+                "left_semi",
+            )
+            .localCheckpoint()
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+        .select(
+            F.when(F.col("src") >= PART_OFFSET, F.col("src") - PART_OFFSET)
+            .otherwise(F.col("src"))
+            .alias("vertex"),
+            (F.col("src") >= PART_OFFSET).alias("is_part"),
+            "core_degree",
+        )
+    )

@@ -415,6 +415,45 @@ def test_burst_hysteresis_matches_python_state_machine(specs, spark, sf_dir):
     assert got, "fixture series should contain at least one burst"
 
 
+def test_kcore_is_converged_fixpoint(specs, spark, sf_dir):
+    """graph_kcore_peel == the true k-core computed by peel-to-
+    fixpoint in Python over the same edges; the fixed 6-round budget
+    must have CONVERGED at fixture scale (one more round changes
+    nothing), so the operator reports the k-core, not a prefix."""
+    from collections import defaultdict
+
+    from bigdata_twitter_spark.operators.graph import (
+        KCORE_K,
+        PART_OFFSET,
+        copurchase_edges,
+    )
+
+    adj = defaultdict(set)
+    for r in copurchase_edges(spark, sf_dir).collect():
+        adj[r["src"]].add(r["dst"])
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {
+        (
+            v - PART_OFFSET if v >= PART_OFFSET else v,
+            v >= PART_OFFSET,
+        ): len(adj[v] & alive)
+        for v in alive
+    }
+    got = {
+        (r["vertex"], r["is_part"]): r["core_degree"]
+        for r in specs["graph_kcore_peel"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "fixture graph should have a non-empty 3-core"
+    # Peeling removed something (the operator is not an identity).
+    assert len(alive) < len(adj)
+
+
 def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
     """The Spark-side hash (real PNG bytes → decode → hash) equals the
     generator-closed-form hash for every file — the disjoint-route
