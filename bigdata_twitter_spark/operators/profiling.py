@@ -511,3 +511,74 @@ def agg_percentile_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("p") == 99, F.col("e"))).alias("p99"),
         F.min("n").cast("bigint").alias("n"),
     )
+
+
+# ---- categorical concentration profile (round 7) ---------------------
+# The "how skewed is this dimension" profiler: Gini impurity, the
+# Herfindahl-Hirschman index, and the top-class share of a categorical
+# column per group — what a data curator reads before deciding whether
+# a stratified sample or a skew-salted join is warranted.  Everything
+# accumulates as exact integers (class counts, their squares); each
+# index is then ONE division of exact integers per output row, so the
+# key is hash-grade with no float accumulation anywhere.
+
+
+@query(
+    "agg_gini_impurity",
+    sql="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT o_orderpriority,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS INT) AS n_classes,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM c GROUP BY 1
+    )
+    SELECT o_orderpriority, n, n_classes,
+           CAST(n * n - sumsq AS DOUBLE) / CAST(n * n AS DOUBLE)
+               AS gini_impurity,
+           CAST(sumsq AS DOUBLE) / CAST(n * n AS DOUBLE) AS hhi,
+           CAST(top_cnt AS DOUBLE) / CAST(n AS DOUBLE) AS top_share
+    FROM g
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Two stacked two-phase hash aggregations (orders → class "
+        "counts → per-group moments), both with map-side combine; "
+        "shuffle rows = groups × classes then groups — dimension-"
+        "sized, never data-sized.  Class counts and their squares are "
+        "exact bigints, so Gini/HHI/top-share are each one correctly-"
+        "rounded IEEE division per output row, identical on both "
+        "engines at any scale and any partitioning."
+    ),
+)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity, HHI, and top-class share of the order-status
+    distribution per order priority, from exact integer counts."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    g = c.groupBy("o_orderpriority").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("n_classes"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sumsq"),
+        F.max("cnt").cast("bigint").alias("top_cnt"),
+    )
+    n, sumsq = F.col("n"), F.col("sumsq")
+    return g.select(
+        "o_orderpriority",
+        "n",
+        "n_classes",
+        ((n * n - sumsq).cast("double") / (n * n).cast("double")).alias(
+            "gini_impurity"
+        ),
+        (sumsq.cast("double") / (n * n).cast("double")).alias("hhi"),
+        (F.col("top_cnt").cast("double") / n.cast("double")).alias(
+            "top_share"
+        ),
+    )

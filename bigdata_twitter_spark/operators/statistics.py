@@ -542,3 +542,177 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual"),
         F.abs(forecast - actual).alias("abs_err"),
     )
+
+
+# ---- Mann-Kendall trend test (round 7) -------------------------------
+# The nonparametric trend screen that pairs with ts_changepoint_cusum
+# (CUSUM asks "did the level shift somewhere"; MK asks "is there a
+# monotone drift overall") — and unlike a fitted slope it needs no
+# distributional assumption.  Everything up to the final z/tau is
+# INTEGER: S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance
+# numerator var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (kept ×18 so it
+# stays integral), and the tau-b denominator pieces D = n(n−1)/2,
+# T2 = Σ_t t(t−1)/2.  z and tau are then one identical IEEE expression
+# per output row on both engines (sqrt/division of exact integers is
+# correctly rounded everywhere).
+
+
+@query(
+    "ts_mann_kendall",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        FROM hourly
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                             WHEN b.cnt < a.cnt THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM s a JOIN s b
+          ON b.event_type = a.event_type AND b.rn > a.rn
+        GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS BIGINT) AS tie18,
+               CAST(COALESCE(SUM(t * (t - 1)), 0) / 2 AS BIGINT) AS t2
+        FROM (
+            SELECT event_type, cnt, COUNT(*) AS t
+            FROM s GROUP BY 1, 2 HAVING COUNT(*) > 1
+        ) GROUP BY 1
+    ),
+    base AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1
+    )
+    SELECT b.event_type,
+           CAST(b.n AS INT) AS n_hours,
+           p.s_stat,
+           CAST(b.n * (b.n - 1) * (2 * b.n + 5)
+                - COALESCE(t.tie18, 0) AS BIGINT) AS var18,
+           CASE WHEN (b.n * (b.n - 1)) / 2 - COALESCE(t.t2, 0) = 0
+                THEN 0.0
+                ELSE CAST(p.s_stat AS DOUBLE)
+                     / sqrt(CAST((b.n * (b.n - 1)) / 2 AS DOUBLE)
+                            * CAST((b.n * (b.n - 1)) / 2
+                                   - COALESCE(t.t2, 0) AS DOUBLE))
+           END AS tau,
+           CASE WHEN b.n * (b.n - 1) * (2 * b.n + 5)
+                     - COALESCE(t.tie18, 0) = 0 THEN 0.0
+                WHEN p.s_stat > 0 THEN
+                  (CAST(p.s_stat AS DOUBLE) - 1.0)
+                  / sqrt(CAST(b.n * (b.n - 1) * (2 * b.n + 5)
+                              - COALESCE(t.tie18, 0) AS DOUBLE) / 18.0)
+                WHEN p.s_stat < 0 THEN
+                  (CAST(p.s_stat AS DOUBLE) + 1.0)
+                  / sqrt(CAST(b.n * (b.n - 1) * (2 * b.n + 5)
+                              - COALESCE(t.tie18, 0) AS DOUBLE) / 18.0)
+                ELSE 0.0
+           END AS z_stat
+    FROM base b
+    JOIN pairs p ON p.event_type = b.event_type
+    LEFT JOIN ties t ON t.event_type = b.event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "Nonparametric monotone-trend test per key: the pair set is "
+        "(hours choose 2) PER TYPE — calendar-bounded, independent of "
+        "row count — built by a co-shuffled self-join on event_type "
+        "with an rn inequality, never a data-sized cross product; the "
+        "only data-sized pass is the hourly pre-aggregation (two-"
+        "phase, map-side combine).  S, the ×18 variance numerator, "
+        "and the tie terms are exact integers, so z and tau-b are "
+        "each ONE identical IEEE expression on both engines, with "
+        "zero-variance/all-tied series guarded to 0.0 rather than "
+        "engine-specific NaN."
+    ),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S, tie-corrected variance (×18), tau-b, and the
+    continuity-corrected z per event type over the hourly series."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    s = hourly.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hr"))
+        .alias("rn"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.rn") > F.col("a.rn")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+                .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    t = F.col("t")
+    ties = (
+        s.groupBy("event_type", "cnt")
+        .agg(F.count("*").alias("t"))
+        .filter(t > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie18"),
+            (F.coalesce(F.sum(t * (t - 1)), F.lit(0)) / 2)
+            .cast("bigint")
+            .alias("t2"),
+        )
+    )
+    base = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = (
+        base.join(pairs, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            F.coalesce("tie18", F.lit(0)).alias("tie18"),
+            F.coalesce("t2", F.lit(0)).alias("t2"),
+        )
+    )
+    n, s_stat = F.col("n"), F.col("s_stat")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).cast("bigint")
+    d = (n * (n - 1) / 2).cast("bigint")
+    tau_den = d - F.col("t2")
+    sig = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return j.select(
+        "event_type",
+        n.cast("int").alias("n_hours"),
+        "s_stat",
+        var18.alias("var18"),
+        F.when(tau_den == 0, F.lit(0.0))
+        .otherwise(
+            s_stat.cast("double")
+            / F.sqrt(d.cast("double") * tau_den.cast("double"))
+        )
+        .alias("tau"),
+        F.when(var18 == 0, F.lit(0.0))
+        .when(s_stat > 0, (s_stat.cast("double") - F.lit(1.0)) / sig)
+        .when(s_stat < 0, (s_stat.cast("double") + F.lit(1.0)) / sig)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )

@@ -470,3 +470,88 @@ def test_phash_decode_route_equals_forward_route(specs, spark, sf_dir):
         w, h = bf.png_width(d), bf.png_height(d)
         hv, ones = ph.phash64(w, h, lambda x, y, d=d: bf.pixel(x, y, d))
         assert got[d] == (w, h, hv, ones), d
+
+
+def test_mann_kendall_matches_python_bruteforce(specs, spark, sf_dir):
+    """ts_mann_kendall == a direct O(T²) Python computation of S, the
+    tie-corrected variance, tau-b, and the continuity-corrected z from
+    the same hourly series (math.sqrt, not Spark/DuckDB)."""
+    import math
+    from collections import Counter
+
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["cnt"]))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = Counter(xs)
+        tie18 = sum(t * (t - 1) * (2 * t + 5) for t in tie.values() if t > 1)
+        t2 = sum(t * (t - 1) for t in tie.values() if t > 1) // 2
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        d = n * (n - 1) // 2
+        tau = s / math.sqrt(d * (d - t2)) if d - t2 else 0.0
+        if var18 == 0:
+            z = 0.0
+        elif s > 0:
+            z = (s - 1.0) / math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1.0) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        r = got[et]
+        assert r["n_hours"] == n and r["s_stat"] == s, et
+        assert r["var18"] == var18, et
+        assert r["tau"] == pytest.approx(tau, abs=1e-12), et
+        assert r["z_stat"] == pytest.approx(z, abs=1e-12), et
+
+
+def test_gini_matches_python_counts(specs, spark, sf_dir):
+    """agg_gini_impurity == Python-computed Gini/HHI/top-share from
+    raw (priority, status) counts."""
+    from collections import Counter
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    by_pri: dict[str, Counter] = defaultdict(Counter)
+    for r in rows:
+        by_pri[r["o_orderpriority"]][r["o_orderstatus"]] += 1
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_gini_impurity"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_pri)
+    for pri, cnts in by_pri.items():
+        n = sum(cnts.values())
+        sumsq = sum(c * c for c in cnts.values())
+        r = got[pri]
+        assert r["n"] == n and r["n_classes"] == len(cnts)
+        assert r["gini_impurity"] == pytest.approx(
+            (n * n - sumsq) / (n * n), abs=1e-15
+        )
+        assert r["hhi"] == pytest.approx(sumsq / (n * n), abs=1e-15)
+        assert r["top_share"] == pytest.approx(
+            max(cnts.values()) / n, abs=1e-15
+        )
