@@ -702,3 +702,126 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "core_degree",
         )
     )
+
+
+# ---- Jaccard neighbor similarity / link prediction (round 7) ---------
+# also_bought ranks by RAW common-buyer count, which favors globally
+# popular parts; the standard link-prediction correction normalizes by
+# neighborhood size: J(p1,p2) = |N∩| / |N∪| over buyer sets.  Same
+# degree-capped candidate machinery, plus two part-keyed degree joins;
+# the Jaccard score is one division of exact integers, so the ranking
+# (score desc, common desc, other asc) is engine-deterministic.
+JACCARD_NEIGH_K = 3
+
+
+@query(
+    "graph_jaccard_neighbors",
+    sql=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), ok AS (
+        SELECT c FROM cp GROUP BY c
+        HAVING COUNT(*) <= {ALSO_BOUGHT_DEGREE_CAP}
+    ), capped AS (
+        SELECT cp.c, cp.p FROM cp JOIN ok ON cp.c = ok.c
+    ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM capped GROUP BY p
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), sym AS (
+        SELECT p1 AS part, p2 AS other, n_common FROM pairs
+        UNION ALL
+        SELECT p2 AS part, p1 AS other, n_common FROM pairs
+    ), scored AS (
+        SELECT s.part, s.other, s.n_common, dp.d AS deg_part,
+               do_.d AS deg_other,
+               CAST(s.n_common AS DOUBLE)
+                   / CAST(dp.d + do_.d - s.n_common AS DOUBLE) AS jaccard
+        FROM sym s
+        JOIN deg dp ON dp.p = s.part
+        JOIN deg do_ ON do_.p = s.other
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY part
+                   ORDER BY jaccard DESC, n_common DESC, other
+               ) AS rnk
+        FROM scored
+    )
+    SELECT part, CAST(rnk AS INT) AS rnk, other, n_common,
+           deg_part, deg_other, jaccard
+    FROM ranked WHERE rnk <= {JACCARD_NEIGH_K}
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Link prediction by neighborhood Jaccard: candidate pairs "
+        "come from the SAME degree-capped inverted-index self-join as "
+        "graph_also_bought_topk (cost Σ deg(c)², mega-baskets "
+        "excluded from pair listing), never all part pairs — zero-"
+        "common pairs have J=0 and are unrankable above any "
+        "candidate, so skipping them is exact, not approximate.  Two "
+        "extra part-keyed broadcast-or-shuffle joins attach |N(p)|; "
+        "the score is ONE correctly-rounded IEEE division of exact "
+        "bigints, so the (jaccard, n_common, other) ranking is "
+        "deterministic on both engines; one part-keyed window for "
+        "top-k.  All shuffles keyed and linear in true co-occurrence "
+        "volume at 100 TB."
+    ),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar parts per part by buyer-set Jaccard over the
+    degree-capped co-purchase graph (link-prediction primitive)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ok = (
+        cp.groupBy("c")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= ALSO_BOUGHT_DEGREE_CAP)
+        .select("c")
+    )
+    capped = persist_fresh("jaccard_neigh_cp", sf_dir, cp.join(ok, "c"))
+    deg = capped.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sym = pairs.select(
+        F.col("p1").alias("part"), F.col("p2").alias("other"), "n_common"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("part"), F.col("p1").alias("other"), "n_common"
+        )
+    )
+    dp = deg.select(F.col("p").alias("part"), F.col("d").alias("deg_part"))
+    do = deg.select(F.col("p").alias("other"), F.col("d").alias("deg_other"))
+    scored = (
+        sym.join(dp, "part")
+        .join(do, "other")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("deg_part") + F.col("deg_other") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("jaccard").desc(), F.col("n_common").desc(), F.col("other")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= JACCARD_NEIGH_K)
+        .select(
+            "part", "rnk", "other", "n_common",
+            "deg_part", "deg_other", "jaccard",
+        )
+    )

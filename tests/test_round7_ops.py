@@ -555,3 +555,62 @@ def test_gini_matches_python_counts(specs, spark, sf_dir):
         assert r["top_share"] == pytest.approx(
             max(cnts.values()) / n, abs=1e-15
         )
+
+
+def test_jaccard_neighbors_matches_bruteforce(specs, spark, sf_dir):
+    """graph_jaccard_neighbors == Python brute force over buyer sets:
+    exact candidate completeness (every pair with a common buyer) and
+    exact (jaccard, n_common, other) ranking."""
+    from bigdata_twitter_spark.operators.graph import (
+        ALSO_BOUGHT_DEGREE_CAP,
+        JACCARD_NEIGH_K,
+    )
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .collect()
+    )
+    by_cust: dict[int, set] = defaultdict(set)
+    for r in cp:
+        by_cust[r["c"]].add(r["p"])
+    neigh: dict[int, set] = defaultdict(set)
+    for c, parts in by_cust.items():
+        if len(parts) <= ALSO_BOUGHT_DEGREE_CAP:
+            for p in parts:
+                neigh[p].add(c)
+    common: dict[tuple, int] = defaultdict(int)
+    for c, parts in by_cust.items():
+        if len(parts) > ALSO_BOUGHT_DEGREE_CAP:
+            continue
+        sp = sorted(parts)
+        for i, p1 in enumerate(sp):
+            for p2 in sp[i + 1 :]:
+                common[(p1, p2)] += 1
+    want: dict[int, list] = defaultdict(list)
+    for (p1, p2), nc in common.items():
+        j = nc / (len(neigh[p1]) + len(neigh[p2]) - nc)
+        want[p1].append((-j, -nc, p2))
+        want[p2].append((-j, -nc, p1))
+    got_rows = specs["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    got: dict[int, list] = defaultdict(list)
+    for r in got_rows:
+        got[r["part"]].append(r)
+    assert set(got) == set(want)
+    for part, cands in want.items():
+        cands.sort()
+        rows = sorted(got[part], key=lambda r: r["rnk"])
+        assert len(rows) == min(JACCARD_NEIGH_K, len(cands))
+        for rnk, (negj, negc, other) in enumerate(
+            cands[: len(rows)], start=1
+        ):
+            r = rows[rnk - 1]
+            assert (r["other"], r["n_common"]) == (other, -negc), (part, rnk)
+            assert r["jaccard"] == pytest.approx(-negj, abs=1e-15)
+            assert r["deg_part"] == len(neigh[part])
+            assert r["deg_other"] == len(neigh[other])
