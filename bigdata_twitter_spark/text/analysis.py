@@ -17,7 +17,7 @@ each partition to vocab-sized output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -592,4 +592,160 @@ def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_en",
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+    )
+
+
+# ---- vocabulary growth / Heaps-law curve (round 7) -------------------
+# The corpus-level curve a tokenizer/vocab designer reads before
+# fixing a vocab size: distinct-token count vs cumulative token count
+# at each decile of the corpus (doc_id order).  A token's first
+# occurrence is an associative MIN — fully distributed — and the
+# cumulative sums use the two-level bucket + broadcast-offset plan
+# (sample_weighted_pps' idiom) with RANGE buckets on doc_id, so no
+# data-sized single-partition window exists anywhere; the oracle
+# restates the plain single window, which the two-level form equals
+# exactly (integer sums, order-preserving bucketing).
+VOCAB_DECILES = 10
+VOCAB_BUCKETS = 16
+
+
+@query(
+    "text_vocab_growth",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+    ),
+    firsts AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+    newc AS (SELECT fd AS doc_id, COUNT(*) AS newv FROM firsts GROUP BY fd),
+    dstat AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               x -> x <> '')) AS ntok
+        FROM documents
+    ),
+    s AS (
+        SELECT d.doc_id, d.ntok, COALESCE(n.newv, 0) AS newv
+        FROM dstat d LEFT JOIN newc n USING (doc_id)
+    ),
+    c AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) AS pos,
+               CAST(SUM(ntok) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(SUM(newv) OVER (ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+               COUNT(*) OVER () AS n
+        FROM s
+    )
+    SELECT CAST((pos * {VOCAB_DECILES}) // n AS INT) AS decile,
+           CAST(pos AS BIGINT) AS doc_position,
+           doc_id, cum_tokens, vocab_size,
+           CASE WHEN cum_tokens = 0 THEN 0.0
+                ELSE CAST(vocab_size AS DOUBLE)
+                     / CAST(cum_tokens AS DOUBLE) END AS type_token_ratio
+    FROM c
+    WHERE (pos * {VOCAB_DECILES}) // n
+          > ((pos - 1) * {VOCAB_DECILES}) // n
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Heaps-law vocabulary curve, fully distributed: first "
+        "occurrence is an associative MIN keyed by token (one "
+        "shuffle, map-side combine over the (doc,token) stream); the "
+        "corpus-order cumulatives (position, token count, vocab "
+        "count) run TWO-LEVEL — intra-bucket windows over "
+        f"{VOCAB_BUCKETS} order-preserving doc_id-range buckets plus "
+        "an aggregate-sized bucket-offset broadcast — never one "
+        "data-sized partition (the oracle's plain window equals the "
+        "two-level integers exactly).  Output is decile-sized; the "
+        "only floats are one guarded division per output row.  At "
+        "100 TB the vocab MIN table is vocabulary-sized (the same "
+        "contract as inverted_index), everything else two-phase."
+    ),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size vs cumulative token count at each corpus decile
+    (doc_id order) — the Heaps-law curve, with type-token ratio."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("term"))
+    newc = (
+        tok.groupBy("term")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count("*").alias("newv"))
+    )
+    dstat = d.select("doc_id", F.size(toks).alias("ntok"))
+    s = dstat.join(newc, "doc_id", "left").select(
+        "doc_id", "ntok", F.coalesce("newv", F.lit(0)).alias("newv")
+    )
+    # Order-preserving range buckets on doc_id (monotone in doc_id),
+    # from a 1-row broadcast max — the two-level cumulative's level-0.
+    mx = s.agg(F.max("doc_id").alias("mx"))
+    b = s.crossJoin(F.broadcast(mx)).withColumn(
+        "bucket",
+        ((F.col("doc_id") * VOCAB_BUCKETS) / (F.col("mx") + 1))
+        .cast("bigint"),
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id"))
+        .alias("pos_local"),
+        F.sum("ntok").over(wloc).cast("bigint").alias("cumtok_local"),
+        F.sum("newv").over(wloc).cast("bigint").alias("vocab_local"),
+    )
+    btot = b.groupBy("bucket").agg(
+        F.count("*").alias("bn"),
+        F.sum("ntok").cast("bigint").alias("btok"),
+        F.sum("newv").cast("bigint").alias("bnew"),
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(woff), F.lit(0)).alias("pos_off"),
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).alias("tok_off"),
+        F.coalesce(F.sum("bnew").over(woff), F.lit(0)).alias("new_off"),
+        F.sum("bn").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    c = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        (F.col("pos_local") + F.col("pos_off")).alias("pos"),
+        (F.col("cumtok_local") + F.col("tok_off")).alias("cum_tokens"),
+        (F.col("vocab_local") + F.col("new_off")).alias("vocab_size"),
+        "n",
+    )
+    pos, n = F.col("pos"), F.col("n")
+    return (
+        c.filter(
+            F.floor(pos * VOCAB_DECILES / n)
+            > F.floor((pos - 1) * VOCAB_DECILES / n)
+        )
+        .select(
+            F.floor(pos * VOCAB_DECILES / n).cast("int").alias("decile"),
+            pos.cast("bigint").alias("doc_position"),
+            "doc_id",
+            "cum_tokens",
+            "vocab_size",
+            F.when(F.col("cum_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("vocab_size").cast("double")
+                / F.col("cum_tokens").cast("double")
+            )
+            .alias("type_token_ratio"),
+        )
     )

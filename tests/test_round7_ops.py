@@ -614,3 +614,40 @@ def test_jaccard_neighbors_matches_bruteforce(specs, spark, sf_dir):
             assert r["jaccard"] == pytest.approx(-negj, abs=1e-15)
             assert r["deg_part"] == len(neigh[part])
             assert r["deg_other"] == len(neigh[other])
+
+
+def test_vocab_growth_matches_python_scan(specs, spark, sf_dir):
+    """text_vocab_growth == a single-threaded Python pass over docs in
+    doc_id order (first-occurrence vocabulary, cumulative tokens,
+    decile checkpoint geometry)."""
+    from bigdata_twitter_spark.tables import load
+    from bigdata_twitter_spark.text.analysis import VOCAB_DECILES
+
+    docs = sorted(
+        (r["doc_id"], [t for t in r["text"].lower().split(" ") if t])
+        for r in load(spark, sf_dir, "documents").collect()
+    )
+    seen: set = set()
+    cumtok = 0
+    want = {}
+    n = len(docs)
+    for pos, (doc_id, toks) in enumerate(docs, start=1):
+        cumtok += len(toks)
+        seen |= set(toks)
+        if (pos * VOCAB_DECILES) // n > ((pos - 1) * VOCAB_DECILES) // n:
+            want[(pos * VOCAB_DECILES) // n] = (
+                pos, doc_id, cumtok, len(seen)
+            )
+    got = {
+        r["decile"]: r
+        for r in specs["text_vocab_growth"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and len(got) == VOCAB_DECILES
+    for dec, (pos, doc_id, cumtok, vocab) in want.items():
+        r = got[dec]
+        assert (
+            r["doc_position"], r["doc_id"], r["cum_tokens"], r["vocab_size"]
+        ) == (pos, doc_id, cumtok, vocab), dec
+        assert r["type_token_ratio"] == pytest.approx(
+            vocab / cumtok, abs=1e-15
+        )
