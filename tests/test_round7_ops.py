@@ -651,3 +651,76 @@ def test_vocab_growth_matches_python_scan(specs, spark, sf_dir):
         assert r["type_token_ratio"] == pytest.approx(
             vocab / cumtok, abs=1e-15
         )
+
+
+def test_pq_adc_matches_python_replay(specs, spark, sf_dir):
+    """embed_pq_adc_topk == a full single-threaded Python replay of
+    the PQ pipeline: int-scaling, codeword assignment (ties to lowest
+    k), per-query LUTs, ADC sums, (adc, vec_id) ranking, exact dists."""
+    import math
+
+    from bigdata_twitter_spark.llm.pq import (
+        PQ_K, PQ_M, PQ_NQ, PQ_SCALE, PQ_SUB, PQ_TOPK,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    iv = {
+        r["vec_id"]: [math.floor(float(x) * PQ_SCALE + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    ids = sorted(iv)
+    cb_ids, q_ids = ids[:PQ_K], ids[PQ_K : PQ_K + PQ_NQ]
+
+    def sub(v, m):
+        return v[m * PQ_SUB : (m + 1) * PQ_SUB]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    codes = {
+        vid: [
+            min(
+                range(PQ_K),
+                key=lambda k: (sq(sub(v, m), sub(iv[cb_ids[k]], m)), k),
+            )
+            for m in range(PQ_M)
+        ]
+        for vid, v in iv.items()
+    }
+    want = []
+    for qid in q_ids:
+        lut = [
+            [sq(sub(iv[qid], m), sub(iv[cb_ids[k]], m)) for k in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+        scored = sorted(
+            (sum(lut[m][codes[vid][m]] for m in range(PQ_M)), vid)
+            for vid in iv
+        )
+        for rnk, (adc, vid) in enumerate(scored[:PQ_TOPK], start=1):
+            want.append((qid, rnk, vid, adc, sq(iv[qid], iv[vid])))
+    got = sorted(
+        (
+            r["query_id"], r["rnk"], r["vec_id"], r["adc_dist"],
+            r["exact_dist"],
+        )
+        for r in specs["embed_pq_adc_topk"].fn(spark, sf_dir).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_pq_adc_plan_is_broadcast_scored(specs, spark, sf_dir):
+    """The ADC scoring pass must join the corpus code table against
+    BROADCAST luts/codebook — no sort-merge join anywhere in the
+    plan (that would be the corpus×queries shuffle the scale note
+    forbids)."""
+    plan = (
+        specs["embed_pq_adc_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
