@@ -436,3 +436,143 @@ def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---- bloom-filter sidecar pruning (round 7) --------------------------
+# The POINT-LOOKUP companion to scan_manifest_pruned's zone maps: zone
+# maps prune range predicates on CLUSTERED keys, but a point lookup on
+# a key the layout is NOT sorted by (the "find this event in 100 TB"
+# case) intersects every file's (min,max).  The Parquet/Iceberg answer
+# is a per-file Bloom filter sidecar: k hash bits per key, file
+# skipped when any probe bit is unset — no false negatives ever
+# (pruning only drops files that provably lack the key), false
+# positives only cost a read.  The filter build is DISTRIBUTED (per-
+# row masks bit_or-aggregated per (file, word) — Spark's two-phase
+# agg), and only the finished filters (files × words rows, metadata-
+# sized) reach the driver's planning loop.
+BLOOM_WORDS = 1024          # 64 Kbit filter per file
+BLOOM_HASHES = 4
+N_BLOOM_FILES = 16
+
+LAST_BLOOM_INFO: dict = {}
+
+
+@query(
+    "scan_bloom_pruned",
+    sql="""
+    WITH ids AS (
+        SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value
+    FROM events e, ids
+    WHERE e.event_id IN (ids.lo, ids.hi, ids.hi + 1)
+    """,
+    tables=("events",),
+    scale_note=(
+        "Bloom-sidecar file skipping for point lookups on an "
+        "UNCLUSTERED key (zone maps cannot prune these — every "
+        "file's min/max spans the probe): per-file 64-Kbit filters "
+        "are built distributed (k=4 xxhash64 bit masks per row, "
+        "bit_or partial-aggregated per (file, word) before any "
+        "exchange), and only files×words metadata rows reach the "
+        "planner, which reads the files whose filter passes a probe "
+        "— task count ∝ passing files, not table files.  No false "
+        "negatives by construction (bits from the same hash family "
+        "the probe uses), so pruned-scan + residual filter ≡ the "
+        "oracle's plain IN over everything; false positives only "
+        "cost a read (rate set by bits/key, sized per file in "
+        "production).  The deliberately-absent probe key (max+1) "
+        "exercises the all-files-pruned path.  LAST_BLOOM_INFO "
+        "records files_total / files_read / per-probe pass counts."
+    ),
+)
+def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups (min id, max id, and an absent id) through
+    per-file Bloom sidecars over a hash-scattered events layout —
+    read only files whose filter passes a probe."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _layout_dir(f"bloom_events_{tag}")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("value").cast("double")
+    )
+    e.repartition(N_BLOOM_FILES, "event_id").write.mode("overwrite").parquet(
+        path
+    )
+    bits = BLOOM_WORDS * 64
+    src = spark.read.parquet(path).select(
+        F.input_file_name().alias("f"), "event_id"
+    )
+    # k per-row (word, mask) pairs → bit_or per (file, word): the
+    # whole filter build is one two-phase aggregation.
+    pairs = src.select(
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("event_id"), F.lit(j)), F.lit(bits)
+                    ).alias("b")
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "f",
+        (F.col("b") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 64 AS INT))").alias(
+            "m"
+        ),
+    )
+    blooms: dict = {}
+    for r in (
+        pairs.groupBy("f", "w").agg(F.bit_or("m").alias("word")).collect()
+    ):
+        blooms.setdefault(r["f"], {})[r["w"]] = r["word"]
+    stats = e.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    probes = [stats["lo"], stats["hi"], stats["hi"] + 1]
+
+    def bloom_bits(key: int) -> list[tuple[int, int]]:
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(key).cast("bigint"), F.lit(j)),
+                        F.lit(bits),
+                    ).alias(f"b{j}")
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+            .collect()[0]
+        )
+        return [(row[f"b{j}"] // 64, row[f"b{j}"] % 64) for j in range(BLOOM_HASHES)]
+
+    probe_bits = {p: bloom_bits(p) for p in probes}
+    keep, per_probe = set(), {}
+    for p, pb in probe_bits.items():
+        passing = [
+            f
+            for f, words in blooms.items()
+            if all((words.get(w, 0) >> bit) & 1 for w, bit in pb)
+        ]
+        per_probe[p] = len(passing)
+        keep.update(passing)
+    LAST_BLOOM_INFO.clear()
+    LAST_BLOOM_INFO.update(
+        {
+            "files_total": len(blooms),
+            "files_read": len(keep),
+            "per_probe_files": per_probe,
+        }
+    )
+    src2 = (
+        spark.read.parquet(*sorted(keep))
+        if keep
+        else spark.read.parquet(path).limit(0)
+    )
+    return src2.filter(
+        F.col("event_id").isin([int(p) for p in probes])
+    ).select("event_id", "user_id", "event_type", "value")

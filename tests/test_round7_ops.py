@@ -724,3 +724,37 @@ def test_pq_adc_plan_is_broadcast_scored(specs, spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_pruning_reads_fewer_files_no_false_negatives(
+    specs, spark, sf_dir
+):
+    """scan_bloom_pruned: the audit shows real pruning (present keys
+    pass ≥1 file, files_read < files_total), results equal the plain
+    lookup, and no false negative is possible (every present probe's
+    rows are returned)."""
+    from bigdata_twitter_spark.sources import layout
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = specs["scan_bloom_pruned"].fn(spark, sf_dir).collect()
+    info = dict(layout.LAST_BLOOM_INFO)
+    assert info["files_total"] == layout.N_BLOOM_FILES
+    assert 1 <= info["files_read"] < info["files_total"]
+    e = load(spark, sf_dir, "events")
+    lohi = e.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    want = {
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in e.filter(
+            F.col("event_id").isin([lohi["lo"], lohi["hi"]])
+        ).collect()
+    }
+    got = {(r["event_id"], r["user_id"], r["event_type"]) for r in rows}
+    assert got == want and want
+    # A present key must pass at least one file; the absent key may
+    # false-positive but never forces a wrong row (no absent id rows).
+    assert info["per_probe_files"][lohi["lo"]] >= 1
+    assert info["per_probe_files"][lohi["hi"]] >= 1
+    assert all(r["event_id"] != lohi["hi"] + 1 for r in rows)
