@@ -1158,3 +1158,77 @@ def ts_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hours",
         "peak",
     )
+
+
+# ---- rolling exact order statistics (round 7) ------------------------
+# The robust rolling baseline ts_anomaly_zscore's mean/std cannot give:
+# a 24-observed-hour rolling MEDIAN and P90 per type, exact (discrete
+# order statistic over integer counts — never an interpolated float).
+# Window state is 24 ints per row, so collect-sort-index inside the
+# window is constant work per row; both engines sort the identical
+# integer lists, and the k-th element of identical lists is identical,
+# making the key hash-grade with no numeric caveats at all.
+ROLL_MED_W = 24
+
+
+@query(
+    "ts_rolling_median",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hr, cnt,
+               list_sort(list(cnt) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN {ROLL_MED_W - 1} PRECEDING
+                        AND CURRENT ROW)) AS win
+        FROM hourly
+    )
+    SELECT event_type, hr, cnt,
+           CAST(len(win) AS INT) AS n_win,
+           win[(len(win) + 1) // 2] AS med,
+           win[CAST(ceil(len(win) * 0.9) AS INT)] AS p90
+    FROM w
+    """,
+    tables=("events",),
+    scale_note=(
+        "Rolling exact median/p90 per key: one type-partitioned sort "
+        "(the ts_ewma shuffle, reused by any other per-type window in "
+        "the same stage), then CONSTANT per-row work — the window "
+        "holds ≤24 integers, so collect+sort+index is O(w log w) per "
+        "row with w fixed by the spec, not by data volume; state "
+        "never leaves the executor and no partition is data-sized "
+        "beyond the keyed sort every rolling operator pays.  Discrete "
+        "order statistics over identical integer lists are identical "
+        "on both engines — no interpolation, no float accumulation."
+    ),
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 24-observed-hour median and p90 of hourly event
+    counts per type (discrete order statistics, never interpolated)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-(ROLL_MED_W - 1), Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cnt").over(w))
+    sized = hourly.select(
+        "event_type", "hr", "cnt", win.alias("win")
+    ).withColumn("n_win", F.size("win"))
+    n = F.col("n_win")
+    return sized.select(
+        "event_type",
+        "hr",
+        "cnt",
+        n.cast("int").alias("n_win"),
+        F.element_at("win", ((n + 1) / 2).cast("int")).alias("med"),
+        F.element_at("win", F.ceil(n * 0.9).cast("int")).alias("p90"),
+    )

@@ -758,3 +758,38 @@ def test_bloom_pruning_reads_fewer_files_no_false_negatives(
     assert info["per_probe_files"][lohi["lo"]] >= 1
     assert info["per_probe_files"][lohi["hi"]] >= 1
     assert all(r["event_id"] != lohi["hi"] + 1 for r in rows)
+
+
+def test_rolling_median_matches_python_window(specs, spark, sf_dir):
+    """ts_rolling_median == Python sliding-window order statistics
+    over the same hourly series."""
+    from bigdata_twitter_spark.operators.timeseries import ROLL_MED_W
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["cnt"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        for i, (hr, cnt) in enumerate(pts):
+            win = sorted(c for _, c in pts[max(0, i - ROLL_MED_W + 1) : i + 1])
+            n = len(win)
+            want[(et, hr)] = (
+                cnt, n, win[(n + 1) // 2 - 1],
+                win[-(-n * 9 // 10) - 1],  # ceil(0.9n)-th smallest
+            )
+    got = specs["ts_rolling_median"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        cnt, n, med, p90 = want[(r["event_type"], r["hr"])]
+        assert (r["cnt"], r["n_win"], r["med"], r["p90"]) == (
+            cnt, n, med, p90,
+        ), (r["event_type"], r["hr"])
