@@ -1329,3 +1329,111 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_parquet(joined, "ssjoin_outer", out_schema).filter(
         F.col("user_id") >= 0
     )
+
+
+# ---- dead-letter routing (round 7) -----------------------------------
+# The router every production ingest stream needs and no other key
+# exercises: ONE pass over a mixed-quality line stream that sends
+# parseable records to the data sink and unparseable ones to a
+# quarantine (dead-letter) sink — scan_csv_quarantine's semantic, but
+# as a LIVE stream with both sinks fed from the same micro-batch (the
+# foreachBatch multi-sink idiom; a persist() inside the batch keeps
+# the source read single).  Corrupt lines are injected
+# deterministically (one truncated-JSON line per event_id ≡ 0 mod 97),
+# so both routes' row counts AND id checksums are closed-form over the
+# events table and the key is hash-grade end to end.
+QUAR_MOD = 97
+
+
+@query(
+    "stream_quarantine_split",
+    sql=f"""
+    SELECT 'good' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    UNION ALL
+    SELECT 'quarantine' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id % {QUAR_MOD} = 0
+    """,
+    tables=("events",),
+    scale_note=(
+        "Streaming dead-letter queue: text-line source → from_json "
+        "parse → foreachBatch routes EACH micro-batch to two sinks "
+        "(parsed rows → parquet, unparseable raw lines → quarantine "
+        "text) with a persist() so the source is read once per batch "
+        "— the multi-sink pattern that replaces two separate streams "
+        "reading the same source twice.  Both sinks are executor-"
+        "side appends (exactly-once per (batchId, idempotent path)); "
+        "routing is a null-test on the parsed struct's required key, "
+        "per-row codegen.  At 100 TB the quarantine write is "
+        "corrupt-volume-sized, not stream-sized, and the summary "
+        "aggregation is two two-phase aggs over the sinks.  The "
+        "deterministic injection (one bad line per id ≡ 0 mod "
+        f"{QUAR_MOD}) makes both routes' counts and checksums exact "
+        "SQL over events."
+    ),
+)
+def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route a mixed line stream to data vs dead-letter sinks in one
+    foreachBatch pass; summarize both routes (count + id checksum)."""
+    from ..session import configure
+
+    configure(spark)
+    e = load(spark, sf_dir, "events")
+    cols = [f.name for f in EVENTS_US_SCHEMA.fields]
+    lines_dir = _fresh_dir(
+        f"quarlines_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    good_lines = e.select(F.to_json(F.struct(*cols)).alias("value"))
+    bad_lines = e.filter(F.col("event_id") % QUAR_MOD == 0).select(
+        F.concat(
+            F.lit('{"event_id": '), F.col("event_id").cast("string")
+        ).alias("value")
+    )
+    good_lines.unionAll(bad_lines).write.mode("overwrite").text(lines_dir)
+
+    good_out = _fresh_dir(f"quar_good_{uuid.uuid4().hex[:8]}")
+    bad_out = _fresh_dir(f"quar_dead_{uuid.uuid4().hex[:8]}")
+    stream = (
+        spark.readStream.text(lines_dir)
+        .select(
+            "value",
+            F.from_json("value", EVENTS_US_SCHEMA).alias("p"),
+        )
+    )
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            b.filter(F.col("p.event_id").isNull()).select("value").write.mode(
+                "append"
+            ).text(bad_out)
+            b.filter(F.col("p.event_id").isNotNull()).select(
+                "p.*"
+            ).write.mode("append").parquet(good_out)
+        finally:
+            b.unpersist()
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q)
+    good = spark.read.schema(EVENTS_US_SCHEMA).parquet(good_out)
+    dead = spark.read.text(bad_out)
+    g = good.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    ).select(F.lit("good").alias("bucket"), "n_rows", "id_checksum")
+    d = dead.select(
+        F.regexp_extract("value", r'\{"event_id": (\d+)', 1)
+        .cast("bigint")
+        .alias("bad_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("bad_id").cast("bigint").alias("id_checksum"),
+    ).select(F.lit("quarantine").alias("bucket"), "n_rows", "id_checksum")
+    return g.unionAll(d)

@@ -793,3 +793,26 @@ def test_rolling_median_matches_python_window(specs, spark, sf_dir):
         assert (r["cnt"], r["n_win"], r["med"], r["p90"]) == (
             cnt, n, med, p90,
         ), (r["event_type"], r["hr"])
+
+
+def test_quarantine_split_routes_exactly(specs, spark, sf_dir):
+    """stream_quarantine_split: good route carries EVERY event exactly
+    once, the dead-letter route carries exactly the injected lines —
+    counts and checksums match a Python computation over events."""
+    from bigdata_twitter_spark.streaming.ops import QUAR_MOD
+    from bigdata_twitter_spark.tables import load
+
+    ids = [
+        r["event_id"]
+        for r in load(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    rows = {
+        r["bucket"]: r
+        for r in specs["stream_quarantine_split"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"good", "quarantine"}
+    assert rows["good"]["n_rows"] == len(ids)
+    assert rows["good"]["id_checksum"] == sum(ids)
+    bad = [i for i in ids if i % QUAR_MOD == 0]
+    assert rows["quarantine"]["n_rows"] == len(bad) > 0
+    assert rows["quarantine"]["id_checksum"] == sum(bad)
