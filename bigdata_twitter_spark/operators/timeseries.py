@@ -1232,3 +1232,108 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("win", ((n + 1) / 2).cast("int")).alias("med"),
         F.element_at("win", F.ceil(n * 0.9).cast("int")).alias("p90"),
     )
+
+
+# ---- last-touch attribution (round 7) --------------------------------
+# The marketing-analytics join-free classic: credit each purchase to
+# the user's most recent click within a 2-hour lookback, bucketed into
+# a channel (props.k mod 4; -1 = organic/no prior click).  Same
+# completeness trick as ts_funnel_sequence: "most recent prior click"
+# is ONE last(ignore nulls) running window per user — no purchase×click
+# join, no per-user collect; the lookback test and channel arithmetic
+# are exact integers (µs timestamps, JSON int k).
+ATTR_LOOKBACK_US = 7_200_000_000  # 2 hours
+ATTR_CHANNELS = 4
+
+
+@query(
+    "ts_attribution_last_touch",
+    sql=f"""
+    WITH m AS (
+        SELECT user_id, ts, event_type,
+               CAST(value AS DECIMAL(12,2)) AS value,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               event_id
+        FROM events
+    ),
+    w AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click'
+                               THEN {{'cts': ts, 'ck': k}} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lc
+        FROM m
+    ),
+    p AS (
+        SELECT CASE WHEN lc IS NOT NULL
+                     AND date_diff('microsecond', lc.cts, ts)
+                         <= {ATTR_LOOKBACK_US}
+                    THEN lc.ck % {ATTR_CHANNELS}
+                    ELSE -1 END AS channel,
+               value
+        FROM w WHERE event_type = 'purchase'
+    )
+    SELECT CAST(channel AS INT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value) AS DOUBLE) AS attributed_value
+    FROM p GROUP BY 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Join-free attribution: 'most recent prior click' collapses "
+        "to one last(IGNORE NULLS) running window per user (the "
+        "ts_funnel_sequence lemma — a later click always wins, so "
+        "carrying ONE candidate is complete), so the whole plan is "
+        "one user-keyed shuffle + one partition-local window + a "
+        "channel-sized two-phase agg.  Lookback and channel tests "
+        "are exact integers (µs timestamp diff, JSON int k); revenue "
+        "accumulates as exact decimal, cast to double once per "
+        "output row.  No purchase×click join exists to blow up on a "
+        "heavy user, and state per row is one struct."
+    ),
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit purchases to the last click within 2 h per user; report
+    purchases and exact attributed revenue per channel (k mod 4)."""
+    from ..numerics import dec
+
+    e = load(spark, sf_dir, "events")
+    m = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        dec("value").alias("value"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = F.last(
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", F.col("k").alias("ck"))
+        ),
+        ignorenulls=True,
+    ).over(wprev)
+    w = m.withColumn("lc", lc)
+    p = w.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lc").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("lc.ts")
+                <= ATTR_LOOKBACK_US
+            ),
+            F.col("lc.ck") % ATTR_CHANNELS,
+        )
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("channel"),
+        "value",
+    )
+    return p.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("value").cast("double").alias("attributed_value"),
+    )

@@ -816,3 +816,49 @@ def test_quarantine_split_routes_exactly(specs, spark, sf_dir):
     bad = [i for i in ids if i % QUAR_MOD == 0]
     assert rows["quarantine"]["n_rows"] == len(bad) > 0
     assert rows["quarantine"]["id_checksum"] == sum(bad)
+
+
+def test_attribution_matches_python_replay(specs, spark, sf_dir):
+    """ts_attribution_last_touch == a per-user Python replay of the
+    last-click state machine with the exact 2h/µs lookback."""
+    import json
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.operators.timeseries import (
+        ATTR_CHANNELS,
+        ATTR_LOOKBACK_US,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value", "props", "event_id"
+    ).collect()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    stats: dict[int, list] = defaultdict(lambda: [0, Decimal(0)])
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last_click = None
+        for r in evs:
+            if r["event_type"] == "purchase":
+                ch = -1
+                if last_click is not None:
+                    dt = (r["ts"] - last_click[0]).total_seconds() * 1e6
+                    if dt <= ATTR_LOOKBACK_US:
+                        ch = last_click[1] % ATTR_CHANNELS
+                st = stats[ch]
+                st[0] += 1
+                st[1] += Decimal(str(r["value"])).quantize(Decimal("0.01"))
+            if r["event_type"] == "click":
+                last_click = (r["ts"], json.loads(r["props"])["k"])
+    got = {
+        r["channel"]: r
+        for r in specs["ts_attribution_last_touch"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(stats)
+    for ch, (n, total) in stats.items():
+        assert got[ch]["n_purchases"] == n, ch
+        assert got[ch]["attributed_value"] == pytest.approx(
+            float(total), abs=1e-9
+        ), ch
