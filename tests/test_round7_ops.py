@@ -862,3 +862,93 @@ def test_attribution_matches_python_replay(specs, spark, sf_dir):
         assert got[ch]["attributed_value"] == pytest.approx(
             float(total), abs=1e-9
         ), ch
+
+
+def test_ivfpq_matches_python_replay(specs, spark, sf_dir):
+    """embed_ivfpq_topk == a full Python replay of the IVFADC
+    pipeline: coarse assignment, residual encoding against the shared
+    codebook, 2-probe LUT scoring, (adc, vec_id) ranking."""
+    import math
+
+    from bigdata_twitter_spark.llm.ivfpq import (
+        IVFPQ_CELLS, IVFPQ_K, IVFPQ_M, IVFPQ_NQ, IVFPQ_PROBES, IVFPQ_TOPK,
+    )
+    from bigdata_twitter_spark.llm.pq import PQ_SCALE, PQ_SUB
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    iv = {
+        r["vec_id"]: [math.floor(float(x) * PQ_SCALE + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    ids = sorted(iv)
+    cells = [iv[i] for i in ids[:IVFPQ_CELLS]]
+    cb_ids = ids[IVFPQ_CELLS : IVFPQ_CELLS + IVFPQ_K]
+    q_ids = ids[
+        IVFPQ_CELLS + IVFPQ_K : IVFPQ_CELLS + IVFPQ_K + IVFPQ_NQ
+    ]
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def cell_of(v):
+        return min(range(IVFPQ_CELLS), key=lambda c: (sq(v, cells[c]), c))
+
+    def residual(v):
+        c = cell_of(v)
+        return c, [x - y for x, y in zip(v, cells[c])]
+
+    def sub(v, m):
+        return v[m * PQ_SUB : (m + 1) * PQ_SUB]
+
+    cw = {
+        (m, k): sub(residual(iv[cb_ids[k]])[1], m)
+        for k in range(IVFPQ_K)
+        for m in range(IVFPQ_M)
+    }
+    enc = {}
+    for vid, v in iv.items():
+        c, rv = residual(v)
+        enc[vid] = (
+            c,
+            [
+                min(
+                    range(IVFPQ_K),
+                    key=lambda k: (sq(sub(rv, m), cw[(m, k)]), k),
+                )
+                for m in range(IVFPQ_M)
+            ],
+        )
+    want = []
+    for qid in q_ids:
+        probed = sorted(
+            range(IVFPQ_CELLS), key=lambda c: (sq(iv[qid], cells[c]), c)
+        )[:IVFPQ_PROBES]
+        luts = {}
+        for c in probed:
+            qr = [x - y for x, y in zip(iv[qid], cells[c])]
+            luts[c] = [
+                [sq(sub(qr, m), cw[(m, k)]) for k in range(IVFPQ_K)]
+                for m in range(IVFPQ_M)
+            ]
+        scored = sorted(
+            (
+                sum(
+                    luts[enc[vid][0]][m][enc[vid][1][m]]
+                    for m in range(IVFPQ_M)
+                ),
+                vid,
+            )
+            for vid in iv
+            if enc[vid][0] in luts
+        )
+        for rnk, (adc, vid) in enumerate(scored[:IVFPQ_TOPK], start=1):
+            want.append((qid, rnk, vid, adc, sq(iv[qid], iv[vid])))
+    got = sorted(
+        (
+            r["query_id"], r["rnk"], r["vec_id"], r["adc_dist"],
+            r["exact_dist"],
+        )
+        for r in specs["embed_ivfpq_topk"].fn(spark, sf_dir).collect()
+    )
+    assert got == sorted(want) and len(got) == IVFPQ_NQ * IVFPQ_TOPK
