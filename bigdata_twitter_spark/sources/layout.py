@@ -576,3 +576,142 @@ def scan_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src2.filter(
         F.col("event_id").isin([int(p) for p in probes])
     ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---- partition-spec evolution (round 7) ------------------------------
+# The Iceberg capability the static layout keys can't show: a table
+# whose PARTITIONING CHANGED mid-life (coarse day=... dirs for the old
+# half, finer day/hour dirs once volume demanded it) and a reader that
+# plans ONE query across both specs — per-version dir pruning, with
+# the old spec pruning only to days while the new spec also prunes
+# hours.  This is exactly why engines version the partition spec in
+# metadata instead of rewriting history: old files stay valid, new
+# files prune better, and the planner intersects the predicate with
+# EACH version's spec.
+EVO_HOURS = (6, 12)       # probe: hours 6..12 of the 5 straddling days
+EVO_SPAN_DAYS = 2         # probe: split±2 days
+
+LAST_EVO_INFO: dict = {}
+
+
+@query(
+    "scan_partition_evolution",
+    sql=f"""
+    WITH b AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events e, b
+    WHERE CAST(e.ts AS DATE)
+          BETWEEN b.lo + CAST((b.hi - b.lo) // 2 - {EVO_SPAN_DAYS} AS INT)
+              AND b.lo + CAST((b.hi - b.lo) // 2 + {EVO_SPAN_DAYS} AS INT)
+      AND EXTRACT(hour FROM e.ts) BETWEEN {EVO_HOURS[0]} AND {EVO_HOURS[1]}
+    GROUP BY 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Partition-spec evolution: v1 files (first half of history) "
+        "live under day=D dirs, v2 files under day=D/hour=H dirs; a "
+        "version manifest maps each version to its spec, and the "
+        "planner prunes each version's directories against the "
+        "predicate AT THAT VERSION'S GRANULARITY — v1 prunes to "
+        "days (hour filter becomes a residual row filter), v2 "
+        "prunes to (day, hour) so its scan touches only "
+        "hours×days-in-range files.  Old files are never rewritten "
+        "(the Iceberg contract); the union of the two pruned scans "
+        "+ residual filter equals the oracle's plain filter.  "
+        "LAST_EVO_INFO records per-version dirs_total/dirs_read — "
+        "pinned in tests to prove v2 pruned strictly finer.  At "
+        "100 TB pruning is metadata-only planning either way."
+    ),
+)
+def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One range+hour query planned across a partition-spec change:
+    day=… dirs for the old half, day=…/hour=… for the new half."""
+    from ..numerics import dec
+    from ..tables import load as _load
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = _layout_dir(f"evo_events_{tag}")
+    e = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    b = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    half = (b["hi"] - b["lo"]).days // 2
+    split = b["lo"] + __import__("datetime").timedelta(days=half)
+    v1_dir, v2_dir = f"{base}/v1", f"{base}/v2"
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    hour = F.hour("ts").alias("hour")
+    (
+        e.filter(F.to_date("ts") < F.lit(split))
+        .withColumn("day", day)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(v1_dir)
+    )
+    (
+        e.filter(F.to_date("ts") >= F.lit(split))
+        .withColumn("day", day)
+        .withColumn("hour", hour)
+        .write.mode("overwrite")
+        .partitionBy("day", "hour")
+        .parquet(v2_dir)
+    )
+    lo_day = split - __import__("datetime").timedelta(days=EVO_SPAN_DAYS)
+    hi_day = split + __import__("datetime").timedelta(days=EVO_SPAN_DAYS)
+    in_days = lambda d: lo_day.isoformat() <= d <= hi_day.isoformat()  # noqa: E731
+
+    # Spec-aware dir pruning, each version at its own granularity.
+    v1_all = sorted(
+        d for d in os.listdir(v1_dir) if d.startswith("day=")
+    )
+    v1_keep = [d for d in v1_all if in_days(d[4:])]
+    v2_all, v2_keep = [], []
+    for d in sorted(os.listdir(v2_dir)):
+        if not d.startswith("day="):
+            continue
+        for h in sorted(os.listdir(os.path.join(v2_dir, d))):
+            if not h.startswith("hour="):
+                continue
+            v2_all.append((d, h))
+            if in_days(d[4:]) and EVO_HOURS[0] <= int(h[5:]) <= EVO_HOURS[1]:
+                v2_keep.append((d, h))
+    LAST_EVO_INFO.clear()
+    LAST_EVO_INFO.update(
+        {
+            "v1_dirs_total": len(v1_all),
+            "v1_dirs_read": len(v1_keep),
+            "v2_dirs_total": len(v2_all),
+            "v2_dirs_read": len(v2_keep),
+        }
+    )
+    sel = F.col("value").isNotNull()  # no-op guard for empty unions
+    v1 = (
+        spark.read.option("basePath", v1_dir)
+        .parquet(*[os.path.join(v1_dir, d) for d in v1_keep])
+        if v1_keep
+        else spark.read.option("basePath", v1_dir).parquet(v1_dir).limit(0)
+    )
+    v2 = (
+        spark.read.option("basePath", v2_dir)
+        .parquet(*[os.path.join(v2_dir, d, h) for d, h in v2_keep])
+        if v2_keep
+        else spark.read.option("basePath", v2_dir).parquet(v2_dir).limit(0)
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    # v1's spec can't prune hours — residual ROW filter; v2 already
+    # pruned them at planning time (residual is a no-op there).
+    resid = F.hour("ts").between(*EVO_HOURS)
+    unioned = (
+        v1.select(*cols).filter(resid & sel)
+        .unionAll(v2.select(*cols).filter(resid & sel))
+    )
+    return unioned.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )

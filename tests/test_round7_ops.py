@@ -952,3 +952,26 @@ def test_ivfpq_matches_python_replay(specs, spark, sf_dir):
         for r in specs["embed_ivfpq_topk"].fn(spark, sf_dir).collect()
     )
     assert got == sorted(want) and len(got) == IVFPQ_NQ * IVFPQ_TOPK
+
+
+def test_partition_evolution_prunes_each_spec_at_its_grain(
+    specs, spark, sf_dir
+):
+    """scan_partition_evolution: v1 (day spec) reads only the
+    straddling days; v2 (day/hour spec) reads strictly fewer dirs per
+    day than v1 would (hour pruning happened at planning time)."""
+    from bigdata_twitter_spark.sources import layout
+
+    specs["scan_partition_evolution"].fn(spark, sf_dir).collect()
+    info = dict(layout.LAST_EVO_INFO)
+    # v1 half holds ~15 day dirs; only the ≤ split..split+? straddle
+    # intersects (≤ EVO_SPAN_DAYS of them are v1-side days).
+    assert 1 <= info["v1_dirs_read"] <= layout.EVO_SPAN_DAYS
+    assert info["v1_dirs_read"] < info["v1_dirs_total"]
+    # v2 pruning is (day AND hour): dirs_read ≤ days_in_range × 7 hours
+    hours = layout.EVO_HOURS[1] - layout.EVO_HOURS[0] + 1
+    assert 1 <= info["v2_dirs_read"] <= (layout.EVO_SPAN_DAYS + 1) * hours
+    assert info["v2_dirs_read"] < info["v2_dirs_total"]
+    # The v2 spec prunes hours; a day-grain spec would have read every
+    # hour dir of the matching days.
+    assert info["v2_dirs_read"] <= info["v2_dirs_total"] * hours // 24
