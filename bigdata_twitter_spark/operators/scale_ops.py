@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..numerics import wide_dbl_sql
 from ..registry import query
 from ..tables import load
 
@@ -737,4 +738,150 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "never_underestimates"
             ),
         )
+    )
+
+
+# ---- Neyman-allocation stratified sampling (round 7) -----------------
+# sample_exact_k_stratified takes the SAME k from every stratum;
+# survey statistics says that wastes budget — under a fixed total
+# budget n, variance of the estimated total is minimized by n_h ∝
+# N_h·σ_h (Neyman 1934).  This operator computes the optimal
+# allocation from exact per-stratum moments and then draws it with
+# the house md5-rank selection, reporting per stratum: population
+# size, σ, the allocation, and checksums of the drawn sample.
+# Determinism: moments are exact (decimal sums bridged with wide_dbl,
+# the r6 co-moment idiom); σ is one identical IEEE expression; the
+# allocation itself is EXACT INTEGER arithmetic (cent-quantized
+# weights, round-half-up division (2·n·w + W) div (2·W)), so no
+# float ever crosses rows and the drawn sample is hash-stable.
+NEYMAN_N = 100
+_TP = "CAST(o_totalprice AS DECIMAL(12,2))"
+
+
+@query(
+    "sample_stratified_neyman",
+    sql=f"""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_pop,
+               {wide_dbl_sql(f'SUM({_TP})')} AS sx,
+               {wide_dbl_sql(f'SUM({_TP} * {_TP})')} AS sxx
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT o_orderpriority, n_pop,
+               sqrt(n_pop * sxx - sx * sx) / n_pop AS sigma,
+               CAST(floor(n_pop * (sqrt(n_pop * sxx - sx * sx) / n_pop)
+                          * 100 + 0.5) AS BIGINT) AS wq
+        FROM m
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM s),
+    alloc AS (
+        SELECT s.o_orderpriority, s.n_pop, s.sigma,
+               (2 * {NEYMAN_N} * s.wq + t.wtot) // (2 * t.wtot) AS n_alloc
+        FROM s, tot t
+    ),
+    ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS tp,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    ),
+    drawn AS (
+        SELECT r.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(r.o_orderkey) AS BIGINT) AS id_checksum,
+               CAST(SUM(r.tp) AS DOUBLE) AS sample_total
+        FROM ranked r JOIN alloc a USING (o_orderpriority)
+        WHERE r.rn <= a.n_alloc
+        GROUP BY 1
+    )
+    SELECT a.o_orderpriority, a.n_pop, a.sigma,
+           CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           d.n_sampled, d.id_checksum, d.sample_total
+    FROM alloc a JOIN drawn d USING (o_orderpriority)
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Optimal-allocation sampling in two passes: one two-phase "
+        "moment aggregation (exact decimal sums, wide_dbl-bridged to "
+        "identical doubles), then the md5-rank draw — one shuffle on "
+        "the stratum key, per-stratum top-n_alloc never materializes "
+        "more than n_alloc rows past the window (the "
+        "sample_exact_k_stratified plan with a broadcast allocation "
+        "join).  The allocation arithmetic is exact integers "
+        "(cent-quantized weights, round-half-up integer division), "
+        "so no cross-row float aggregation exists anywhere — the "
+        "whole design, draw included, is hash-grade.  At 100 TB "
+        "stratum moments are groups-sized; the draw's window is the "
+        "standard stratified-sampling shuffle."
+    ),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (N_h·sigma_h-proportional) allocation of a 100-row budget
+    across order priorities, drawn by md5 rank, with draw checksums."""
+    from pyspark.sql import Window
+
+    from ..numerics import dec, wide_dbl
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        wide_dbl(F.sum(dec("o_totalprice"))).alias("sx"),
+        wide_dbl(F.sum(dec("o_totalprice") * dec("o_totalprice"))).alias(
+            "sxx"
+        ),
+    )
+    n, sx, sxx = F.col("n_pop"), F.col("sx"), F.col("sxx")
+    sigma = F.sqrt(n * sxx - sx * sx) / n
+    s = m.select(
+        "o_orderpriority",
+        "n_pop",
+        sigma.alias("sigma"),
+        F.floor(n * sigma * 100 + 0.5).cast("bigint").alias("wq"),
+    )
+    tot = s.agg(F.sum("wq").cast("bigint").alias("wtot"))
+    alloc = s.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_pop",
+        "sigma",
+        (
+            (2 * NEYMAN_N * F.col("wq") + F.col("wtot"))
+            / (2 * F.col("wtot"))
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        dec("o_totalprice").alias("tp"),
+    ).withColumn("rn", F.row_number().over(w))
+    drawn = (
+        ranked.join(
+            F.broadcast(alloc.select("o_orderpriority", "n_alloc")),
+            "o_orderpriority",
+        )
+        .filter(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("o_orderkey").cast("bigint").alias("id_checksum"),
+            F.sum("tp").cast("double").alias("sample_total"),
+        )
+    )
+    return alloc.join(drawn, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_pop",
+        "sigma",
+        "n_alloc",
+        "n_sampled",
+        "id_checksum",
+        "sample_total",
     )

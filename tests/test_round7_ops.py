@@ -975,3 +975,58 @@ def test_partition_evolution_prunes_each_spec_at_its_grain(
     # The v2 spec prunes hours; a day-grain spec would have read every
     # hour dir of the matching days.
     assert info["v2_dirs_read"] <= info["v2_dirs_total"] * hours // 24
+
+
+def test_neyman_allocation_matches_python(specs, spark, sf_dir):
+    """sample_stratified_neyman: allocation == Python-computed Neyman
+    n_h ∝ N_h·σ_h with the same cent-quantized round-half-up integer
+    arithmetic, and the draw == md5-rank selection replayed in Python."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.operators.scale_ops import NEYMAN_N
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    strata: dict[str, list] = defaultdict(list)
+    for r in rows:
+        strata[r["o_orderpriority"]].append(
+            (r["o_orderkey"], Decimal(str(r["o_totalprice"])).quantize(Decimal("0.01")))
+        )
+    wq, sig, ssz = {}, {}, {}
+    for pri, rs in strata.items():
+        n = len(rs)
+        sx = float(sum(tp for _, tp in rs))
+        sxx = float(sum(tp * tp for _, tp in rs))
+        sigma = math.sqrt(n * sxx - sx * sx) / n
+        sig[pri], ssz[pri] = sigma, n
+        wq[pri] = math.floor(n * sigma * 100 + 0.5)
+    wtot = sum(wq.values())
+    alloc = {
+        pri: (2 * NEYMAN_N * w + wtot) // (2 * wtot) for pri, w in wq.items()
+    }
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["sample_stratified_neyman"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(strata)
+    for pri, rs in strata.items():
+        r = got[pri]
+        assert r["n_pop"] == ssz[pri] and r["n_alloc"] == alloc[pri]
+        assert r["sigma"] == pytest.approx(sig[pri], rel=1e-12)
+        drawn = sorted(
+            rs,
+            key=lambda t: (
+                hashlib.md5(str(t[0]).encode()).hexdigest(), t[0],
+            ),
+        )[: alloc[pri]]
+        assert r["n_sampled"] == len(drawn)
+        assert r["id_checksum"] == sum(k for k, _ in drawn)
+        assert r["sample_total"] == pytest.approx(
+            float(sum(tp for _, tp in drawn)), abs=1e-9
+        )
+    # Neyman sanity: allocations differ across strata unless σ·N ties.
+    assert len(set(alloc.values())) > 1 or len(alloc) == 1
