@@ -1337,3 +1337,89 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_purchases"),
         F.sum("value").cast("double").alias("attributed_value"),
     )
+
+
+# ---- event-sequence regex matching (round 7) -------------------------
+# The MATCH_RECOGNIZE / sequenceMatch capability as a regex over
+# per-user event-type INITIALS: each user's (ts, event_id)-ordered
+# activity becomes a compact string (c=click, v=view, p=purchase,
+# s=signup, e=error) and a pattern like "cv*p" (click, any views,
+# purchase) is counted with non-overlapping leftmost matching — the
+# same semantics in Java regex (Spark), RE2 (DuckDB), and Python re
+# (the referee), verified for this pattern family.  Sequences are
+# capped at the first 256 events per user (DETERMINISTIC truncation,
+# part of the declared semantics) so per-user state is bounded at any
+# corpus size — the same contract streaming state caps use.
+SEQ_REGEX_PATTERN = "cv*p"
+SEQ_REGEX_CAP = 256
+
+
+@query(
+    "ts_sequence_regex_match",
+    sql=f"""
+    WITH capped AS (
+        SELECT user_id, event_type, ts, event_id FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn <= {SEQ_REGEX_CAP}
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM capped GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, '{SEQ_REGEX_PATTERN}'))
+                AS INT) AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{SEQ_REGEX_PATTERN}')) > 0
+    """,
+    tables=("events",),
+    scale_note=(
+        "Sequence-pattern matching with BOUNDED per-user state: one "
+        "user-keyed shuffle feeds both the capping window and the "
+        "ordered string_agg (same exchange, partition-local), the "
+        "256-event cap makes every per-user string ≤256 bytes "
+        "regardless of user skew (deterministic declared truncation "
+        "— the streaming state-cap contract), and the regex runs "
+        "per-row codegen over those bounded strings.  Non-"
+        "overlapping leftmost match counts agree across Java regex / "
+        "RE2 / Python re for the v* pattern family (referee-pinned), "
+        "so the key is hash-grade.  Output is matching-users-sized."
+    ),
+)
+def ts_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count non-overlapping click→views*→purchase patterns in each
+    user's (capped) event-initial sequence; emit matching users."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SEQ_REGEX_CAP)
+    )
+    seqs = capped.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n = F.size(F.expr(f"regexp_extract_all(seq, '{SEQ_REGEX_PATTERN}', 0)"))
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("int").alias("seq_len"),
+            n.cast("int").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

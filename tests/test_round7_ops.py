@@ -1030,3 +1030,34 @@ def test_neyman_allocation_matches_python(specs, spark, sf_dir):
         )
     # Neyman sanity: allocations differ across strata unless σ·N ties.
     assert len(set(alloc.values())) > 1 or len(alloc) == 1
+
+
+def test_sequence_regex_matches_python_re(specs, spark, sf_dir):
+    """ts_sequence_regex_match == Python re.findall over the same
+    capped, (ts, event_id)-ordered initial sequences."""
+    import re
+
+    from bigdata_twitter_spark.operators.timeseries import (
+        SEQ_REGEX_CAP,
+        SEQ_REGEX_PATTERN,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"][0]))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        seq = "".join(i for _, _, i in evs[:SEQ_REGEX_CAP])
+        m = len(re.findall(SEQ_REGEX_PATTERN, seq))
+        if m > 0:
+            want[uid] = (len(seq), m)
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in specs["ts_sequence_regex_match"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
