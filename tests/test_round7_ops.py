@@ -1061,3 +1061,42 @@ def test_sequence_regex_matches_python_re(specs, spark, sf_dir):
         for r in specs["ts_sequence_regex_match"].fn(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_curriculum_schedule_matches_python(specs, spark, sf_dir):
+    """train_curriculum_schedule == Python-computed stages and
+    (stage, md5, doc_id)-ordered positions over the raw corpus."""
+    import hashlib
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    docs = []
+    for r in rows:
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        n_tok, n_uniq = len(toks), len(set(toks))
+        n_chars = sum(len(t) for t in toks)
+        pts = (
+            (50 <= n_tok <= 1000)
+            + (3 * n_tok <= n_chars <= 8 * n_tok)
+            + (2 * n_uniq >= n_tok)
+        )
+        docs.append(
+            (
+                3 - pts,
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+                r["doc_id"],
+            )
+        )
+    docs.sort()
+    want, per_stage = {}, defaultdict(int)
+    for gpos, (stage, _, doc_id) in enumerate(docs):
+        want[doc_id] = (stage, per_stage[stage], gpos)
+        per_stage[stage] += 1
+    got = {
+        r["doc_id"]: (r["stage"], r["pos_in_stage"], r["global_pos"])
+        for r in specs["train_curriculum_schedule"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # Curriculum sanity: multiple stages are populated on the fixture.
+    assert len(per_stage) >= 2
