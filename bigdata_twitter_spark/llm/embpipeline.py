@@ -145,3 +145,145 @@ def embed_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= E2E_TOPK)
         .select("query_id", "rnk", "corpus_id", "dot")
     )
+
+
+# ---- embedding-space contamination screen (round 7) ------------------
+# text_contamination_overlap catches VERBATIM eval leakage (n-gram
+# containment); paraphrased leakage needs the embedding-space screen:
+# flag corpus vectors whose cosine to ANY eval vector clears a
+# rational threshold τ.  The threshold test is EXACT INTEGER/DECIMAL
+# arithmetic with no sqrt:
+# cos(a,b) ≥ p/q  ⟺  a·b > 0 ∧ (q·(a·b))² ≥ (p·|a|²)·(p·|b|²)
+# — cross-multiplied squares over int-scaled vectors, computed in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both exact, so membership
+# is engine-deterministic with no epsilon anywhere.  The reported
+# best_cos double is derived from exact-in-double bigints (dot and
+# norms < 2^53) by one identical IEEE expression.
+# τ = 7/20 = 0.35, calibrated so the screen BITES on the synthetic
+# fixture (3/12/85 vectors flagged at sf0.001/0.01/0.1 — the fixture's
+# random embeddings never reach the 0.95 a production paraphrase
+# screen would use; the membership math is threshold-independent).
+CONTAM_TAU_NUM = 7
+CONTAM_TAU_DEN = 20
+CONTAM_EVAL_MOD = 100  # eval set stand-in: vec_id ≡ 0 (mod 100)
+
+
+@query(
+    "embed_contamination_eval",
+    sql=f"""
+    WITH iv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+                   AS nrm
+        FROM iv
+    ),
+    ev AS (SELECT vec_id AS eval_id, v AS evec, nrm AS enrm FROM n
+           WHERE vec_id % {CONTAM_EVAL_MOD} = 0),
+    cp AS (SELECT vec_id, v, nrm FROM n
+           WHERE vec_id % {CONTAM_EVAL_MOD} <> 0),
+    pairs AS (
+        SELECT c.vec_id, e.eval_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> c.v[i] * e.evec[i])) AS BIGINT) AS dot,
+               c.nrm, e.enrm
+        FROM cp c JOIN ev e ON TRUE
+    ),
+    hits AS (
+        SELECT vec_id, eval_id,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nrm AS DOUBLE))
+                      * sqrt(CAST(enrm AS DOUBLE))) AS cos
+        FROM pairs
+        WHERE dot > 0
+          AND CAST({CONTAM_TAU_DEN} * dot AS HUGEINT)
+              * CAST({CONTAM_TAU_DEN} * dot AS HUGEINT)
+              >= CAST({CONTAM_TAU_NUM} * nrm AS HUGEINT)
+                 * CAST({CONTAM_TAU_NUM} * enrm AS HUGEINT)
+    ),
+    ranked AS (
+        SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eval_id) AS rb,
+               COUNT(*) OVER (PARTITION BY vec_id) AS nh
+        FROM hits
+    )
+    SELECT vec_id, CAST(nh AS INT) AS n_eval_hits,
+           CAST(eval_id AS BIGINT) AS best_eval_id,
+           cos AS best_cos
+    FROM ranked WHERE rb = 1
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Paraphrase-level decontamination: the eval side is tiny by "
+        "definition (benchmarks are KBs, corpora are TBs), so it "
+        "broadcasts and the screen is ONE map-side scan of the "
+        "corpus — corpus×eval pairs never shuffle; the per-vector "
+        "verdict aggregates map-side.  Membership at rational τ=p/q is an "
+        "exact cross-multiplied integer test (no sqrt, no epsilon): "
+        "deterministic on any engine, any partitioning, any FMA "
+        "setting.  best_cos is one identical IEEE expression over "
+        "exact-in-double bigints, used only for reporting/ranking.  "
+        "At a real 100-TB corpus this composes with the LSH bucketing "
+        "keys to pre-filter candidates; the exact test stays the "
+        "final arbiter."
+    ),
+)
+def embed_contamination_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus vectors with cosine ≥ 7/20 to any eval vector
+    (vec_id ≡ 0 mod 100 stands in for the eval set), with exact
+    integer threshold membership and per-vector best-hit report."""
+    e = load(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    ev = iv.filter(F.col("vec_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("evec"),
+        F.col("nrm").alias("enrm"),
+    )
+    cp = iv.filter(F.col("vec_id") % CONTAM_EVAL_MOD != 0)
+    dot = F.aggregate(
+        F.zip_with("v", "evec", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    pairs = cp.join(F.broadcast(ev)).select(
+        "vec_id", "eval_id", dot.alias("dot"), "nrm", "enrm"
+    )
+    d20 = (F.lit(CONTAM_TAU_DEN) * F.col("dot")).cast("decimal(19,0)")
+    n19a = (F.lit(CONTAM_TAU_NUM) * F.col("nrm")).cast("decimal(19,0)")
+    n19b = (F.lit(CONTAM_TAU_NUM) * F.col("enrm")).cast("decimal(19,0)")
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm").cast("double"))
+        * F.sqrt(F.col("enrm").cast("double"))
+    )
+    hits = pairs.filter(
+        (F.col("dot") > 0) & (d20 * d20 >= n19a * n19b)
+    ).select("vec_id", "eval_id", cos.alias("cos"))
+    return hits.groupBy("vec_id").agg(
+        F.count("*").cast("int").alias("n_eval_hits"),
+        F.min(F.struct((-F.col("cos")).alias("nc"), "eval_id"))["eval_id"]
+        .cast("bigint")
+        .alias("best_eval_id"),
+        F.max("cos").alias("best_cos"),
+    )

@@ -1100,3 +1100,47 @@ def test_curriculum_schedule_matches_python(specs, spark, sf_dir):
     assert got == want
     # Curriculum sanity: multiple stages are populated on the fixture.
     assert len(per_stage) >= 2
+
+
+def test_contamination_threshold_is_exact_cosine(specs, spark, sf_dir):
+    """embed_contamination_eval == Python brute force with EXACT
+    rational cosine threshold (Fraction arithmetic — no float ever
+    decides membership), and the reported best hit matches."""
+    import math
+    from fractions import Fraction
+
+    from bigdata_twitter_spark.llm.embpipeline import (
+        CONTAM_EVAL_MOD,
+        CONTAM_TAU_DEN,
+        CONTAM_TAU_NUM,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    iv = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000 + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    ev = {k: v for k, v in iv.items() if k % CONTAM_EVAL_MOD == 0}
+    cp = {k: v for k, v in iv.items() if k % CONTAM_EVAL_MOD != 0}
+    tau2 = Fraction(CONTAM_TAU_NUM**2, CONTAM_TAU_DEN**2)
+    want = {}
+    for vid, v in cp.items():
+        nv = sum(x * x for x in v)
+        hits = []
+        for eid, e in ev.items():
+            dot = sum(a * b for a, b in zip(v, e))
+            if dot > 0 and Fraction(dot * dot, nv * sum(x * x for x in e)) >= tau2:
+                cos = dot / (math.sqrt(nv) * math.sqrt(sum(x * x for x in e)))
+                hits.append((-cos, eid))
+        if hits:
+            hits.sort()
+            want[vid] = (len(hits), hits[0][1], -hits[0][0])
+    got = {
+        r["vec_id"]: (r["n_eval_hits"], r["best_eval_id"], r["best_cos"])
+        for r in specs["embed_contamination_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and want
+    for vid, (n, beid, bcos) in want.items():
+        assert got[vid][0] == n and got[vid][1] == beid, vid
+        assert got[vid][2] == pytest.approx(bcos, abs=1e-14), vid
