@@ -716,3 +716,112 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z_stat"),
     )
+
+
+# ---- Theil-Sen robust slope (round 7) --------------------------------
+# ts_mann_kendall answers "is there a monotone trend"; Theil-Sen gives
+# its MAGNITUDE robustly: the median of all pairwise slopes
+# (x_j − x_i)/(j − i), insensitive to outliers that wreck an OLS fit
+# (agg_regression_per_group's breakdown point is 0; Theil-Sen's is
+# ~29%).  Same calendar-bounded pair machinery as MK; every slope is
+# ONE division of exact integers (identical IEEE doubles on both
+# engines), and the median is a DISCRETE order statistic over those
+# identical doubles — selection, not interpolation — so the key stays
+# hash-grade.  For even pair counts the lower median is reported
+# (median_slope), plus the exact lower/upper pair for transparency.
+
+
+@query(
+    "ts_theil_sen",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        FROM hourly
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.cnt - a.cnt AS DOUBLE)
+                   / CAST(b.rn - a.rn AS DOUBLE) AS slope
+        FROM s a JOIN s b
+          ON b.event_type = a.event_type AND b.rn > a.rn
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM slopes
+    )
+    SELECT event_type,
+           CAST(np AS BIGINT) AS n_pairs,
+           MIN(CASE WHEN rk = (np + 1) // 2 THEN slope END)
+               AS median_slope,
+           MIN(CASE WHEN rk = np // 2 + 1 THEN slope END)
+               AS upper_median_slope
+    FROM ranked GROUP BY event_type, np
+    """,
+    tables=("events",),
+    scale_note=(
+        "Robust trend magnitude: the pair set is (hours choose 2) "
+        "PER TYPE — calendar-bounded like the MK test, built by the "
+        "same co-shuffled rn-inequality self-join, never data-sized.  "
+        "Each slope is one correctly-rounded IEEE division of exact "
+        "integers; the median is an exact ORDER STATISTIC (selection "
+        "over identical doubles — lower and upper reported, no "
+        "averaging that would reintroduce float addition), computed "
+        "with a pair-keyed window whose partitions are grid-sized.  "
+        "The only data-sized pass is the hourly pre-aggregation."
+    ),
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope (lower/upper median of all pairwise
+    hourly-count slopes) per event type."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    s = hourly.select(
+        "event_type",
+        "cnt",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("hr"))
+        .alias("rn"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.rn") > F.col("a.rn")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / (F.col("b.rn") - F.col("a.rn")).cast("double")
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("np"),
+    )
+    np_, rk = F.col("np"), F.col("rk")
+    return ranked.groupBy("event_type", "np").agg(
+        F.min(F.when(rk == ((np_ + 1) / 2).cast("bigint"), F.col("slope")))
+        .alias("median_slope"),
+        F.min(F.when(rk == (np_ / 2).cast("bigint") + 1, F.col("slope")))
+        .alias("upper_median_slope"),
+    ).select(
+        "event_type",
+        np_.cast("bigint").alias("n_pairs"),
+        "median_slope",
+        "upper_median_slope",
+    )

@@ -1144,3 +1144,37 @@ def test_contamination_threshold_is_exact_cosine(specs, spark, sf_dir):
     for vid, (n, beid, bcos) in want.items():
         assert got[vid][0] == n and got[vid][1] == beid, vid
         assert got[vid][2] == pytest.approx(bcos, abs=1e-14), vid
+
+
+def test_theil_sen_matches_python_bruteforce(specs, spark, sf_dir):
+    """ts_theil_sen == O(T²) Python pairwise slopes with exact
+    lower/upper median selection."""
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["cnt"]))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_theil_sen"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        xs = [c for _, c in sorted(pts)]
+        slopes = sorted(
+            (xs[j] - xs[i]) / (j - i)
+            for i in range(len(xs))
+            for j in range(i + 1, len(xs))
+        )
+        n = len(slopes)
+        r = got[et]
+        assert r["n_pairs"] == n
+        assert r["median_slope"] == slopes[(n + 1) // 2 - 1], et
+        assert r["upper_median_slope"] == slopes[n // 2], et
