@@ -825,3 +825,122 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg_part", "deg_other", "jaccard",
         )
     )
+
+
+# ---- deterministic random-walk sampling (round 7) --------------------
+# The graph-embedding prep step (DeepWalk/node2vec corpus generation)
+# with the house reproducibility contract: the "random" successor at
+# step t from vertex u is the neighbor minimizing md5(u || '/' || v
+# || '/' || t) — a deterministic, layout-independent choice that
+# plays the role of the RNG (the same md5-as-permutation stand-in the
+# sampling keys use), so walks are identical on any cluster, any
+# partitioning, any retry.  K steps = K edge-keyed join rounds over a
+# walker frontier; every step is a co-shuffled join + two-phase
+# min_by, never a per-walker collect.
+WALK_STEPS = 4
+WALK_START_MOD = 50  # walkers: part vertices with part id ≡ 0 (mod 50)
+
+
+def _walk_oracle_sql() -> str:
+    sql = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey + {PART_OFFSET} AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT c AS src, p AS dst FROM cp
+              UNION ALL SELECT p AS src, c AS dst FROM cp),
+    w0 AS (
+        SELECT DISTINCT p AS walker, p AS v FROM cp
+        WHERE (p - {PART_OFFSET}) % {WALK_START_MOD} = 0
+    )"""
+    for t in range(WALK_STEPS):
+        sql += f""",
+    w{t + 1} AS (
+        SELECT walker, min_by(dst, h) AS v FROM (
+            SELECT w.walker, e.dst,
+                   md5(CAST(w.v AS VARCHAR) || '/'
+                       || CAST(e.dst AS VARCHAR) || '/{t}') AS h
+            FROM w{t} w JOIN edges e ON e.src = w.v
+        ) GROUP BY walker
+    )"""
+    steps = "\nUNION ALL\n".join(
+        f"SELECT walker, {t} AS step, v FROM w{t}"
+        for t in range(WALK_STEPS + 1)
+    )
+    sql += f"""
+    SELECT CAST(walker - {PART_OFFSET} AS BIGINT) AS walker_part,
+           CAST(step AS INT) AS step,
+           CAST(CASE WHEN v >= {PART_OFFSET} THEN v - {PART_OFFSET}
+                ELSE v END AS BIGINT) AS vertex,
+           v >= {PART_OFFSET} AS is_part
+    FROM ({steps})
+    """
+    return sql
+
+
+@query(
+    "graph_random_walk_deterministic",
+    sql=_walk_oracle_sql(),
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "DeepWalk-style corpus generation with md5-deterministic "
+        "successor choice (the RNG stand-in — reproducible across "
+        "clusters, partitionings, and retries, the property an "
+        "embedding-training corpus needs for exact re-runs).  Each "
+        "of the K steps is one frontier⋈edges equi-join on the "
+        "CURRENT-vertex key followed by a two-phase min_by per "
+        "walker — shuffle ∝ Σ deg(frontier), never a per-walker "
+        "collect, and the frontier never exceeds the walker count.  "
+        "Walkers here are a fixed 1/50 part-vertex sample; at 100 TB "
+        "the walker set is the full vertex table and the same K "
+        "rounds apply (the PageRank loop shape with min instead of "
+        "sum).  md5 keys are unique per (u, v, t) so min_by has no "
+        "tie to break."
+    ),
+)
+def graph_random_walk_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K=4-step deterministic (md5-guided) walks from every 50th part
+    vertex over the co-purchase graph; emits (walker, step, vertex)."""
+    edges = persist_fresh(
+        "walk_edges", sf_dir, copurchase_edges(spark, sf_dir)
+    )
+    w = (
+        edges.filter(
+            (F.col("src") >= PART_OFFSET)
+            & ((F.col("src") - PART_OFFSET) % WALK_START_MOD == 0)
+        )
+        .select(F.col("src").alias("walker"))
+        .distinct()
+        .withColumn("v", F.col("walker"))
+    )
+    out = [w.withColumn("step", F.lit(0))]
+    for t in range(WALK_STEPS):
+        h = F.md5(
+            F.concat(
+                F.col("v").cast("string"),
+                F.lit("/"),
+                F.col("dst").cast("string"),
+                F.lit(f"/{t}"),
+            )
+        )
+        w = (
+            w.join(edges, F.col("src") == F.col("v"))
+            .select("walker", "dst", h.alias("h"))
+            .groupBy("walker")
+            .agg(F.min_by("dst", "h").alias("v"))
+        )
+        out.append(w.withColumn("step", F.lit(t + 1)))
+    allsteps = out[0]
+    for df in out[1:]:
+        allsteps = allsteps.unionAll(df)
+    return allsteps.select(
+        (F.col("walker") - PART_OFFSET).cast("bigint").alias("walker_part"),
+        F.col("step").cast("int").alias("step"),
+        F.when(F.col("v") >= PART_OFFSET, F.col("v") - PART_OFFSET)
+        .otherwise(F.col("v"))
+        .cast("bigint")
+        .alias("vertex"),
+        (F.col("v") >= PART_OFFSET).alias("is_part"),
+    )

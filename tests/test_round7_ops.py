@@ -1178,3 +1178,45 @@ def test_theil_sen_matches_python_bruteforce(specs, spark, sf_dir):
         assert r["n_pairs"] == n
         assert r["median_slope"] == slopes[(n + 1) // 2 - 1], et
         assert r["upper_median_slope"] == slopes[n // 2], et
+
+
+def test_random_walk_matches_python_replay(specs, spark, sf_dir):
+    """graph_random_walk_deterministic == a Python walk over the same
+    adjacency with the same md5 successor rule — every step of every
+    walker, and walks never leave the edge set."""
+    import hashlib
+
+    from bigdata_twitter_spark.operators.graph import (
+        PART_OFFSET,
+        WALK_START_MOD,
+        WALK_STEPS,
+        copurchase_edges,
+    )
+
+    adj: dict[int, list] = defaultdict(list)
+    for r in copurchase_edges(spark, sf_dir).collect():
+        adj[r["src"]].append(r["dst"])
+    walkers = sorted(
+        u
+        for u in adj
+        if u >= PART_OFFSET and (u - PART_OFFSET) % WALK_START_MOD == 0
+    )
+    want = {}
+    for u in walkers:
+        v = u
+        want[(u - PART_OFFSET, 0)] = v
+        for t in range(WALK_STEPS):
+            v = min(
+                adj[v],
+                key=lambda d: hashlib.md5(
+                    f"{v}/{d}/{t}".encode()
+                ).hexdigest(),
+            )
+            want[(u - PART_OFFSET, t + 1)] = v
+    got = {}
+    for r in (
+        specs["graph_random_walk_deterministic"].fn(spark, sf_dir).collect()
+    ):
+        v = r["vertex"] + (PART_OFFSET if r["is_part"] else 0)
+        got[(r["walker_part"], r["step"])] = v
+    assert got == want and len(want) == len(walkers) * (WALK_STEPS + 1)
