@@ -825,3 +825,178 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_slope",
         "upper_median_slope",
     )
+
+
+# ---- Holt-Winters seasonal smoothing (round 7) -----------------------
+# The seasonal completion of ts_holt_linear: additive Holt-Winters
+# with period m=24 (the hour-of-day cycle ts_seasonal_decompose
+# exposes), α=2⁻¹, β=γ=2⁻² (binary-exact).  Same engine strategy as
+# Holt: sequential in time, embarrassingly parallel in keys — one
+# shuffle on event_type, then a per-key executor-side fold whose state
+# is (level, trend, 24-slot seasonal queue); the oracle restates the
+# SAME left fold as a recursive CTE with a LIST state, arithmetic
+# textually identical so both engines run the identical IEEE sequence.
+# Initialization avoids order-dependent float sums entirely: season
+# means come from INTEGER count sums (associative, partitioning-
+# independent), the initial seasonal queue is x_{24+i} − ℓ₀ over the
+# second season, and the fold starts at t=49.
+HW_PERIOD = 24
+HW_ALPHA = 0.5
+HW_BETA = 0.25
+HW_GAMMA = 0.25
+HW_FC = 3
+
+# The (textually shared) next-level expression: both engines inline
+# this for the trend and seasonal updates, so the op sequence is
+# identical everywhere it appears.
+_HW_NL = (
+    f"({HW_ALPHA} * x + (1 - {HW_ALPHA}) * (LEVEL + TREND))"
+)
+
+
+def _hw_step_exprs(x: str, level: str, trend: str, prev_s: str) -> tuple[str, str, str]:
+    nl = _HW_NL.replace("x", x).replace("LEVEL", level).replace("TREND", trend)
+    nt = f"({HW_BETA} * ({nl} - {level}) + (1 - {HW_BETA}) * {trend})"
+    ns = f"({HW_GAMMA} * ({x} - {nl}) + (1 - {HW_GAMMA}) * {prev_s})"
+    return nl, nt, ns
+
+
+def _hw_sql() -> str:
+    m = HW_PERIOD
+    nl, nt, ns = _hw_step_exprs("t.x", "r.level", "r.trend", "r.seas[1]")
+    fcs = ",\n           ".join(
+        f"level + {h} * trend + seas[{h}] AS forecast_{h}"
+        for h in range(1, HW_FC + 1)
+    )
+    return f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(cnt AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+        FROM hourly
+    ),
+    base AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN rn <= {m} THEN CAST(x AS BIGINT) END)
+                    AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN rn > {m} AND rn <= {2 * m}
+                             THEN CAST(x AS BIGINT) END) AS BIGINT) AS s2
+        FROM s GROUP BY 1
+        HAVING COUNT(*) >= {2 * m + 1}
+    ),
+    init AS (
+        SELECT b.event_type, b.n,
+               CAST(b.s2 AS DOUBLE) / {m} AS level,
+               (CAST(b.s2 AS DOUBLE) / {m} - CAST(b.s1 AS DOUBLE) / {m})
+                   / {m} AS trend,
+               (SELECT list(s.x - CAST(b.s2 AS DOUBLE) / {m} ORDER BY s.rn)
+                FROM s WHERE s.event_type = b.event_type
+                  AND s.rn > {m} AND s.rn <= {2 * m}) AS seas
+        FROM base b
+    ),
+    rec AS (
+        SELECT event_type, n, {2 * m} AS rn, level, trend, seas FROM init
+        UNION ALL
+        SELECT r.event_type, r.n, r.rn + 1,
+               {nl},
+               {nt},
+               list_append(r.seas[2:{m}], {ns})
+        FROM rec r
+        JOIN s t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+        WHERE r.rn < r.n
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours, level, trend,
+           {fcs}
+    FROM rec WHERE rn = n
+    """
+
+
+@query(
+    "ts_holt_winters",
+    sql=_hw_sql(),
+    tables=("events",),
+    scale_note=(
+        "Triple exponential smoothing, the seasonal forecaster: "
+        "sequential in time, parallel in keys — ONE shuffle on "
+        "event_type, then a per-key executor-side F.aggregate fold "
+        "over the (ts-ordered) hourly array with a (level, trend, "
+        "24-slot seasonal queue) struct state; no window, no "
+        "iteration over Spark jobs.  The oracle's recursive CTE "
+        "carries the identical LIST state with textually identical "
+        "arithmetic (shared expression builder), so both engines "
+        "execute the same IEEE sequence; α=2⁻¹, β=γ=2⁻² are "
+        "binary-exact, and initialization uses INTEGER season sums "
+        "(associative — no order-dependent float accumulation "
+        "anywhere).  Forecasts add the seasonal head slots to the "
+        "linear extrapolation."
+    ),
+)
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (m=24, α=1/2, β=γ=1/4) per event type
+    over the hourly series, with 3-hour seasonal forecasts."""
+    m = HW_PERIOD
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    series = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("hr", "cnt"))),
+                lambda r: r["cnt"].cast("double"),
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2 * m + 1)
+    )
+    nl, nt, ns = _hw_step_exprs("x", "acc.level", "acc.trend", "element_at(acc.seas, 1)")
+    # Integer season sums (associative) → identical doubles; seasonal
+    # queue = second-season residuals; fold from t = 2m+1.
+    fold = F.expr(
+        f"""
+        aggregate(
+            slice(xs, {2 * m + 1}, size(xs) - {2 * m}),
+            named_struct(
+                'level', CAST(aggregate(slice(xs, {m + 1}, {m}),
+                              0L, (a, v) -> a + CAST(v AS BIGINT))
+                              AS DOUBLE) / {m},
+                'trend', (CAST(aggregate(slice(xs, {m + 1}, {m}),
+                               0L, (a, v) -> a + CAST(v AS BIGINT))
+                               AS DOUBLE) / {m}
+                          - CAST(aggregate(slice(xs, 1, {m}),
+                                 0L, (a, v) -> a + CAST(v AS BIGINT))
+                                 AS DOUBLE) / {m}) / {m},
+                'seas', transform(slice(xs, {m + 1}, {m}),
+                            v -> v - CAST(aggregate(slice(xs, {m + 1}, {m}),
+                                          0L, (a, v2) -> a + CAST(v2 AS BIGINT))
+                                          AS DOUBLE) / {m})),
+            (acc, x) -> named_struct(
+                'level', {nl},
+                'trend', {nt},
+                'seas', concat(slice(acc.seas, 2, {m - 1}), array({ns})))
+        )
+        """
+    )
+    st = series.select(
+        "event_type", F.size("xs").cast("bigint").alias("n_hours"), fold.alias("st")
+    )
+    fcs = [
+        (
+            F.col("st.level")
+            + F.lit(h) * F.col("st.trend")
+            + F.element_at("st.seas", h)
+        ).alias(f"forecast_{h}")
+        for h in range(1, HW_FC + 1)
+    ]
+    return st.select(
+        "event_type",
+        "n_hours",
+        F.col("st.level").alias("level"),
+        F.col("st.trend").alias("trend"),
+        *fcs,
+    )

@@ -1220,3 +1220,52 @@ def test_random_walk_matches_python_replay(specs, spark, sf_dir):
         v = r["vertex"] + (PART_OFFSET if r["is_part"] else 0)
         got[(r["walker_part"], r["step"])] = v
     assert got == want and len(want) == len(walkers) * (WALK_STEPS + 1)
+
+
+def test_holt_winters_matches_python_fold(specs, spark, sf_dir):
+    """ts_holt_winters == an independent Python implementation of the
+    additive HW recurrence (bit-for-bit: same init, same fold order,
+    binary-exact α/β/γ)."""
+    from bigdata_twitter_spark.operators.statistics import (
+        HW_ALPHA, HW_BETA, HW_FC, HW_GAMMA, HW_PERIOD,
+    )
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    m = HW_PERIOD
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["cnt"]))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    expected_keys = {et for et, pts in series.items() if len(pts) >= 2 * m + 1}
+    assert set(got) == expected_keys and expected_keys
+    for et in expected_keys:
+        xs = [float(c) for _, c in sorted(series[et])]
+        s1 = sum(int(x) for x in xs[:m])
+        s2 = sum(int(x) for x in xs[m : 2 * m])
+        level = s2 / m
+        trend = (s2 / m - s1 / m) / m
+        seas = [x - s2 / m for x in xs[m : 2 * m]]
+        for x in xs[2 * m :]:
+            prev_s = seas[0]
+            nl = HW_ALPHA * x + (1 - HW_ALPHA) * (level + trend)
+            nt = HW_BETA * (nl - level) + (1 - HW_BETA) * trend
+            ns = HW_GAMMA * (x - nl) + (1 - HW_GAMMA) * prev_s
+            seas = seas[1:] + [ns]
+            level, trend = nl, nt
+        r = got[et]
+        assert r["n_hours"] == len(xs)
+        assert r["level"] == level and r["trend"] == trend, et
+        for h in range(1, HW_FC + 1):
+            assert r[f"forecast_{h}"] == level + h * trend + seas[h - 1], (
+                et, h,
+            )
