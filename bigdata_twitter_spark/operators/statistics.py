@@ -1000,3 +1000,116 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.trend").alias("trend"),
         *fcs,
     )
+
+
+# ---- two-proportion A/B test (round 7) -------------------------------
+# The experimentation primitive: compare conversion (purchase rate)
+# between two user cohorts (user_id parity stands in for the
+# assignment hash) with the pooled two-proportion z-test.  Conversion
+# = a high-value purchase (value > 95), chosen so the fixture's pooled
+# rate sits strictly inside (0, 1); the degenerate all/none cases are
+# guarded to z = 0.0 identically on both engines.  Counts are
+# exact integers; p̂_a, p̂_b, the pooled p̂, and z are each ONE
+# identical IEEE expression per output row — the agg_ratio_wilson_ci
+# discipline applied to a two-sample test.
+
+
+@query(
+    "ab_test_proportions",
+    sql="""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CASE WHEN event_type = 'purchase' AND value > 95
+                    THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    u AS (
+        SELECT grp, user_id, CAST(MAX(conv) AS BIGINT) AS converted
+        FROM assign GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS x
+        FROM u GROUP BY 1
+    ),
+    w AS (
+        SELECT MIN(CASE WHEN grp = 0 THEN n END) AS na,
+               MIN(CASE WHEN grp = 0 THEN x END) AS xa,
+               MIN(CASE WHEN grp = 1 THEN n END) AS nb,
+               MIN(CASE WHEN grp = 1 THEN x END) AS xb
+        FROM g
+    )
+    SELECT na, xa, nb, xb,
+           CAST(xa AS DOUBLE) / na AS p_a,
+           CAST(xb AS DOUBLE) / nb AS p_b,
+           CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb AS lift,
+           CASE WHEN xa + xb = 0 OR xa + xb = na + nb THEN 0.0
+                ELSE (CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                     / sqrt((CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(xa + xb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb)) END AS z_stat
+    FROM w
+    """,
+    tables=("events",),
+    scale_note=(
+        "A/B conversion test at warehouse scale: per-user conversion "
+        "is a two-phase MAX (map-side combine over the event stream "
+        "— a user's events collapse before the shuffle), cohort "
+        "totals are a 2-row aggregate, and the z statistic is one "
+        "identical IEEE expression over four exact bigints.  Nothing "
+        "after the per-user rollup is data-sized; the assignment "
+        "hash (user_id parity here) is the deterministic stand-in "
+        "for an experiment bucketing hash."
+    ),
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of purchase conversion between
+    the user_id-parity cohorts."""
+    e = load(spark, sf_dir, "events")
+    u = (
+        e.select(
+            (F.col("user_id") % 2).alias("grp"),
+            "user_id",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 95),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("grp", "user_id")
+        .agg(F.max("conv").cast("bigint").alias("converted"))
+    )
+    g = u.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+    )
+    w = g.agg(
+        F.min(F.when(F.col("grp") == 0, F.col("n"))).alias("na"),
+        F.min(F.when(F.col("grp") == 0, F.col("x"))).alias("xa"),
+        F.min(F.when(F.col("grp") == 1, F.col("n"))).alias("nb"),
+        F.min(F.when(F.col("grp") == 1, F.col("x"))).alias("xb"),
+    )
+    na, xa = F.col("na"), F.col("xa")
+    nb, xb = F.col("nb"), F.col("xb")
+    pa = xa.cast("double") / na
+    pb = xb.cast("double") / nb
+    pool = (xa + xb).cast("double") / (na + nb)
+    return w.select(
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        (pa - pb).alias("lift"),
+        F.when((xa + xb == 0) | (xa + xb == na + nb), F.lit(0.0))
+        .otherwise(
+            (pa - pb)
+            / F.sqrt(
+                pool * (1 - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            )
+        )
+        .alias("z_stat"),
+    )

@@ -1269,3 +1269,34 @@ def test_holt_winters_matches_python_fold(specs, spark, sf_dir):
             assert r[f"forecast_{h}"] == level + h * trend + seas[h - 1], (
                 et, h,
             )
+
+
+def test_ab_test_matches_python(specs, spark, sf_dir):
+    """ab_test_proportions == Python-computed cohort counts and the
+    pooled z expression."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    conv: dict[int, int] = defaultdict(int)
+    for r in rows:
+        if r["event_type"] == "purchase" and r["value"] > 95:
+            conv[r["user_id"]] = 1
+        else:
+            conv.setdefault(r["user_id"], 0)
+    na = sum(1 for u in conv if u % 2 == 0)
+    xa = sum(c for u, c in conv.items() if u % 2 == 0)
+    nb = len(conv) - na
+    xb = sum(conv.values()) - xa
+    [r] = specs["ab_test_proportions"].fn(spark, sf_dir).collect()
+    assert (r["na"], r["xa"], r["nb"], r["xb"]) == (na, xa, nb, xb)
+    assert 0 < xa + xb < na + nb  # the test actually discriminates
+    pool = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / math.sqrt(
+        pool * (1 - pool) * (1.0 / na + 1.0 / nb)
+    )
+    assert r["p_a"] == xa / na and r["p_b"] == xb / nb
+    assert r["z_stat"] == pytest.approx(z, abs=1e-14)
