@@ -1423,3 +1423,144 @@ def ts_sequence_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_matches") > 0)
     )
+
+
+# ---- event-transition matrix (round 7) -------------------------------
+# First-order Markov structure of user behavior: counts and row-
+# normalized probabilities of (previous event type → next event type)
+# transitions within each user's (ts, event_id)-ordered stream — the
+# session-model input win_session_paths' path strings summarize but
+# never quantify.  Counts are exact integers off ONE user-keyed lag
+# window; each probability is one division of exact integers.
+
+
+@query(
+    "ts_markov_transitions",
+    sql="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_n
+        FROM c GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / r.row_n AS p
+    FROM c JOIN r USING (prev_type)
+    """,
+    tables=("events",),
+    scale_note=(
+        "One user-keyed shuffle for the lag window (the shared "
+        "sessionization exchange), then a types²-sized two-phase "
+        "aggregation — the transition matrix is 25 rows regardless "
+        "of corpus size, and the row-normalizing join is against an "
+        "aggregate-sized table.  Counts exact, probabilities one "
+        "IEEE division each."
+    ),
+)
+def ts_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts and probabilities between event
+    types within per-user ordered streams."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = o.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    r = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return c.join(F.broadcast(r), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+    )
+
+
+# ---- exponentially decayed trending (round 7) ------------------------
+# top_active_users ranks by RAW lifetime counts, which never forgets;
+# real trending decays: score = Σ_events 2^(30 − age_hours div 12) —
+# a half-life of 12 hours implemented entirely with INTEGER bit
+# shifts (2⁻ᵏ decay ⇒ dyadic weights ⇒ exact bigint sums, no pow(),
+# no float accumulation), so the decayed ranking is hash-stable.
+DECAY_HALFLIFE_HOURS = 12
+DECAY_HALFLIFE_US = DECAY_HALFLIFE_HOURS * 3_600_000_000  # exact µs
+DECAY_MAX_SHIFT = 30
+DECAY_TOPK = 20
+
+
+@query(
+    "trending_decayed_topk",
+    sql=f"""
+    WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+    s AS (
+        SELECT e.user_id,
+               least((epoch_us(mx.mts) - epoch_us(e.ts))
+                     // {DECAY_HALFLIFE_US}, {DECAY_MAX_SHIFT}) AS k
+        FROM events e, mx
+    ),
+    sc AS (
+        SELECT user_id,
+               CAST(SUM((1::BIGINT << ({DECAY_MAX_SHIFT} - k)))
+                    AS BIGINT) AS score,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1
+    )
+    SELECT user_id, score, n_events,
+           CAST(row_number() OVER (ORDER BY score DESC, user_id)
+                AS INT) AS rnk
+    FROM sc
+    ORDER BY rnk LIMIT {DECAY_TOPK}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Recency-weighted trending with EXACT arithmetic: the 12-hour "
+        "half-life is a power-of-two decay, so each event's weight is "
+        "an integer bit shift and per-user scores are exact bigint "
+        "sums (associative — partial-aggregated map-side; no float "
+        "accumulation to drift under re-partitioning).  One 1-row "
+        "broadcast max-timestamp join, one two-phase agg, then a "
+        "global top-20 via TakeOrderedAndProject (per-partition "
+        "heaps).  At a true 100 TB the age cap bounds weights to "
+        "2^30 so a user's score fits bigint below ~2^33 events."
+    ),
+)
+def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by exponentially decayed activity (12 h half-life,
+    integer dyadic weights)."""
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mts"))
+    s = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({DECAY_MAX_SHIFT} - "
+            f"least((unix_micros(mts) - unix_micros(ts))"
+            f" div {DECAY_HALFLIFE_US}, "
+            f"CAST({DECAY_MAX_SHIFT} AS BIGINT)) AS INT))"
+        ).alias("w"),
+    )
+    sc = s.groupBy("user_id").agg(
+        F.sum("w").cast("bigint").alias("score"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    top = (
+        sc.orderBy(F.col("score").desc(), "user_id")
+        .limit(DECAY_TOPK)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "user_id"))
+            .cast("int"),
+        )
+    )
+    return top.select("user_id", "score", "n_events", "rnk")

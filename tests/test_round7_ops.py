@@ -1300,3 +1300,54 @@ def test_ab_test_matches_python(specs, spark, sf_dir):
     )
     assert r["p_a"] == xa / na and r["p_b"] == xb / nb
     assert r["z_stat"] == pytest.approx(z, abs=1e-14)
+
+
+def test_markov_and_decay_match_python(specs, spark, sf_dir):
+    """ts_markov_transitions and trending_decayed_topk == Python
+    replays (ordered lag pairs; exact dyadic decay scores)."""
+    from bigdata_twitter_spark.operators.timeseries import (
+        DECAY_HALFLIFE_US,
+        DECAY_MAX_SHIFT,
+        DECAY_TOPK,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = defaultdict(list)
+    mts = max(r["ts"] for r in rows)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    trans: dict[tuple, int] = defaultdict(int)
+    score: dict[int, int] = defaultdict(int)
+    nev: dict[int, int] = defaultdict(int)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for prev, cur in zip(evs, evs[1:]):
+            trans[(prev["event_type"], cur["event_type"])] += 1
+        for r in evs:
+            age_us = int((mts - r["ts"]).total_seconds() * 1e6)
+            k = min(age_us // DECAY_HALFLIFE_US, DECAY_MAX_SHIFT)
+            score[uid] += 1 << (DECAY_MAX_SHIFT - k)
+            nev[uid] += 1
+    got_t = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in specs["ts_markov_transitions"].fn(spark, sf_dir).collect()
+    }
+    row_tot: dict[str, int] = defaultdict(int)
+    for (p_, _), n in trans.items():
+        row_tot[p_] += n
+    assert set(got_t) == set(trans)
+    for key, n in trans.items():
+        assert got_t[key][0] == n
+        assert got_t[key][1] == n / row_tot[key[0]]
+    want_top = sorted(score, key=lambda u: (-score[u], u))[:DECAY_TOPK]
+    got_d = sorted(
+        specs["trending_decayed_topk"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["user_id"] for r in got_d] == want_top
+    for r in got_d:
+        assert r["score"] == score[r["user_id"]]
+        assert r["n_events"] == nev[r["user_id"]]
