@@ -1113,3 +1113,145 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_stat"),
     )
+
+
+# ---- lagged cross-correlation (round 7) ------------------------------
+# ts_autocorr_lag asks "does a series predict itself"; the
+# cross-correlation asks "does one series LEAD another" — here, do
+# clicks at hour t predict purchases at hour t+k (k = −3..3, negative
+# lags meaning purchases lead).  Same exact-integer discipline: both
+# series are dense-grid hourly counts (missing hours = 0 so the two
+# series share a time axis), every co-moment is an exact integer, and
+# each correlation is one identical IEEE expression.
+XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+XCORR_A = "click"
+XCORR_B = "purchase"
+
+
+@query(
+    "ts_cross_correlation",
+    sql=f"""
+    WITH b AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type
+        FROM events WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+    ),
+    r AS (SELECT min(h) AS lo, max(h) AS hi FROM b),
+    hrs AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM r
+        )
+    ),
+    c AS (
+        SELECT h, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT hrs.rn,
+               COALESCE(MAX(CASE WHEN c.event_type = '{XCORR_A}'
+                                 THEN c.n END), 0) AS xa,
+               COALESCE(MAX(CASE WHEN c.event_type = '{XCORR_B}'
+                                 THEN c.n END), 0) AS xb
+        FROM hrs LEFT JOIN c ON c.h = hrs.h
+        GROUP BY hrs.rn
+    ),
+    base AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(xa) AS BIGINT) AS sa,
+               CAST(SUM(xa * xa) AS BIGINT) AS saa,
+               CAST(SUM(xb) AS BIGINT) AS sb,
+               CAST(SUM(xb * xb) AS BIGINT) AS sbb
+        FROM g
+    ),
+    lagged AS (
+        SELECT k.k, COUNT(*) AS np,
+               CAST(SUM(a.xa * b2.xb) AS BIGINT) AS sab
+        FROM g a
+        JOIN (VALUES {", ".join(f"({k})" for k in XCORR_LAGS)}) k(k) ON TRUE
+        JOIN g b2 ON b2.rn = a.rn + k.k
+        GROUP BY 1
+    )
+    SELECT CAST(l.k AS INT) AS lag_k, CAST(b.n AS BIGINT) AS n_hours,
+           CAST(l.np AS BIGINT) AS n_pairs,
+           (CAST(l.sab AS DOUBLE) - CAST(b.sa AS DOUBLE) / b.n
+                * CAST(b.sb AS DOUBLE))
+           / (sqrt(CAST(b.saa AS DOUBLE)
+                   - CAST(b.sa AS DOUBLE) * CAST(b.sa AS DOUBLE) / b.n)
+              * sqrt(CAST(b.sbb AS DOUBLE)
+                     - CAST(b.sb AS DOUBLE) * CAST(b.sb AS DOUBLE) / b.n))
+               AS xcorr
+    FROM lagged l, base b
+    """,
+    tables=("events",),
+    scale_note=(
+        "Lead-lag discovery between two metrics: the dense grid is "
+        "calendar-sized (ts_gap_fill's shape) and shared by both "
+        "series, lag pairing is a co-shuffled self-equi-join on "
+        "rn+k (never a cross join), and every accumulated quantity "
+        "is an exact integer — the correlation is one identical "
+        "IEEE expression per lag.  The normalization uses global "
+        "series moments (the standard CCF denominator), so only the "
+        "7-row lag table and the 1-row moment table cross stages."
+    ),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of hourly click vs purchase counts at lags
+    −3..3 (positive k: clicks lead purchases by k hours)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(XCORR_A, XCORR_B)
+    )
+    b = e.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+    rng = b.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    hrs = rng.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        )
+    ).withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    c = b.groupBy("h", "event_type").agg(F.count("*").alias("n"))
+    g = (
+        hrs.join(F.broadcast(c), "h", "left")
+        .groupBy("rn")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == XCORR_A, F.col("n"))),
+                F.lit(0),
+            ).alias("xa"),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == XCORR_B, F.col("n"))),
+                F.lit(0),
+            ).alias("xb"),
+        )
+    )
+    base = g.agg(
+        F.count("*").alias("n"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("saa"),
+        F.sum("xb").cast("bigint").alias("sb"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("sbb"),
+    )
+    ks = spark.createDataFrame([(k,) for k in XCORR_LAGS], "k bigint")
+    a2, b2 = g.alias("a"), g.alias("b2")
+    lagged = (
+        a2.join(F.broadcast(ks))
+        .join(b2, F.col("b2.rn") == F.col("a.rn") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("np"),
+            F.sum(F.col("a.xa") * F.col("b2.xb"))
+            .cast("bigint")
+            .alias("sab"),
+        )
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    return lagged.crossJoin(F.broadcast(base)).select(
+        F.col("k").cast("int").alias("lag_k"),
+        n.cast("bigint").alias("n_hours"),
+        F.col("np").cast("bigint").alias("n_pairs"),
+        (
+            (sab.cast("double") - sa.cast("double") / n * sb.cast("double"))
+            / (
+                F.sqrt(saa.cast("double") - sa.cast("double") * sa.cast("double") / n)
+                * F.sqrt(sbb.cast("double") - sb.cast("double") * sb.cast("double") / n)
+            )
+        ).alias("xcorr"),
+    )

@@ -1351,3 +1351,55 @@ def test_markov_and_decay_match_python(specs, spark, sf_dir):
     for r in got_d:
         assert r["score"] == score[r["user_id"]]
         assert r["n_events"] == nev[r["user_id"]]
+
+
+def test_cross_correlation_matches_python(specs, spark, sf_dir):
+    """ts_cross_correlation == Python CCF over the same dense grid."""
+    import math
+    from datetime import timedelta
+
+    from bigdata_twitter_spark.operators.timeseries import SESSION_GAP_US  # noqa: F401
+    from bigdata_twitter_spark.operators.statistics import (
+        XCORR_A, XCORR_B, XCORR_LAGS,
+    )
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .collect()
+    )
+    counts: dict = defaultdict(int)
+    for r in rows:
+        counts[(r["h"], r["event_type"])] += 1
+    hours = sorted({h for h, _ in counts})
+    lo, hi = hours[0], hours[-1]
+    grid = []
+    h = lo
+    while h <= hi:
+        grid.append((counts.get((h, XCORR_A), 0), counts.get((h, XCORR_B), 0)))
+        h += timedelta(hours=1)
+    n = len(grid)
+    sa = sum(a for a, _ in grid)
+    sb = sum(b for _, b in grid)
+    saa = sum(a * a for a, _ in grid)
+    sbb = sum(b * b for _, b in grid)
+    den = math.sqrt(saa - sa * sa / n) * math.sqrt(sbb - sb * sb / n)
+    got = {
+        r["lag_k"]: r
+        for r in specs["ts_cross_correlation"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(XCORR_LAGS)
+    for k in XCORR_LAGS:
+        pairs = [
+            (grid[i][0], grid[i + k][1])
+            for i in range(n)
+            if 0 <= i + k < n
+        ]
+        sab = sum(a * b for a, b in pairs)
+        want = (sab - sa / n * sb) / den
+        r = got[k]
+        assert r["n_hours"] == n and r["n_pairs"] == len(pairs)
+        assert r["xcorr"] == pytest.approx(want, abs=1e-12), k
