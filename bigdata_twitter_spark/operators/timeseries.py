@@ -1564,3 +1564,111 @@ def trending_decayed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.select("user_id", "score", "n_events", "rnk")
+
+
+# ---- MAD-based robust anomaly detection (round 7) --------------------
+# ts_anomaly_zscore standardizes with mean/std, which the outliers
+# themselves inflate (masking).  The robust version standardizes with
+# median / MAD (median absolute deviation): both are exact DISCRETE
+# order statistics over integer hourly counts (the ts_rolling_median
+# selection discipline — lower median, never interpolation), so the
+# only float in the flag decision is one division by the scaled MAD.
+# Flag: |x − med| > 3.5 · 1.4826 · MAD (the standard consistency
+# constant); MAD = 0 series are guarded (no flags — a constant series
+# has no outliers).
+MAD_K = 3.5
+MAD_CONSISTENCY = 1.4826
+
+
+@query(
+    "ts_anomaly_mad",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, cnt_med FROM (
+            SELECT event_type, cnt AS cnt_med,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt, hr) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM hourly
+        ) WHERE rk = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT h.event_type, h.hr, h.cnt, m.cnt_med,
+               abs(h.cnt - m.cnt_med) AS ad
+        FROM hourly h JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, ad AS mad FROM (
+            SELECT event_type, ad,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ad, hr) AS rk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rk = (n + 1) // 2
+    )
+    SELECT d.event_type, d.hr, d.cnt,
+           CAST(d.cnt_med AS BIGINT) AS series_median,
+           CAST(m.mad AS BIGINT) AS mad,
+           CAST(d.cnt - d.cnt_med AS DOUBLE)
+               / ({MAD_CONSISTENCY} * m.mad) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+      AND abs(CAST(d.cnt - d.cnt_med AS DOUBLE))
+          > {MAD_K} * ({MAD_CONSISTENCY} * m.mad)
+    """,
+    tables=("events",),
+    scale_note=(
+        "Robust outlier flagging: median and MAD are exact lower-"
+        "median ORDER STATISTICS (selection via a type-partitioned "
+        "rank over the grid-sized hourly table — ts_rolling_median's "
+        "discipline, no interpolation, no float accumulation), "
+        "broadcast back as 1-row-per-type tables; the flag test and "
+        "robust z are one identical IEEE expression over exact "
+        "integers.  The hourly pre-agg is the only data-sized pass; "
+        "MAD=0 (constant) series are excluded by contract rather "
+        "than dividing by zero differently per engine."
+    ),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose count deviates from the per-type median by more
+    than 3.5 consistency-scaled MADs (robust z-score anomalies)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+
+    def lower_median(df, val, extra_order):
+        w = Window.partitionBy("event_type").orderBy(val, extra_order)
+        n = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(n))
+            .filter(F.col("rk") == ((F.col("n") + 1) / 2).cast("bigint"))
+        )
+
+    med = lower_median(hourly, F.col("cnt"), F.col("hr")).select(
+        "event_type", F.col("cnt").alias("cnt_med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("cnt") - F.col("cnt_med"))
+    )
+    mad = lower_median(dev, F.col("ad"), F.col("hr")).select(
+        "event_type", F.col("ad").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type").filter(F.col("mad") > 0)
+    diff = (F.col("cnt") - F.col("cnt_med")).cast("double")
+    scaled = F.lit(MAD_CONSISTENCY) * F.col("mad")
+    return j.filter(F.abs(diff) > F.lit(MAD_K) * scaled).select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.col("cnt_med").cast("bigint").alias("series_median"),
+        F.col("mad").cast("bigint").alias("mad"),
+        (diff / scaled).alias("robust_z"),
+    )

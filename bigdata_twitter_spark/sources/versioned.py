@@ -703,3 +703,100 @@ def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snapshot string, n_rows bigint, sum_value double, "
         "n_new_data_dirs int",
     )
+
+
+# ---- table statistics collection (round 7) ---------------------------
+# ANALYZE TABLE in miniature: the per-column statistics a cost-based
+# optimizer plans from (row count, null count, exact NDV, min/max,
+# average length) computed in ONE pass over the table and emitted as a
+# stats row per column — the artifact engines persist to choose
+# broadcast vs shuffle joins and estimate selectivity.  Everything is
+# exact integers / strings; no sampling, no sketches (the sketch
+# versions are agg_hll_sketch / agg_kmv_distinct — this is the exact
+# planning-stats pass a nightly ANALYZE job runs).
+_ANALYZE_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderkey")
+
+
+@query(
+    "table_analyze_stats",
+    sql="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val,
+           CAST(SUM(len(CAST(o_custkey AS VARCHAR))) AS BIGINT)
+               AS total_len
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR),
+           CAST(SUM(len(o_orderstatus)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR),
+           CAST(SUM(len(o_orderpriority)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS VARCHAR),
+           CAST(MAX(o_orderkey) AS VARCHAR),
+           CAST(SUM(len(CAST(o_orderkey AS VARCHAR))) AS BIGINT)
+    FROM orders
+    """,
+    tables=("orders",),
+    scale_note=(
+        "The nightly ANALYZE pass: per-column (rows, nulls, exact "
+        "NDV, min/max, total length) — Spark computes all columns in "
+        "one unpivoted scan (explode over the column set, then one "
+        "two-phase agg keyed by column name; NDV is count_distinct "
+        "inside the same agg, i.e. one expand + shuffle keyed by "
+        "(column, value) — the standard exact-NDV plan).  Output is "
+        "columns-sized.  At 100 TB a real deployment samples or "
+        "swaps NDV to the registered HLL/KMV sketches; the stats "
+        "SHAPE and its consumers (broadcast-vs-shuffle choice, "
+        "selectivity estimates) are what this key certifies."
+    ),
+)
+def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact planning statistics (rows/nulls/NDV/min/max/total length)
+    for four orders columns, one row per column."""
+    o = load(spark, sf_dir, "orders")
+    # One aggregation over the base table computes every column's
+    # stats on NATIVE types (min/max before any stringify — a string
+    # max of "99" vs 149 is the classic ANALYZE bug), then the 1-row
+    # result unpivots to columns-sized output.
+    aggs = []
+    for c in _ANALYZE_COLS:
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nn"),
+            F.count_distinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.sum(F.length(F.col(c).cast("string")))
+            .cast("bigint")
+            .alias(f"{c}__len"),
+        ]
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__ndv, {c}__min, {c}__max, {c}__len"
+        for c in _ANALYZE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_ANALYZE_COLS)}, {stack}) AS "
+            "(column_name, n_rows, n_nulls, ndv, min_val, max_val, "
+            "total_len)"
+        )
+    )

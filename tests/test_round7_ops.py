@@ -1403,3 +1403,54 @@ def test_cross_correlation_matches_python(specs, spark, sf_dir):
         r = got[k]
         assert r["n_hours"] == n and r["n_pairs"] == len(pairs)
         assert r["xcorr"] == pytest.approx(want, abs=1e-12), k
+
+
+def test_mad_anomalies_match_python(specs, spark, sf_dir):
+    """ts_anomaly_mad == Python-computed lower medians / MAD flags;
+    at the driver scale (sf0.01) the screen is known to flag rows, so
+    this referee also runs there explicitly."""
+    from bigdata_twitter_spark.operators.timeseries import (
+        MAD_CONSISTENCY,
+        MAD_K,
+    )
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    for d in {sf_dir, "/root/testdata/sf0.01"}:
+        hourly = (
+            load(spark, d, "events")
+            .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        series: dict[str, list] = defaultdict(list)
+        for r in hourly:
+            series[r["event_type"]].append((r["hr"], r["cnt"]))
+        want = {}
+        for et, pts in series.items():
+            by_cnt = sorted(pts, key=lambda t: (t[1], t[0]))
+            n = len(by_cnt)
+            med = by_cnt[(n + 1) // 2 - 1][1]
+            devs = sorted(
+                (abs(c - med), hr) for hr, c in pts
+            )
+            mad = devs[(n + 1) // 2 - 1][0]
+            if mad == 0:
+                continue
+            for hr, c in pts:
+                if abs(float(c - med)) > MAD_K * (MAD_CONSISTENCY * mad):
+                    want[(et, hr)] = (
+                        c, med, mad, (c - med) / (MAD_CONSISTENCY * mad),
+                    )
+        got = {
+            (r["event_type"], r["hr"]): (
+                r["cnt"], r["series_median"], r["mad"], r["robust_z"],
+            )
+            for r in specs["ts_anomaly_mad"].fn(spark, d).collect()
+        }
+        assert set(got) == set(want)
+        for key, (c, med, mad, z) in want.items():
+            assert got[key][:3] == (c, med, mad), key
+            assert got[key][3] == pytest.approx(z, abs=1e-14), key
+        if d.endswith("sf0.01"):
+            assert want  # the screen bites at the driver scale
