@@ -1255,3 +1255,105 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("xcorr"),
     )
+
+
+# ---- covariance / correlation matrix (round 7) -----------------------
+# The multivariate completion of agg_regression_per_group: the full
+# covariance and correlation matrix over (quantity, extendedprice,
+# discount) per return flag — what a feature-engineering pass reads
+# before deciding which measures are redundant.  Same numeric rule:
+# every co-moment is an exact decimal sum bridged with wide_dbl, and
+# each covariance/correlation is one identical IEEE expression per
+# output row.
+_COV_MEASURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _cov_sql() -> str:
+    def d(c: str) -> str:
+        return f"CAST({c} AS DECIMAL(12,2))"
+
+    moments = [
+        f"{wide_dbl_sql(f'SUM({d(c)})')} AS s_{i}"
+        for i, c in enumerate(_COV_MEASURES)
+    ] + [
+        f"{wide_dbl_sql(f'SUM({d(a)} * {d(b)})')} AS s_{i}_{j}"
+        for i, a in enumerate(_COV_MEASURES)
+        for j, b in enumerate(_COV_MEASURES)
+        if i <= j
+    ]
+    pair_rows = []
+    for i in range(len(_COV_MEASURES)):
+        for j in range(i, len(_COV_MEASURES)):
+            cov = f"(s_{i}_{j} / n - (s_{i} / n) * (s_{j} / n))"
+            vi = f"(s_{i}_{i} / n - (s_{i} / n) * (s_{i} / n))"
+            vj = f"(s_{j}_{j} / n - (s_{j} / n) * (s_{j} / n))"
+            pair_rows.append(
+                f"SELECT l_returnflag, '{_COV_MEASURES[i]}' AS var_a, "
+                f"'{_COV_MEASURES[j]}' AS var_b, n, {cov} AS cov, "
+                f"{cov} / (sqrt({vi}) * sqrt({vj})) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        + ", ".join(moments)
+        + " FROM lineitem GROUP BY 1) "
+        + " UNION ALL ".join(pair_rows)
+    )
+
+
+@query(
+    "agg_covariance_matrix",
+    sql=_cov_sql(),
+    tables=("lineitem",),
+    scale_note=(
+        "Full covariance/correlation matrix in ONE two-phase "
+        "aggregation: all k(k+3)/2 co-moments accumulate as exact "
+        "decimal sums in the same map-side combine (one shuffle of "
+        "groups-sized partials, never one pass per pair), bridged to "
+        "identical doubles with wide_dbl (the r6 co-moment idiom), "
+        "and each matrix entry is one identical IEEE expression.  "
+        "Output is groups × pairs rows — dimension-sized."
+    ),
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance + correlation over (quantity, extendedprice,
+    discount) per return flag, from exact decimal co-moments."""
+    li = load(spark, sf_dir, "lineitem")
+    ms = _COV_MEASURES
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    aggs += [
+        wide_dbl(F.sum(dec(c))).alias(f"s_{i}") for i, c in enumerate(ms)
+    ]
+    aggs += [
+        wide_dbl(F.sum(dec(a) * dec(b))).alias(f"s_{i}_{j}")
+        for i, a in enumerate(ms)
+        for j, b in enumerate(ms)
+        if i <= j
+    ]
+    m = li.groupBy("l_returnflag").agg(*aggs)
+    outs = []
+    n = F.col("n")
+    for i in range(len(ms)):
+        for j in range(i, len(ms)):
+            cov = F.col(f"s_{i}_{j}") / n - (F.col(f"s_{i}") / n) * (
+                F.col(f"s_{j}") / n
+            )
+            vi = F.col(f"s_{i}_{i}") / n - (F.col(f"s_{i}") / n) * (
+                F.col(f"s_{i}") / n
+            )
+            vj = F.col(f"s_{j}_{j}") / n - (F.col(f"s_{j}") / n) * (
+                F.col(f"s_{j}") / n
+            )
+            outs.append(
+                m.select(
+                    "l_returnflag",
+                    F.lit(ms[i]).alias("var_a"),
+                    F.lit(ms[j]).alias("var_b"),
+                    "n",
+                    cov.alias("cov"),
+                    (cov / (F.sqrt(vi) * F.sqrt(vj))).alias("corr"),
+                )
+            )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out

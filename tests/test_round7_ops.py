@@ -1454,3 +1454,48 @@ def test_mad_anomalies_match_python(specs, spark, sf_dir):
             assert got[key][3] == pytest.approx(z, abs=1e-14), key
         if d.endswith("sf0.01"):
             assert want  # the screen bites at the driver scale
+
+
+def test_covariance_matrix_matches_python(specs, spark, sf_dir):
+    """agg_covariance_matrix == Python exact-Decimal co-moments and
+    the same float expression sequence."""
+    import math
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.operators.statistics import _COV_MEASURES
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *_COV_MEASURES
+    ).collect()
+    by_flag: dict[str, list] = defaultdict(list)
+    q = Decimal("0.01")
+    for r in rows:
+        by_flag[r["l_returnflag"]].append(
+            [Decimal(str(r[c])).quantize(q) for c in _COV_MEASURES]
+        )
+    got = {
+        (r["l_returnflag"], r["var_a"], r["var_b"]): r
+        for r in specs["agg_covariance_matrix"].fn(spark, sf_dir).collect()
+    }
+    k = len(_COV_MEASURES)
+    assert len(got) == len(by_flag) * k * (k + 1) // 2
+    for flag, vecs in by_flag.items():
+        n = len(vecs)
+        s = [float(sum(v[i] for v in vecs)) for i in range(k)]
+        ss = {
+            (i, j): float(sum(v[i] * v[j] for v in vecs))
+            for i in range(k)
+            for j in range(i, k)
+        }
+        for i in range(k):
+            for j in range(i, k):
+                cov = ss[(i, j)] / n - (s[i] / n) * (s[j] / n)
+                vi = ss[(i, i)] / n - (s[i] / n) * (s[i] / n)
+                vj = ss[(j, j)] / n - (s[j] / n) * (s[j] / n)
+                r = got[(flag, _COV_MEASURES[i], _COV_MEASURES[j])]
+                assert r["n"] == n
+                assert r["cov"] == pytest.approx(cov, rel=1e-12)
+                assert r["corr"] == pytest.approx(
+                    cov / (math.sqrt(vi) * math.sqrt(vj)), rel=1e-12
+                )
