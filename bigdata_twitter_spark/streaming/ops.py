@@ -1437,3 +1437,88 @@ def stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad_id").cast("bigint").alias("id_checksum"),
     ).select(F.lit("quarantine").alias("bucket"), "n_rows", "id_checksum")
     return g.unionAll(d)
+
+
+# ---- kappa-architecture backfill (round 7) ---------------------------
+# The unification demo every streaming migration needs: ONE
+# transformation (hourly count + exact-decimal revenue per type)
+# applied to the batch HISTORY and to the streaming TAIL of the same
+# table, merged into the answer a single batch query over everything
+# would give.  The merge is exact because both legs' partials are
+# mergeable aggregates (counts and decimal sums — the cutoff-
+# straddling hour simply sums its two partials); the oracle IS that
+# single batch query.  Cutoff = max ts − 6 h, so the tail is real but
+# bounded.
+BACKFILL_TAIL_HOURS = 6
+
+
+def _backfill_transform(df: DataFrame) -> DataFrame:
+    """The shared batch/stream transformation — defined ONCE so the
+    two legs can never drift apart.  The revenue partial stays
+    DECIMAL (not yet double): the merge must sum exact partials and
+    round ONCE at the end, or the cutoff-straddling hour could differ
+    from the single-query result by an ulp (two roundings vs one)."""
+    from ..numerics import dec
+
+    return df.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).alias("total_value_dec"),
+    )
+
+
+@query(
+    "stream_backfill_union",
+    sql="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tables=("events",),
+    scale_note=(
+        "Kappa backfill: history leg = the batch DataFrame, tail leg "
+        "= a file stream over the same table's last 6 h, BOTH fed "
+        "through one shared transformation function (defined once — "
+        "the legs cannot drift), then merged with a second groupBy "
+        "that sums partials (counts + exact decimal sums are "
+        "mergeable, so the cutoff-straddling hour is exact).  At "
+        "100 TB this is the migration/recovery path: re-run history "
+        "as batch at full cluster parallelism while the stream owns "
+        "the tail, with the SAME code and a provably identical "
+        "result (oracle = the single batch query over everything)."
+    ),
+)
+def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch history + streamed 6-hour tail through one shared
+    transformation, merged exactly (≡ the single batch query)."""
+    from ..session import configure
+
+    configure(spark)
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("mts")).collect()[0]["mts"]
+    cutoff = mx - __import__("datetime").timedelta(
+        hours=BACKFILL_TAIL_HOURS
+    )
+    history = e.filter(F.col("ts") < F.lit(cutoff))
+    tail_dir = _fresh_dir(
+        f"backfill_tail_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e.filter(F.col("ts") >= F.lit(cutoff)).write.mode("overwrite").parquet(
+        tail_dir
+    )
+    tail_stream = spark.readStream.schema(EVENTS_US_SCHEMA).parquet(
+        tail_dir
+    )
+    streamed_tail = _run_to_parquet(
+        tail_stream, "backfill_tail", EVENTS_US_SCHEMA
+    )
+    merged = _backfill_transform(history).unionAll(
+        _backfill_transform(streamed_tail)
+    )
+    return merged.groupBy("hour", "event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("total_value_dec").cast("double").alias("total_value"),
+    )

@@ -1499,3 +1499,37 @@ def test_covariance_matrix_matches_python(specs, spark, sf_dir):
                 assert r["corr"] == pytest.approx(
                     cov / (math.sqrt(vi) * math.sqrt(vj)), rel=1e-12
                 )
+
+
+def test_backfill_union_legs_are_both_real(specs, spark, sf_dir):
+    """stream_backfill_union: the result equals the single batch
+    query AND both legs contributed rows (the tail is nonempty and
+    the cutoff-straddling hour merges two partials)."""
+    import datetime
+
+    from bigdata_twitter_spark.streaming.ops import BACKFILL_TAIL_HOURS
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    cutoff = mx - datetime.timedelta(hours=BACKFILL_TAIL_HOURS)
+    n_tail = e.filter(F.col("ts") >= F.lit(cutoff)).count()
+    n_hist = e.filter(F.col("ts") < F.lit(cutoff)).count()
+    assert n_tail > 0 and n_hist > 0
+    got = specs["stream_backfill_union"].fn(spark, sf_dir).collect()
+    want = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    gm = {(r["hour"], r["event_type"]): r["n"] for r in got}
+    wm = {(r["hour"], r["event_type"]): r["n"] for r in want}
+    assert gm == wm
+    # The straddling hour exists: cutoff is not on an hour boundary
+    # for the fixture, so at least one (hour, type) group has events
+    # on both sides.
+    straddle = e.filter(
+        F.date_trunc("hour", "ts") == F.date_trunc("hour", F.lit(cutoff))
+    ).count()
+    assert straddle > 0
