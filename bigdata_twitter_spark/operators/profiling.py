@@ -582,3 +582,113 @@ def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+# ---- Benford first-digit screen (round 7) ----------------------------
+# The forensic-accounting profile: the leading-digit distribution of
+# a naturally-generated monetary column follows Benford's law
+# (P(d) = log10(1 + 1/d)); a synthetic or manipulated column does
+# not.  Digit extraction is exact string arithmetic on the cent-
+# scaled integer; the expected rates are LITERAL constants (identical
+# doubles in both engines by construction), and each digit's chi²
+# contribution is one identical IEEE expression — no cross-row float
+# aggregation anywhere.
+_BENFORD_RATES = {
+    1: 0.30102999566398120,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _benford_rate_sql() -> str:
+    # Exponent-suffixed literals: DuckDB types a bare decimal literal
+    # as DECIMAL (overflow in the chi² square, and the DECIMAL→DOUBLE
+    # hop can round the last ulp differently than a direct parse);
+    # '…e0' parses as DOUBLE straight from the text, matching
+    # Python/Java literal parsing bit-for-bit.
+    return (
+        "CASE first_digit "
+        + " ".join(
+            f"WHEN {d} THEN {r!r}e0" for d, r in _BENFORD_RATES.items()
+        )
+        + " END"
+    )
+
+
+@query(
+    "agg_benford_digits",
+    sql=f"""
+    WITH d AS (
+        -- floor, not CAST: DuckDB's double→BIGINT cast ROUNDS while
+        -- Spark's truncates; floor() pins identical cents on both.
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS first_digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+        SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c)
+    SELECT c.first_digit, c.observed,
+           {_benford_rate_sql()} AS benford_rate,
+           t.n * ({_benford_rate_sql()}) AS expected,
+           (c.observed - t.n * ({_benford_rate_sql()}))
+           * (c.observed - t.n * ({_benford_rate_sql()}))
+           / (t.n * ({_benford_rate_sql()})) AS chi2_contrib
+    FROM c, t
+    """,
+    tables=("orders",),
+    scale_note=(
+        "One two-phase digit-count aggregation (9-row output) plus a "
+        "1-row total join; digit extraction is exact integer/string "
+        "arithmetic on cent-scaled values (no float log in the "
+        "extraction path), Benford rates are shared LITERALS (the "
+        "same decimal text parses to the same double in both "
+        "engines), and each chi² contribution is one identical IEEE "
+        "expression per output row.  Nothing after the count is "
+        "data-sized."
+    ),
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of o_totalprice vs Benford's law,
+    with per-digit chi² contributions."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            (F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(
+        F.count("*").cast("bigint").alias("observed")
+    )
+    t = c.agg(F.sum("observed").cast("bigint").alias("n"))
+    rate = F.lit(None).cast("double")
+    expr = None
+    for dig, r in _BENFORD_RATES.items():
+        expr = (
+            F.when(F.col("first_digit") == dig, F.lit(r))
+            if expr is None
+            else expr.when(F.col("first_digit") == dig, F.lit(r))
+        )
+    rate = expr
+    j = c.crossJoin(F.broadcast(t))
+    obs, n = F.col("observed"), F.col("n")
+    exp = n * rate
+    return j.select(
+        "first_digit",
+        "observed",
+        rate.alias("benford_rate"),
+        exp.alias("expected"),
+        ((obs - exp) * (obs - exp) / exp).alias("chi2_contrib"),
+    )

@@ -1533,3 +1533,35 @@ def test_backfill_union_legs_are_both_real(specs, spark, sf_dir):
         F.date_trunc("hour", "ts") == F.date_trunc("hour", F.lit(cutoff))
     ).count()
     assert straddle > 0
+
+
+def test_benford_matches_python(specs, spark, sf_dir):
+    """agg_benford_digits == Python digit counts and chi² terms."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    prices = [
+        r["o_totalprice"]
+        for r in load(spark, sf_dir, "orders").select("o_totalprice").collect()
+        if r["o_totalprice"] > 0
+    ]
+    counts: dict[int, int] = defaultdict(int)
+    for p_ in prices:
+        counts[int(str(int(p_ * 100))[0])] += 1
+    n = sum(counts.values())
+    got = {
+        r["first_digit"]: r
+        for r in specs["agg_benford_digits"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for d, obs in counts.items():
+        rate = math.log10(1 + 1 / d)
+        r = got[d]
+        assert r["observed"] == obs
+        assert r["benford_rate"] == pytest.approx(rate, abs=1e-15)
+        exp = n * r["benford_rate"]
+        assert r["expected"] == pytest.approx(exp, rel=1e-14)
+        assert r["chi2_contrib"] == pytest.approx(
+            (obs - exp) ** 2 / exp, rel=1e-12
+        )
