@@ -1565,3 +1565,35 @@ def test_benford_matches_python(specs, spark, sf_dir):
         assert r["chi2_contrib"] == pytest.approx(
             (obs - exp) ** 2 / exp, rel=1e-12
         )
+
+
+def test_debezium_apply_matches_python(specs, spark, sf_dir):
+    """cdc_debezium_apply == Python-applied c/u/d over orders, and the
+    JSON envelope round-trip is lossless."""
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).collect()
+    q = Decimal("0.01")
+    agg: dict[str, list] = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        k = r["o_orderkey"] % 10
+        if k == 1:
+            continue
+        price = r["o_totalprice"] + 1 if k == 0 else r["o_totalprice"]
+        st = agg[r["o_orderstatus"]]
+        st[0] += 1
+        st[1] += Decimal(str(price)).quantize(q)
+    got = {
+        r["o_orderstatus"]: r
+        for r in specs["cdc_debezium_apply"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for status, (n, total) in agg.items():
+        assert got[status]["n_rows"] == n
+        assert got[status]["total_price"] == pytest.approx(
+            float(total), abs=1e-9
+        )
