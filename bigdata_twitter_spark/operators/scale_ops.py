@@ -885,3 +885,74 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_checksum",
         "sample_total",
     )
+
+
+# ---- class-balanced downsampling (round 7) ---------------------------
+# The class-rebalance step before training a classifier on skewed
+# labels: downsample every event-type class to the MINORITY class's
+# size, deterministically (md5 rank — the house permutation stand-in).
+# Unlike sample_exact_k_stratified's FIXED k, the quota here is
+# data-derived (min class count via an aggregate-sized broadcast), so
+# the output is exactly balanced at any scale without a config knob.
+
+
+@query(
+    "sample_balanced_classes",
+    sql="""
+    WITH sizes AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    quota AS (SELECT CAST(MIN(n) AS BIGINT) AS k FROM sizes),
+    ranked AS (
+        SELECT event_id, event_type,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT r.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(r.event_id) AS BIGINT) AS id_checksum
+    FROM ranked r, quota q
+    WHERE r.rn <= q.k
+    GROUP BY 1
+    """,
+    tables=("events",),
+    scale_note=(
+        "Dynamic-quota balanced sampling: class sizes are one "
+        "two-phase agg, the minority quota is a 1-row broadcast, and "
+        "the draw is the per-class md5-rank window (one shuffle on "
+        "the class key; at most k rows per class survive the "
+        "window).  Deterministic, layout-independent, and exactly "
+        "balanced at any scale with no tuning knob; the checksum "
+        "output keeps the driver compare row-bounded while still "
+        "hash-verifying the exact drawn set."
+    ),
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every event-type class to the minority class's size
+    by md5 rank; report per-class count + drawn-id checksum."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    quota = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").cast("bigint").alias("k"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    ranked = e.select("event_id", "event_type").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -1597,3 +1597,31 @@ def test_debezium_apply_matches_python(specs, spark, sf_dir):
         assert got[status]["total_price"] == pytest.approx(
             float(total), abs=1e-9
         )
+
+
+def test_balanced_classes_matches_python(specs, spark, sf_dir):
+    """sample_balanced_classes == Python md5-rank draw with the
+    data-derived minority quota; every class exactly balanced."""
+    import hashlib
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    ).collect()
+    by_cls: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_cls[r["event_type"]].append(r["event_id"])
+    k = min(len(v) for v in by_cls.values())
+    got = {
+        r["event_type"]: r
+        for r in specs["sample_balanced_classes"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_cls)
+    for cls, ids in by_cls.items():
+        drawn = sorted(
+            ids,
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:k]
+        assert got[cls]["n_sampled"] == k
+        assert got[cls]["id_checksum"] == sum(drawn)
