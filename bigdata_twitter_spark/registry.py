@@ -167,6 +167,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import mmr  # noqa: F401  (round 7)
     from .llm import pq  # noqa: F401  (round 7)
     from .llm import ivfpq  # noqa: F401  (round 7)
+    from .llm import tiles  # noqa: F401  (round 7)
     # (quantize/timeseries round-7 keys register via their family imports)
 
     # Families fully hash-verified by the round-1 driver run; scalars

@@ -1625,3 +1625,33 @@ def test_balanced_classes_matches_python(specs, spark, sf_dir):
         )[:k]
         assert got[cls]["n_sampled"] == k
         assert got[cls]["id_checksum"] == sum(drawn)
+
+
+def test_image_tiles_cover_and_match_decode(specs, spark, sf_dir):
+    """multimodal_image_tiles: the tile grid covers exactly
+    (h//16)×(w//16) tiles per image and each tile's stats equal a
+    direct Python computation over the closed-form pixels."""
+    from bigdata_twitter_spark.binfixtures import (
+        N_FILES,
+        pixel,
+        png_height,
+        png_width,
+    )
+    from bigdata_twitter_spark.llm.tiles import TILE
+
+    got = defaultdict(dict)
+    for r in specs["multimodal_image_tiles"].fn(spark, sf_dir).collect():
+        got[r["doc_id"]][(r["tile_row"], r["tile_col"])] = (
+            r["pix_sum"], r["pix_min"], r["pix_max"],
+        )
+    assert set(got) == set(range(N_FILES))
+    for d in range(N_FILES):
+        w, h = png_width(d), png_height(d)
+        assert len(got[d]) == (h // TILE) * (w // TILE) >= 1
+        for (tr, tc), stats in got[d].items():
+            vals = [
+                pixel(x, y, d)
+                for y in range(tr * TILE, (tr + 1) * TILE)
+                for x in range(tc * TILE, (tc + 1) * TILE)
+            ]
+            assert stats == (sum(vals), min(vals), max(vals)), (d, tr, tc)
