@@ -504,3 +504,79 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_ts)
         .alias("nearest_click_ts"),
     )
+
+
+# ---- blocked fuzzy string matching (round 7) -------------------------
+# Entity resolution's workhorse: near-duplicate NAME pairs by edit
+# distance, with the two design rules that make it survive scale —
+# (1) match on the distinct-value DICTIONARY, never the row stream (a
+# hot name with 200 rows would otherwise contribute 200² candidate
+# pairs for one string comparison), and (2) BLOCK candidates (shared
+# last token here) so the pair space is Σ block² over dictionary
+# blocks, not dictionary².  Levenshtein is the classic integer edit
+# distance — identical definition in Spark and DuckDB, so the key is
+# hash-grade.
+FUZZY_MAX_LEV = 4
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    sql=f"""
+    WITH names AS (
+        SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1
+    ),
+    keyed AS (
+        SELECT p_name, n_parts,
+               list_extract(string_split(p_name, ' '), -1) AS blk
+        FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_LEV}
+    """,
+    tables=("part",),
+    scale_note=(
+        "Dictionary-level blocked fuzzy join: the distinct-name "
+        "aggregation collapses row multiplicity BEFORE any string "
+        "comparison (one two-phase agg), the block key (last token) "
+        "bounds candidates to Σ block² over the dictionary — "
+        "dictionary-sized, not row-sized — and row counts ride along "
+        "so downstream merge decisions know each cluster's weight.  "
+        "Levenshtein evaluates only on block-local candidates, "
+        "JVM-side codegen.  At 100 TB the dictionary is still "
+        "vocabulary-sized; the same plan holds with a q-gram or LSH "
+        "block key for longer strings (the text side's "
+        "dedup_fuzzy_jaccard machinery)."
+    ),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part-name pairs (edit distance ≤ 4) via a
+    last-token-blocked dictionary self-join."""
+    p = load(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count("*").cast("bigint").alias("n_parts")
+    )
+    keyed = names.withColumn(
+        "blk", F.element_at(F.split("p_name", " "), -1)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev <= FUZZY_MAX_LEV)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )

@@ -1655,3 +1655,49 @@ def test_image_tiles_cover_and_match_decode(specs, spark, sf_dir):
                 for x in range(tc * TILE, (tc + 1) * TILE)
             ]
             assert stats == (sum(vals), min(vals), max(vals)), (d, tr, tc)
+
+
+def test_fuzzy_levenshtein_blocking_is_complete(specs, spark, sf_dir):
+    """join_fuzzy_levenshtein == Python brute force over the DISTINCT
+    name dictionary (the block key loses no pair at this threshold:
+    referee checks all-pairs, not just blocked pairs, for any missed
+    match with a shared last token... and asserts no cross-block pair
+    could qualify on this fixture's name shape)."""
+    from collections import Counter
+
+    from bigdata_twitter_spark.operators.joins import FUZZY_MAX_LEV
+    from bigdata_twitter_spark.tables import load
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    counts = Counter(
+        r["p_name"]
+        for r in load(spark, sf_dir, "part").select("p_name").collect()
+    )
+    names = sorted(counts)
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue
+            d = lev(a, b)
+            if d <= FUZZY_MAX_LEV:
+                want[(a, b)] = (d, counts[a], counts[b])
+    got = {
+        (r["name_a"], r["name_b"]): (r["lev"], r["n_parts_a"], r["n_parts_b"])
+        for r in specs["join_fuzzy_levenshtein"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
