@@ -67,3 +67,119 @@ def limit_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("value").desc(), F.col("event_id").asc())
         .limit(10)
     )
+
+
+# ---- range-partition boundary planning (round 7) ---------------------
+# The planner inside every repartitionByRange / global sort (TeraSort's
+# trick), made explicit and verifiable: draw a DETERMINISTIC sample
+# (md5 rank — the house permutation stand-in for Spark's reservoir),
+# take its order statistics as bucket boundaries, and report how the
+# FULL table lands in those buckets.  At 100 TB this is the step that
+# decides whether a global sort is balanced; making it a first-class
+# verified operator means the balance claim is measurable instead of
+# folklore.
+RANGE_BUCKETS = 16
+RANGE_SAMPLE = 1600  # sample size: 100 per boundary
+
+
+@query(
+    "sort_range_boundaries",
+    sql=f"""
+    WITH s AS (
+        SELECT o_totalprice FROM (
+            SELECT o_totalprice,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= {RANGE_SAMPLE}
+    ),
+    b AS (
+        SELECT o_totalprice AS bound FROM (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice) AS sr,
+                   COUNT(*) OVER () AS sn
+            FROM s
+        ) WHERE sr % (sn // {RANGE_BUCKETS}) = 0
+          AND sr // (sn // {RANGE_BUCKETS}) < {RANGE_BUCKETS}
+    ),
+    assigned AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               (SELECT COUNT(*) FROM b WHERE b.bound < o.o_totalprice)
+                   AS bucket
+        FROM orders o
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM assigned GROUP BY 1
+    """,
+    tables=("orders",),
+    scale_note=(
+        "The repartitionByRange planner as a verified operator: the "
+        "sample is md5-deterministic (layout-independent, unlike "
+        "Spark's RNG reservoir — so boundaries are reproducible "
+        "across runs and engines), boundary extraction is an order "
+        "statistic over the SAMPLE (a 1600-row window — "
+        "aggregate-sized), and full-table assignment is a broadcast "
+        "of ≤15 boundary values folded per row (codegen; the oracle "
+        "states it as a correlated count, same integers).  The "
+        "per-bucket histogram is the balance evidence a 100-TB "
+        "global sort needs BEFORE it launches; buckets land within "
+        "sampling error of n/16 (referee-pinned ±40%)."
+    ),
+)
+def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundaries from a deterministic sample, plus
+    the full table's per-bucket histogram (the balance audit)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    s = (
+        o.select(
+            "o_totalprice",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col("o_orderkey").cast("string")),
+                    F.col("o_orderkey"),
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= RANGE_SAMPLE)
+        .select("o_totalprice")
+    )
+    ranked = s.select(
+        "o_totalprice",
+        F.row_number().over(Window.orderBy("o_totalprice")).alias("sr"),
+        F.count("*").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("sn"),
+    )
+    step = (F.col("sn") / RANGE_BUCKETS).cast("bigint")
+    bounds = ranked.filter(
+        (F.col("sr") % step == 0)
+        & ((F.col("sr") / step).cast("bigint") < RANGE_BUCKETS)
+    ).select(F.col("o_totalprice").alias("bound"))
+    blist = bounds.agg(
+        F.sort_array(F.collect_list("bound")).alias("bs")
+    )
+    assigned = o.crossJoin(F.broadcast(blist)).select(
+        "o_totalprice",
+        F.aggregate(
+            F.filter("bs", lambda b: b < F.col("o_totalprice")),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        ).alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi"
+    )

@@ -1701,3 +1701,25 @@ def test_fuzzy_levenshtein_blocking_is_complete(specs, spark, sf_dir):
         for r in specs["join_fuzzy_levenshtein"].fn(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_range_boundaries_are_balanced(specs, spark, sf_dir):
+    """sort_range_boundaries: 16 buckets exist, they partition the
+    table exactly, bucket ranges are disjoint and ordered, and every
+    bucket lands within ±40% of n/16 (the sampling-error balance
+    contract a global sort relies on)."""
+    from bigdata_twitter_spark.operators.sort_limit import RANGE_BUCKETS
+    from bigdata_twitter_spark.tables import load
+
+    n_total = load(spark, sf_dir, "orders").count()
+    rows = sorted(
+        specs["sort_range_boundaries"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(RANGE_BUCKETS))
+    assert sum(r["n_rows"] for r in rows) == n_total
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+    target = n_total / RANGE_BUCKETS
+    for r in rows:
+        assert 0.6 * target <= r["n_rows"] <= 1.4 * target, r
