@@ -944,3 +944,116 @@ def graph_random_walk_deterministic(
         .alias("vertex"),
         (F.col("v") >= PART_OFFSET).alias("is_part"),
     )
+
+
+# ---- HITS hubs & authorities (round 7) -------------------------------
+# Kleinberg's HITS on the directed customer→part purchase graph:
+# authorities = parts bought by strong hubs, hubs = customers buying
+# strong authorities.  R=3 UNNORMALIZED rounds: every score stays an
+# EXACT INTEGER (h₀=1; aᵢ = Σ_in hᵢ₋₁; hᵢ = Σ_out aᵢ), so the
+# iteration is hash-grade with no per-round float normalization to
+# diverge (normalization only rescales — the RANKING, which is the
+# output, is identical; magnitudes stay ≤ (max deg)^(2R) ≪ 2⁶³ here
+# and a production run rescales by a power of two per round, which is
+# exact in binary floating point, to extend the budget).
+HITS_ROUNDS = 3
+HITS_TOPK = 20
+
+
+def _hits_oracle_sql() -> str:
+    sql = f"""
+    WITH cp AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM cp)"""
+    prev_h = "h0"
+    for r in range(1, HITS_ROUNDS + 1):
+        sql += f""",
+    a{r} AS (
+        SELECT cp.p, CAST(SUM(h.h) AS BIGINT) AS a
+        FROM cp JOIN {prev_h} h ON h.c = cp.c GROUP BY cp.p
+    ),
+    h{r} AS (
+        SELECT cp.c, CAST(SUM(a.a) AS BIGINT) AS h
+        FROM cp JOIN a{r} a ON a.p = cp.p GROUP BY cp.c
+    )"""
+        prev_h = f"h{r}"
+    return sql + f"""
+    SELECT 'authority' AS side, p AS vertex, a AS score,
+           CAST(row_number() OVER (ORDER BY a DESC, p) AS INT) AS rnk
+    FROM a{HITS_ROUNDS}
+    QUALIFY rnk <= {HITS_TOPK}
+    UNION ALL
+    SELECT 'hub' AS side, c AS vertex, h AS score,
+           CAST(row_number() OVER (ORDER BY h DESC, c) AS INT) AS rnk
+    FROM h{HITS_ROUNDS}
+    QUALIFY rnk <= {HITS_TOPK}
+    """
+
+
+@query(
+    "graph_hits_topk",
+    sql=_hits_oracle_sql(),
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "HITS with the PageRank loop economics: each round is two "
+        "edge-keyed equi-joins + two-phase SUMs (map-side combine), "
+        "edge-linear per round, vertex partitioning reused; no "
+        "driver-side graph ever.  Integer-exact scores make the "
+        "unrolled-CTE oracle exact and the ranking engine-"
+        "deterministic (ties → lowest vertex id); top-20 per side "
+        "via TakeOrderedAndProject.  The unnormalized-integer "
+        "contract is declared: magnitudes ≤ (max deg)^(2R), and a "
+        "power-of-two per-round rescale (exact in IEEE) extends the "
+        "budget at any scale."
+    ),
+)
+def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hubs (customers) and authorities (parts) after 3
+    integer-exact HITS rounds on the purchase graph."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = persist_fresh(
+        "hits_cp",
+        sf_dir,
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
+    h = cp.select("c").distinct().withColumn("h", F.lit(1).cast("bigint"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a = (
+            cp.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        h = (
+            cp.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+    wa = Window.orderBy(F.col("a").desc(), F.col("p"))
+    wh = Window.orderBy(F.col("h").desc(), F.col("c"))
+    top_a = (
+        a.withColumn("rnk", F.row_number().over(wa).cast("int"))
+        .filter(F.col("rnk") <= HITS_TOPK)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("vertex"),
+            F.col("a").alias("score"),
+            "rnk",
+        )
+    )
+    top_h = (
+        h.withColumn("rnk", F.row_number().over(wh).cast("int"))
+        .filter(F.col("rnk") <= HITS_TOPK)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("vertex"),
+            F.col("h").alias("score"),
+            "rnk",
+        )
+    )
+    return top_a.unionAll(top_h)

@@ -1723,3 +1723,42 @@ def test_range_boundaries_are_balanced(specs, spark, sf_dir):
     target = n_total / RANGE_BUCKETS
     for r in rows:
         assert 0.6 * target <= r["n_rows"] <= 1.4 * target, r
+
+
+def test_hits_matches_python_iteration(specs, spark, sf_dir):
+    """graph_hits_topk == a Python replay of 3 integer HITS rounds
+    with exact scores and (score desc, id) ranking."""
+    from bigdata_twitter_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_TOPK,
+    )
+    from bigdata_twitter_spark.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in l.join(o, l["l_orderkey"] == o["o_orderkey"]).collect()
+    }
+    h = {c: 1 for c, _ in edges}
+    for _ in range(HITS_ROUNDS):
+        a: dict[int, int] = defaultdict(int)
+        for c, p in edges:
+            a[p] += h.get(c, 0)
+        h = defaultdict(int)
+        for c, p in edges:
+            h[c] += a[p]
+    want = set()
+    for rnk, (p, s) in enumerate(
+        sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK], 1
+    ):
+        want.add(("authority", p, s, rnk))
+    for rnk, (c, s) in enumerate(
+        sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK], 1
+    ):
+        want.add(("hub", c, s, rnk))
+    got = {
+        (r["side"], r["vertex"], r["score"], r["rnk"])
+        for r in specs["graph_hits_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
