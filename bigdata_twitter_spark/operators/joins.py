@@ -580,3 +580,146 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+# ---- TPC-H Q5 analog: local-supplier revenue (round 7) ---------------
+# The canonical 6-table join (customer ⋈ orders ⋈ lineitem ⋈ supplier
+# ⋈ nation ⋈ region) with the Q5 twist: the lineitem's supplier must
+# share the customer's nation — the join-ORDER stress test the 3-way
+# star key doesn't exercise.  Revenue accumulates as exact decimal
+# l_extendedprice·(1−l_discount).
+Q5_REGION = "ASIA"
+Q5_YEAR = 1997
+
+
+@query(
+    "agg_q5_local_supplier",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR}-01-01'
+      AND o.o_orderdate < TIMESTAMP '{Q5_YEAR + 1}-01-01'
+    GROUP BY 1
+    """,
+    tables=("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    scale_note=(
+        "The 6-way join-order stress test: region/nation/supplier "
+        "are broadcast dims (Catalyst picks BHJ for all three), the "
+        "orders date filter pushes to the scan BEFORE the "
+        "fact-fact orders⋈lineitem shuffle (partition pruning at "
+        "100 TB when orders is date-partitioned), and the local-"
+        "supplier predicate (s_nationkey = c_nationkey) rides the "
+        "supplier join rather than spawning a separate exchange.  "
+        "Revenue is exact decimal, cast once per output row.  "
+        "Output is nations-sized."
+    ),
+)
+def agg_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 1997 revenue from ASIA customers served by
+    same-nation suppliers, per nation."""
+    from ..numerics import dec
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == l["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .filter(
+            (F.col("r_name") == Q5_REGION)
+            & (F.col("o_orderdate") >= F.lit(f"{Q5_YEAR}-01-01").cast("timestamp"))
+            & (
+                F.col("o_orderdate")
+                < F.lit(f"{Q5_YEAR + 1}-01-01").cast("timestamp")
+            )
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+# ---- TPC-H Q18 analog: large-volume orders (round 7) -----------------
+# The groupBy-HAVING semi-join shape: find orders whose total quantity
+# exceeds a threshold, then join back for customer detail — the
+# "build an ad-hoc dimension from an aggregate" pattern.
+Q18_MIN_QTY = 150
+
+
+@query(
+    "agg_q18_large_orders",
+    sql=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tables=("lineitem", "orders", "customer"),
+    scale_note=(
+        "HAVING as a semi-join builder: the quantity rollup is one "
+        "two-phase agg whose HAVING prunes to the heavy tail BEFORE "
+        "any join (the aggregate side is selectivity-sized, so "
+        "Catalyst broadcasts it against orders at real scale); "
+        "customer attaches by key.  Exact decimal quantity sums; "
+        "output is heavy-order-sized."
+    ),
+)
+def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders with total quantity > 150, with
+    customer name and order detail."""
+    from ..numerics import dec
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )

@@ -1762,3 +1762,37 @@ def test_hits_matches_python_iteration(specs, spark, sf_dir):
         for r in specs["graph_hits_topk"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_q5_plan_broadcasts_dims_and_pushes_date(specs, spark, sf_dir):
+    """agg_q5_local_supplier's physical plan broadcasts the three
+    dimension tables and pushes the order-date filter to the scan."""
+    plan = (
+        specs["agg_q5_local_supplier"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan or "pushedFilters" in plan.lower()
+
+
+def test_q18_having_prunes_before_join(specs, spark, sf_dir):
+    """agg_q18_large_orders: every returned order's recomputed
+    quantity exceeds the threshold, and the count matches a direct
+    HAVING query."""
+    from bigdata_twitter_spark.operators.joins import Q18_MIN_QTY
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = specs["agg_q18_large_orders"].fn(spark, sf_dir).collect()
+    want = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > Q18_MIN_QTY)
+        .count()
+    )
+    assert len(rows) == want > 0
+    assert all(r["total_qty"] > Q18_MIN_QTY for r in rows)
