@@ -1357,3 +1357,172 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---- Kaplan-Meier survival curve (round 7) ---------------------------
+# Time-to-conversion analysis with CENSORING done right: the naive
+# "average days to purchase over converters" is biased (it silently
+# drops everyone who hasn't converted yet); the Kaplan-Meier estimator
+# uses them as censored observations.  Duration = whole days from a
+# user's first signup to their first subsequent purchase; users with
+# no purchase are censored at the corpus horizon.  All event/at-risk
+# counts are exact integers (epoch-µs day arithmetic); the survival
+# product S(t) = Π(1 − d/n) folds over the ≤31-row day table in time
+# order — the Holt machinery: a per-key (here: global, the table is
+# days-sized) executor-side fold, restated as a recursive CTE with
+# textually identical arithmetic.
+
+
+@query(
+    "ts_survival_km",
+    sql="""
+    WITH RECURSIVE su AS (
+        SELECT user_id, MIN(ts) AS s0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+        SELECT e.user_id, MIN(e.ts) AS p0
+        FROM events e JOIN su ON su.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s0
+        GROUP BY 1
+    ),
+    hz AS (SELECT MAX(ts) AS mts FROM events),
+    durs AS (
+        SELECT su.user_id,
+               CASE WHEN pu.p0 IS NOT NULL THEN
+                    (epoch_us(pu.p0) - epoch_us(su.s0)) // 86400000000
+               ELSE (epoch_us(hz.mts) - epoch_us(su.s0)) // 86400000000
+               END AS t,
+               pu.p0 IS NOT NULL AS event
+        FROM su LEFT JOIN pu ON pu.user_id = su.user_id, hz
+    ),
+    ev AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM durs GROUP BY 1
+    ),
+    base AS (
+        SELECT t, d, c,
+               CAST(SUM(d + c) OVER (ORDER BY t DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+               row_number() OVER (ORDER BY t) AS rn
+        FROM ev
+    ),
+    km AS (
+        SELECT t, d, c, n, rn,
+               1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS survival
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.t, b.d, b.c, b.n, b.rn,
+               km.survival
+               * (1.0 - CAST(b.d AS DOUBLE) / CAST(b.n AS DOUBLE))
+        FROM km JOIN base b ON b.rn = km.rn + 1
+    )
+    SELECT CAST(t AS BIGINT) AS day, n AS n_at_risk, d AS n_events,
+           c AS n_censored, survival
+    FROM km
+    """,
+    tables=("events",),
+    scale_note=(
+        "Censoring-correct conversion analysis: per-user first-"
+        "signup/first-purchase are two-phase MINs (map-side "
+        "combine), durations are exact epoch-µs integer day "
+        "arithmetic, and the day table is CALENDAR-sized (≤ horizon "
+        "days), so the at-risk reverse cumsum and the KM product "
+        "fold are aggregate-sized regardless of user count.  The "
+        "fold is one executor-side F.aggregate in time order, "
+        "restated as a recursive CTE with textually identical "
+        "arithmetic (the Holt discipline) — identical IEEE sequence "
+        "on both engines."
+    ),
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-purchase after first
+    signup (whole days, right-censored at the corpus horizon)."""
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    hz = e.agg(F.max("ts").alias("mts"))
+    durs = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(hz))
+        .select(
+            F.when(
+                F.col("p0").isNotNull(),
+                (
+                    (F.unix_micros("p0") - F.unix_micros("s0"))
+                    / 86_400_000_000
+                ).cast("bigint"),
+            )
+            .otherwise(
+                (
+                    (F.unix_micros("mts") - F.unix_micros("s0"))
+                    / 86_400_000_000
+                ).cast("bigint")
+            )
+            .alias("t"),
+            F.col("p0").isNotNull().alias("event"),
+        )
+    )
+    ev = durs.groupBy("t").agg(
+        F.sum(F.when(F.col("event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("event"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    wrev = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = ev.withColumn(
+        "n", F.sum(F.col("d") + F.col("c")).over(wrev).cast("bigint")
+    )
+    # Executor-side KM fold over the calendar-sized day table (the
+    # Holt idiom: sequential in t, one row per day in the output).
+    one = base.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c", "n"))).alias(
+            "rows"
+        )
+    )
+    km = one.select(
+        F.explode(
+            F.expr(
+                """
+                aggregate(
+                    rows,
+                    CAST(array() AS
+                        array<struct<t:bigint,d:bigint,c:bigint,
+                                     n:bigint,survival:double>>),
+                    (acc, x) -> concat(acc, array(named_struct(
+                        't', x.t, 'd', x.d, 'c', x.c, 'n', x.n,
+                        'survival',
+                        IF(size(acc) = 0, 1.0D,
+                           element_at(acc, -1).survival)
+                        * (1.0D - CAST(x.d AS DOUBLE)
+                                  / CAST(x.n AS DOUBLE)))))
+                )
+                """
+            )
+        ).alias("r")
+    )
+    return km.select(
+        F.col("r.t").alias("day"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.c").alias("n_censored"),
+        F.col("r.survival").alias("survival"),
+    )

@@ -1796,3 +1796,52 @@ def test_q18_having_prunes_before_join(specs, spark, sf_dir):
     )
     assert len(rows) == want > 0
     assert all(r["total_qty"] > Q18_MIN_QTY for r in rows)
+
+
+def test_survival_km_matches_python(specs, spark, sf_dir):
+    """ts_survival_km == a Python Kaplan-Meier computation (exact
+    day durations, censoring, at-risk counts, IEEE product fold)."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    su: dict[int, object] = {}
+    pu: dict[int, object] = {}
+    mts = max(r["ts"] for r in rows)
+    for r in rows:
+        if r["event_type"] == "signup":
+            if r["user_id"] not in su or r["ts"] < su[r["user_id"]]:
+                su[r["user_id"]] = r["ts"]
+    for r in rows:
+        if (
+            r["event_type"] == "purchase"
+            and r["user_id"] in su
+            and r["ts"] >= su[r["user_id"]]
+        ):
+            if r["user_id"] not in pu or r["ts"] < pu[r["user_id"]]:
+                pu[r["user_id"]] = r["ts"]
+    days: dict[int, list] = defaultdict(lambda: [0, 0])
+    for uid, s0 in su.items():
+        if uid in pu:
+            t = int((pu[uid] - s0).total_seconds() * 1e6) // 86_400_000_000
+            days[t][0] += 1
+        else:
+            t = int((mts - s0).total_seconds() * 1e6) // 86_400_000_000
+            days[t][1] += 1
+    total = len(su)
+    got = sorted(
+        specs["ts_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["day"] for r in got] == sorted(days)
+    s = 1.0
+    at_risk = total
+    for r in got:
+        d, c = days[r["day"]]
+        assert (r["n_events"], r["n_censored"]) == (d, c)
+        assert r["n_at_risk"] == at_risk
+        s = s * (1.0 - d / r["n_at_risk"])
+        assert r["survival"] == s, r["day"]
+        at_risk -= d + c
+    assert got[0]["n_at_risk"] == total and got[-1]["survival"] >= 0.0
