@@ -1526,3 +1526,107 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.c").alias("n_censored"),
         F.col("r.survival").alias("survival"),
     )
+
+
+# ---- hour-of-day ANOVA (round 7) -------------------------------------
+# "Is there an hour-of-day effect at all?" answered properly: one-way
+# ANOVA of hourly counts grouped by hour-of-day (24 groups) per event
+# type — the significance test behind ts_seasonal_decompose's
+# descriptive profile.  Between/within sums of squares decompose from
+# exact INTEGER moments (n, Σx, Σx² per cell), so F = (SSB/(k−1)) /
+# (SSW/(N−k)) is one identical IEEE expression per type.
+
+
+@query(
+    "ts_anova_hour_of_day",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT event_type, EXTRACT(hour FROM hr) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+        FROM hourly GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS BIGINT) AS st,
+               CAST(SUM(ss) AS BIGINT) AS sst,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               list_reduce(
+                   list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE) ORDER BY hod),
+                   (a, b) -> a + b) AS cellsq
+        FROM cell GROUP BY 1
+    )
+    SELECT event_type, CAST(nn AS BIGINT) AS n_hours,
+           CAST(k AS INT) AS k_groups,
+           cellsq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                    / CAST(nn AS DOUBLE) AS ss_between,
+           CAST(sst AS DOUBLE) - cellsq AS ss_within,
+           ((cellsq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                      / CAST(nn AS DOUBLE)) / (k - 1))
+           / ((CAST(sst AS DOUBLE) - cellsq) / (nn - k)) AS f_stat
+    FROM tot
+    """,
+    tables=("events",),
+    scale_note=(
+        "One-way ANOVA from sufficient statistics: two stacked "
+        "two-phase aggs (hourly counts → 24 cells × types → type "
+        "totals), everything integer until the final per-type "
+        "expressions.  The ONE float accumulation (Σ s²/n over 24 "
+        "cells) runs inside a types-keyed 24-row aggregate whose "
+        "addition order Spark and DuckDB both evaluate as a "
+        "sequential fold over the same 24 exact terms — and the "
+        "referee pins the result to Python's fold bit-for-bit; "
+        "grid-sized work after the first agg."
+    ),
+)
+def ts_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of hourly counts by hour-of-day per event type
+    (F statistic for the seasonality effect)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    cell = hourly.groupBy(
+        "event_type", F.hour("hr").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.count("*").cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("hod", "s", "n"))),
+                lambda x: x["s"].cast("double")
+                * x["s"].cast("double")
+                / x["n"].cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("cellsq"),
+    )
+    nn, st, sst = F.col("nn"), F.col("st"), F.col("sst")
+    k, cellsq = F.col("k"), F.col("cellsq")
+    ssb = cellsq - st.cast("double") * st.cast("double") / nn.cast("double")
+    ssw = sst.cast("double") - cellsq
+    return tot.select(
+        "event_type",
+        nn.alias("n_hours"),
+        k.cast("int").alias("k_groups"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (k - 1)) / (ssw / (nn - k))).alias("f_stat"),
+    )

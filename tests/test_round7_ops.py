@@ -1845,3 +1845,45 @@ def test_survival_km_matches_python(specs, spark, sf_dir):
         assert r["survival"] == s, r["day"]
         at_risk -= d + c
     assert got[0]["n_at_risk"] == total and got[-1]["survival"] >= 0.0
+
+
+def test_anova_matches_python_fold(specs, spark, sf_dir):
+    """ts_anova_hour_of_day == a Python one-way ANOVA with the same
+    hod-ordered left fold for the cell term (bit-exact)."""
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    cells: dict[tuple, list] = defaultdict(lambda: [0, 0, 0])
+    for r in hourly:
+        c = cells[(r["event_type"], r["hr"].hour)]
+        c[0] += 1
+        c[1] += r["cnt"]
+        c[2] += r["cnt"] * r["cnt"]
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_anova_hour_of_day"].fn(spark, sf_dir).collect()
+    }
+    types = {et for et, _ in cells}
+    assert set(got) == types
+    for et in types:
+        hods = sorted(h for e2, h in cells if e2 == et)
+        nn = sum(cells[(et, h)][0] for h in hods)
+        st = sum(cells[(et, h)][1] for h in hods)
+        sst = sum(cells[(et, h)][2] for h in hods)
+        k = len(hods)
+        cellsq = 0.0
+        for h in hods:
+            n, s, _ = cells[(et, h)]
+            cellsq = cellsq + float(s) * float(s) / float(n)
+        ssb = cellsq - float(st) * float(st) / float(nn)
+        ssw = float(sst) - cellsq
+        r = got[et]
+        assert (r["n_hours"], r["k_groups"]) == (nn, k)
+        assert r["ss_between"] == ssb and r["ss_within"] == ssw, et
+        assert r["f_stat"] == (ssb / (k - 1)) / (ssw / (nn - k)), et
