@@ -1672,3 +1672,86 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("bigint").alias("mad"),
         (diff / scaled).alias("robust_z"),
     )
+
+
+# ---- weighted moving average (round 7) -------------------------------
+# The linear-weights smoother between the flat rolling mean and the
+# exponential EWMA: WMA_t = Σᵢ i·x_{t−w+i} / Σᵢ i over the last w=8
+# observed hours.  Integer weights make the numerator an EXACT bigint
+# window sum (collect the ≤8-int window, fold with position weights),
+# and the single division by the constant 36 is the only float.
+WMA_W = 8
+WMA_DEN = WMA_W * (WMA_W + 1) // 2  # Σ 1..8 = 36
+
+
+@query(
+    "ts_weighted_moving_avg",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hr, cnt,
+               list(cnt) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS BETWEEN {WMA_W - 1} PRECEDING
+                                    AND CURRENT ROW) AS win
+        FROM hourly
+    )
+    SELECT event_type, hr, cnt,
+           CAST(len(win) AS INT) AS n_win,
+           CAST(list_sum(list_transform(range(1, len(win) + 1),
+                    i -> (i + {WMA_W} - len(win)) * win[i])) AS BIGINT)
+               AS wma_num,
+           CAST(list_sum(list_transform(range(1, len(win) + 1),
+                    i -> (i + {WMA_W} - len(win)) * win[i])) AS DOUBLE)
+           / {WMA_DEN}.0 AS wma
+    FROM w WHERE len(win) = {WMA_W}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Same shape as ts_rolling_median: one type-partitioned sort "
+        "then CONSTANT per-row work over a ≤8-integer window; the "
+        "weighted numerator is an exact bigint fold (weights are "
+        "positions — no float accumulates), the single division by "
+        "the constant 36 is correctly rounded identically on both "
+        "engines.  Warm-up rows (window shorter than w) are excluded "
+        "by contract rather than re-normalized differently per "
+        "engine."
+    ),
+)
+def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-hour linear-weighted moving average of hourly counts per
+    type (exact integer numerator; warm-up rows excluded)."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-(WMA_W - 1), Window.currentRow)
+    )
+    win = F.collect_list("cnt").over(w)
+    d = hourly.select("event_type", "hr", "cnt", win.alias("win")).filter(
+        F.size("win") == WMA_W
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.size("win")),
+            F.col("win"),
+            lambda i, x: (i + WMA_W - F.size("win")) * x,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return d.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.size("win").cast("int").alias("n_win"),
+        num.alias("wma_num"),
+        (num.cast("double") / WMA_DEN).alias("wma"),
+    )

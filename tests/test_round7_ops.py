@@ -1887,3 +1887,33 @@ def test_anova_matches_python_fold(specs, spark, sf_dir):
         assert (r["n_hours"], r["k_groups"]) == (nn, k)
         assert r["ss_between"] == ssb and r["ss_within"] == ssw, et
         assert r["f_stat"] == (ssb / (k - 1)) / (ssw / (nn - k)), et
+
+
+def test_wma_matches_python_window(specs, spark, sf_dir):
+    """ts_weighted_moving_avg == Python linear-weighted windows over
+    the hourly series (exact numerator, single division)."""
+    from bigdata_twitter_spark.operators.timeseries import WMA_DEN, WMA_W
+    from bigdata_twitter_spark.tables import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["cnt"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        for i in range(WMA_W - 1, len(pts)):
+            winvals = [c for _, c in pts[i - WMA_W + 1 : i + 1]]
+            num = sum((j + 1) * x for j, x in enumerate(winvals))
+            want[(et, pts[i][0])] = (pts[i][1], num, num / WMA_DEN)
+    got = {
+        (r["event_type"], r["hr"]): (r["cnt"], r["wma_num"], r["wma"])
+        for r in specs["ts_weighted_moving_avg"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
