@@ -1630,3 +1630,115 @@ def ts_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ss_within"),
         ((ssb / (k - 1)) / (ssw / (nn - k))).alias("f_stat"),
     )
+
+
+# ---- chi-square independence test (round 7) --------------------------
+# "Are order status and priority independent?" — the contingency-table
+# test that pairs with the one-way ANOVA: observed counts are exact
+# integers, expected counts are (row_total × col_total)/N — one
+# division each — and the chi² total folds over the ≤15 cells in
+# (status, priority) order, ORDER-PINNED like the ANOVA cell fold
+# (the unpinned SUM ulp-drift lesson, applied on arrival).
+
+
+@query(
+    "agg_chi2_independence",
+    sql="""
+    WITH c AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT s, CAST(SUM(obs) AS BIGINT) AS rs FROM c GROUP BY 1),
+    ct AS (SELECT p, CAST(SUM(obs) AS BIGINT) AS cs FROM c GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn FROM c),
+    cells AS (
+        SELECT c.s, c.p, c.obs,
+               CAST(rt.rs AS DOUBLE) * CAST(ct.cs AS DOUBLE)
+                   / CAST(n.nn AS DOUBLE) AS exp
+        FROM c JOIN rt USING (s) JOIN ct USING (p), n
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               list_reduce(
+                   list((CAST(obs AS DOUBLE) - exp)
+                        * (CAST(obs AS DOUBLE) - exp) / exp
+                        ORDER BY s, p),
+                   (a, b) -> a + b) AS chi2
+        FROM cells
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS nr,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS nc
+    )
+    SELECT t.n_cells, CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+           t.chi2
+    FROM tot t, dims d
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Contingency-table independence test from sufficient "
+        "statistics: one two-phase cell-count agg (cells = "
+        "statuses×priorities, dimension-sized), row/col totals and N "
+        "as aggregate-sized joins, expected counts one division per "
+        "cell, and the chi² total an ORDER-PINNED left fold over the "
+        "(s, p)-sorted cell list on both engines (F.aggregate / "
+        "list_reduce — the ANOVA ulp lesson applied preemptively).  "
+        "Output is one row."
+    ),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order status and
+    priority (observed vs expected, order-pinned chi² fold, dof)."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    rt = c.groupBy("s").agg(F.sum("obs").cast("bigint").alias("rs"))
+    ct = c.groupBy("p").agg(F.sum("obs").cast("bigint").alias("cs"))
+    n = c.agg(F.sum("obs").cast("bigint").alias("nn"))
+    cells = (
+        c.join(F.broadcast(rt), "s")
+        .join(F.broadcast(ct), "p")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "s",
+            "p",
+            "obs",
+            (
+                F.col("rs").cast("double")
+                * F.col("cs").cast("double")
+                / F.col("nn").cast("double")
+            ).alias("exp"),
+        )
+    )
+    term = lambda x: (  # noqa: E731
+        (x["obs"].cast("double") - x["exp"])
+        * (x["obs"].cast("double") - x["exp"])
+        / x["exp"]
+    )
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("s", "p", "obs", "exp"))),
+                term,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("chi2"),
+    )
+    nr = rt.agg(F.count("*").cast("bigint").alias("nr"))
+    nc = ct.agg(F.count("*").cast("bigint").alias("nc"))
+    return (
+        tot.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "chi2",
+        )
+    )

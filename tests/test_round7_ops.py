@@ -1917,3 +1917,31 @@ def test_wma_matches_python_window(specs, spark, sf_dir):
         for r in specs["ts_weighted_moving_avg"].fn(spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_chi2_matches_python_fold(specs, spark, sf_dir):
+    """agg_chi2_independence == Python contingency computation with
+    the same (s, p)-ordered chi² fold (bit-exact)."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).collect()
+    obs: dict[tuple, int] = defaultdict(int)
+    for r in rows:
+        obs[(r["o_orderstatus"], r["o_orderpriority"])] += 1
+    rs: dict[str, int] = defaultdict(int)
+    cs: dict[str, int] = defaultdict(int)
+    for (s, p_), n in obs.items():
+        rs[s] += n
+        cs[p_] += n
+    nn = sum(obs.values())
+    chi2 = 0.0
+    for s, p_ in sorted(obs):
+        exp = float(rs[s]) * float(cs[p_]) / float(nn)
+        d = float(obs[(s, p_)]) - exp
+        chi2 = chi2 + d * d / exp
+    [r] = specs["agg_chi2_independence"].fn(spark, sf_dir).collect()
+    assert r["n_cells"] == len(obs)
+    assert r["dof"] == (len(rs) - 1) * (len(cs) - 1)
+    assert r["chi2"] == chi2
