@@ -1742,3 +1742,93 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+# ---- Gini coefficient of revenue concentration (round 7) -------------
+# agg_gini_impurity measures CLASS concentration; this is the other
+# Gini — the Lorenz-curve inequality coefficient of a monetary
+# distribution: G = (2·Σ i·x₍ᵢ₎) / (n·Σx) − (n+1)/n over values sorted
+# ascending, per priority.  Both Σ run in exact cent-scaled integers
+# (DECIMAL(38,0) for the rank-weighted sum, which crosses 2^63 around
+# the ×100 scale), and G is one identical IEEE expression per group.
+# The value-ordered rank is the per-group window the stratified draws
+# already use (the accepted exact-order idiom; the two-level range-
+# bucket rank of sort_range_boundaries is the declared scale path
+# when one group's rows exceed a partition).
+
+
+@query(
+    "agg_gini_coefficient",
+    sql="""
+    WITH r AS (
+        -- floor(): DuckDB's double→BIGINT cast rounds, Spark's
+        -- truncates (the Benford lesson).
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS i
+        FROM orders
+    ),
+    g AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sx,
+               CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+        FROM r GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           CAST(sx AS BIGINT) AS total_cents,
+           2.0 * (CAST(six AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM g
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Lorenz/Gini inequality per group: one value-ordered rank "
+        "window per group (the stratified-draw idiom; two-level "
+        "range-bucket rank is the declared path past one-partition "
+        "groups), then a two-phase agg whose rank-weighted sum "
+        "accumulates in DECIMAL(38,0)/HUGEINT — exact past the "
+        "~2^63 cents·rank product a ×100 corpus reaches — and G is "
+        "one identical IEEE expression per group.  Ties rank by "
+        "(cents, key) so the rank sequence is engine-deterministic "
+        "(Gini itself is tie-order invariant, the determinism is "
+        "for the hash)."
+    ),
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value inequality per priority, from
+    exact cent-scaled rank-weighted sums."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents, F.col("o_orderkey")
+    )
+    r = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("i"),
+    )
+    g = r.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return g.select(
+        "o_orderpriority",
+        "n",
+        sx.alias("total_cents"),
+        (
+            F.lit(2.0) * (six.cast("double") / (n.cast("double") * sx.cast("double")))
+            - (n.cast("double") + 1.0) / n.cast("double")
+        ).alias("gini"),
+    )

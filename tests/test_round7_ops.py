@@ -1945,3 +1945,34 @@ def test_chi2_matches_python_fold(specs, spark, sf_dir):
     assert r["n_cells"] == len(obs)
     assert r["dof"] == (len(rs) - 1) * (len(cs) - 1)
     assert r["chi2"] == chi2
+
+
+def test_gini_coefficient_matches_python(specs, spark, sf_dir):
+    """agg_gini_coefficient == Python exact rank-weighted Gini."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_pri: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_pri[r["o_orderpriority"]].append(
+            (int(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_gini_coefficient"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_pri)
+    for pri, vals in by_pri.items():
+        vals.sort()
+        n = len(vals)
+        sx = sum(c for c, _ in vals)
+        six = sum(i * c for i, (c, _) in enumerate(vals, start=1))
+        gini = 2.0 * (float(six) / (float(n) * float(sx))) - (
+            float(n) + 1.0
+        ) / float(n)
+        r = got[pri]
+        assert (r["n"], r["total_cents"]) == (n, sx)
+        assert r["gini"] == gini, pri
+        assert 0.0 <= r["gini"] < 1.0
