@@ -248,3 +248,67 @@ def sim_batch_queries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BATCH_TOPK)
         .drop("rn")
     )
+
+
+# ---- centroid-classifier confusion matrix (round-7 continuation) ------
+# The eval layer over sim_knn_join's rank-1 assignment: treat "nearest
+# label centroid" as a classifier and report the confusion matrix plus
+# per-label accuracy — the same eval-key pattern as ann_recall_eval
+# (retrieval) and text_lang_id_eval (lang-id).  COMPOSES the
+# registered sim_knn_join plan (broadcast centroids, map-side scoring,
+# per-vector top-1 window), so the probed scale path is inherited.
+
+
+@query(
+    "embed_centroid_confusion",
+    sql=f"""
+    WITH c AS (
+        SELECT label AS clabel, i AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, {DIMS + 1}) t(i)
+        GROUP BY 1, 2
+    ),
+    cl AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+    s AS (
+        SELECT e.vec_id, e.label, cl.clabel,
+               {_duck_cosine('e.embedding', 'cl.cvec')} AS cosine
+        FROM embeddings e, cl
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, clabel) AS rnk
+          FROM s),
+    p AS (SELECT label, clabel AS predicted FROM r WHERE rnk = 1)
+    SELECT label, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM p GROUP BY 1, 2
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Nearest-centroid-classifier confusion matrix: inherits "
+        "sim_knn_join's probed plan (labels-sized centroid table "
+        "broadcast, map-side cosine scoring, per-vector top-1 "
+        "window), then one labels-squared-sized two-phase agg — "
+        "the eval output is K^2 rows regardless of corpus size.  "
+        "Centroid values are rounded before scoring so both "
+        "engines score identical centroids (the sim_knn_join "
+        "discipline)."
+    ),
+)
+def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the nearest-label-centroid classifier over
+    the embeddings table (composes sim_knn_join's rank-1 assignment)."""
+    top1 = sim_knn_join(spark, sf_dir).where(F.col("rnk") == 1)
+    return (
+        top1.select("label", F.col("clabel").alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("label") == F.col("predicted"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )

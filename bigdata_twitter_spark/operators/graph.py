@@ -1057,3 +1057,193 @@ def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_a.unionAll(top_h)
+
+
+# ---- association rules + local clustering (round-7 continuation) -----
+# Two classical readouts over graphs this module already builds:
+# support/confidence/lift association rules on the ORDER-basket
+# item-pair graph (the statistical layer above graph_also_bought_topk's
+# raw co-occurrence counts), and the per-vertex local clustering
+# coefficient (the normalized form of graph_triangle_count).  Both are
+# exact-integer until one final float expression per row.
+
+ASSOC_MIN_PAIR = 2  # min co-occurrence count for an emitted rule
+
+
+@query(
+    "graph_assoc_rules_lift",
+    sql=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+    ic AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY p
+    ),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {ASSOC_MIN_PAIR}
+    )
+    SELECT pairs.pa AS part_a, pairs.pb AS part_b,
+           pairs.cab AS n_both, ia.c AS n_a, ib.c AS n_b, nb.n AS n_baskets,
+           CAST(pairs.cab AS DOUBLE) / CAST(ia.c AS DOUBLE) AS conf_ab,
+           CAST(pairs.cab AS DOUBLE) / CAST(ib.c AS DOUBLE) AS conf_ba,
+           CAST(nb.n AS DOUBLE) * CAST(pairs.cab AS DOUBLE)
+           / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN ic ia ON ia.p = pairs.pa
+    JOIN ic ib ON ib.p = pairs.pb
+    CROSS JOIN nb
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Market-basket association rules: pair candidates come from a "
+        "basket-keyed self-join (cost Sigma deg(basket)^2 — order "
+        "baskets are size-bounded by the data model, ~7 items, so "
+        "per-basket work is constant; a degree cap like "
+        "also_bought's guards pathological baskets), pair counts and "
+        "item counts are two-phase hash aggs, the min-support HAVING "
+        "prunes the rule table BEFORE the stats joins, item counts "
+        "join broadcast-sized sides, and the basket total is a 1-row "
+        "broadcast.  Confidence and lift are per-row IEEE "
+        "expressions over exact BIGINTs."
+    ),
+)
+def graph_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (support >= 2 baskets) over order baskets:
+    confidence both directions and lift per item pair."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    items = persist_fresh("assoc_items", sf_dir, li)
+    nb = items.agg(
+        F.countDistinct("ok").cast("bigint").alias("n_baskets")
+    )
+    ic = items.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= ASSOC_MIN_PAIR)
+    )
+    ia = ic.select(F.col("p").alias("pa"), F.col("c").alias("n_a"))
+    ib = ic.select(F.col("p").alias("pb"), F.col("c").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nb))
+    )
+    cab, na_, nb_, n = (
+        F.col("n_both").cast("double"),
+        F.col("n_a").cast("double"),
+        F.col("n_b").cast("double"),
+        F.col("n_baskets").cast("double"),
+    )
+    return j.select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        (cab / na_).alias("conf_ab"),
+        (cab / nb_).alias("conf_ba"),
+        (n * cab / (na_ * nb_)).alias("lift"),
+    )
+
+
+@query(
+    "graph_clustering_coeff",
+    sql="""
+    WITH pp AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS v FROM pp UNION ALL SELECT b AS v FROM pp
+        ) GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM pp e1
+        JOIN pp e2 ON e2.a = e1.b
+        JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS v FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY v
+    )
+    SELECT deg.v AS p_partkey, deg.d AS degree,
+           CAST(COALESCE(tv.t, 0) AS BIGINT) AS n_triangles,
+           2.0 * CAST(COALESCE(tv.t, 0) AS DOUBLE)
+           / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+               AS clustering_coeff
+    FROM deg LEFT JOIN tv ON tv.v = deg.v
+    WHERE deg.d >= 2
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Local clustering coefficient cc(v) = 2T(v)/(d(v)(d(v)-1)) "
+        "on the part co-purchase graph: COMPOSES graph_triangle_count "
+        "(degree-oriented compact-forward wedge enumeration, "
+        "O(E^1.5) — the probed scale path) with the vertex-degree "
+        "table (one edge-keyed agg), one left join, one float "
+        "expression per vertex.  Degree-1 vertices are excluded by "
+        "contract (cc undefined — no wedge exists); zero-triangle "
+        "vertices coalesce to 0.  The oracle recomputes triangles "
+        "naively by a<b<c — same set, hash-identical."
+    ),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase
+    graph, composed from graph_triangle_count's oriented enumeration
+    plus a degree table."""
+    tv = graph_triangle_count(spark, sf_dir).select(
+        F.col("p_partkey").alias("v"), F.col("n_triangles").alias("t")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("b"),
+    )
+    edges = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("b")),
+        )
+        .select(F.col("l_partkey").alias("a"), "b")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    j = deg.join(tv, "v", "left").select(
+        F.col("v").alias("p_partkey"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    d, t = F.col("degree"), F.col("n_triangles")
+    return j.select(
+        "p_partkey",
+        "degree",
+        "n_triangles",
+        (
+            F.lit(2.0) * t.cast("double")
+            / (d.cast("double") * (d.cast("double") - F.lit(1.0)))
+        ).alias("clustering_coeff"),
+    )

@@ -723,3 +723,168 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---- TPC-H Q7/Q10 analogs (round-7 continuation) ----------------------
+# Two more canonical join-shape stress tests: Q7 (volume shipping
+# between a nation PAIR — the dual-dimension-role join where nation
+# joins BOTH sides of the fact) and Q10 (returned-item revenue top
+# customers — agg-then-rank with a deterministic tie-break).
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_Y0, Q7_Y1 = 1995, 1996
+
+
+@query(
+    "agg_q7_nation_volume",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+        OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}'))
+      AND l.l_shipdate >= TIMESTAMP '{Q7_Y0}-01-01'
+      AND l.l_shipdate < TIMESTAMP '{Q7_Y1 + 1}-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tables=("supplier", "lineitem", "orders", "customer", "nation"),
+    scale_note=(
+        "TPC-H Q7 shape: the nation dim joins BOTH fact sides "
+        "(supplier's nation and customer's nation) under two "
+        "aliases — both broadcast; the ship-date filter pushes to "
+        "the lineitem scan BEFORE the orders fact-fact shuffle; "
+        "the nation-pair disjunction prunes after the broadcasts "
+        "(dimension-selective, so the shuffled volume is already "
+        "date-pruned).  Revenue exact decimal, cast once per "
+        "output row; output is pair x year sized."
+    ),
+)
+def agg_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between NATION_1 and NATION_2
+    per direction and ship year, 1995-1996."""
+    from ..numerics import dec
+
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q7_Y0}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q7_Y1 + 1}-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("l_suppkey"))
+        .join(o, o["o_orderkey"] == F.col("l_orderkey"))
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+
+
+Q10_QTR_START = "1998-10-01"
+Q10_QTR_END = "1999-01-01"
+Q10_TOPK = 20
+
+
+@query(
+    "agg_q10_returned_topk",
+    sql=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q10_QTR_START}'
+      AND o.o_orderdate < TIMESTAMP '{Q10_QTR_END}'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {Q10_TOPK}
+    """,
+    tables=("customer", "orders", "lineitem", "nation"),
+    scale_note=(
+        "TPC-H Q10 shape: date filter pushes to the orders scan and "
+        "returnflag to the lineitem scan BEFORE the fact-fact "
+        "shuffle; nation broadcasts; the customer-grain agg is "
+        "two-phase; the final top-20 is a TakeOrdered (per-partition "
+        "top-k then a K-row driver merge — never a global sort of "
+        "the customer table), with the (revenue DESC, custkey) "
+        "tie-break making the cut deterministic for the hash."
+    ),
+)
+def agg_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by returned-item revenue in
+    1998Q4 (deterministic custkey tie-break)."""
+    from ..numerics import dec
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(Q10_QTR_START).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(Q10_QTR_END).cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            l.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    agg = j.groupBy(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    ).agg(
+        F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lineitems"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(
+        Q10_TOPK
+    )

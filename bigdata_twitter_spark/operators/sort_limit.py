@@ -183,3 +183,76 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("bucket").cast("int").alias("bucket"), "n_rows", "lo", "hi"
     )
+
+
+# ---- Pareto skyline (round-7 continuation) ----------------------------
+# The classic "skyline query" (Börzsönyi et al., ICDE 2001): the set
+# of non-dominated rows under (minimize price, maximize size).  The
+# Spark path is the sort-sweep formulation — domination collapses to
+# a running-max scan over the price-DOMAIN-sized distinct table — and
+# the oracle states the textbook NOT EXISTS anti-join semantics, so
+# the two engines compute the front by DISJOINT routes (the
+# multimodal_jpeg_decode verification pattern).
+
+
+@query(
+    "agg_skyline_pareto",
+    sql="""
+    SELECT p_partkey, p_name, p_brand,
+           CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+           p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE CAST(floor(q.p_retailprice * 100) AS BIGINT)
+                  <= CAST(floor(p.p_retailprice * 100) AS BIGINT)
+          AND q.p_size >= p.p_size
+          AND (CAST(floor(q.p_retailprice * 100) AS BIGINT)
+                   < CAST(floor(p.p_retailprice * 100) AS BIGINT)
+               OR q.p_size > p.p_size)
+    )
+    """,
+    tables=("part",),
+    scale_note=(
+        "2-D skyline via sort-sweep: collapse to the DISTINCT "
+        "(price_cents -> max size) table (price-domain-sized, not "
+        "corpus-sized), one running-max window over sorted prices "
+        "keeps a price level iff its best size strictly beats every "
+        "strictly-cheaper level, then one semi-join back to the "
+        "corpus lists every row on the front.  No pairwise "
+        "domination join anywhere on the Spark side; the oracle's "
+        "NOT EXISTS is the quadratic textbook statement — disjoint "
+        "routes to the same front.  Past the domain regime the "
+        "sweep takes the two-level range-bucket cumulative "
+        "(sample_weighted_pps idiom)."
+    ),
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto front of parts under (min retail price, max size), via a
+    domain-sized sort-sweep + semi-join back to rows."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")
+    cents = F.floor(F.col("p_retailprice") * 100).cast("bigint")
+    rows = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        cents.alias("price_cents"),
+        "p_size",
+    )
+    # price level -> best size at that level (same-price domination)
+    lvl = rows.groupBy("price_cents").agg(F.max("p_size").alias("ms"))
+    w = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front_lvls = (
+        lvl.withColumn("prev_best", F.max("ms").over(w))
+        .where(
+            F.col("prev_best").isNull() | (F.col("ms") > F.col("prev_best"))
+        )
+        .select("price_cents", F.col("ms").alias("p_size"))
+    )
+    return rows.join(
+        F.broadcast(front_lvls), ["price_cents", "p_size"], "semi"
+    ).select("p_partkey", "p_name", "p_brand", "price_cents", "p_size")

@@ -1832,3 +1832,394 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n.cast("double") + 1.0) / n.cast("double")
         ).alias("gini"),
     )
+
+
+# ---- two-sample nonparametric / parametric tests (round 7) -----------
+# The test family so far covers trend (Mann-Kendall), seasonality
+# (ANOVA), proportions (A/B z), independence (chi²), and inequality
+# (Gini).  The missing classical shapes are the TWO-SAMPLE location
+# tests a warehouse analyst runs before trusting a segment
+# comparison: Mann-Whitney U (rank-sum, distribution-free), the
+# Kolmogorov-Smirnov D (whole-distribution), and Welch's t (unequal
+# variances).  All three follow the house rule — exact integer
+# sufficient statistics (cent-scaled values, counts, rank sums as
+# wide integers), float math once per output row in a token-identical
+# expression sequence.
+#
+# Rank machinery: ranks live on the DISTINCT-VALUE table (cents →
+# count per group), which is PRICE-DOMAIN-sized, not corpus-sized —
+# the cumulative window over sorted distinct cents is bounded by the
+# monetary domain (100·max_price values) no matter how many rows the
+# corpus has.  Past that regime the two-level range-bucket cumulative
+# (sample_weighted_pps idiom, operators/scale_ops.py) is the declared
+# path; the scale notes say so.
+
+
+@query(
+    "agg_mann_whitney_u",
+    sql="""
+    WITH x AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g1
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ),
+    v AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(g1) AS BIGINT) AS c1
+        FROM x GROUP BY 1
+    ),
+    r AS (
+        SELECT cents, c, c1,
+               CAST(COALESCE(SUM(c) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cb
+        FROM v
+    ),
+    s AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c - c1) AS BIGINT) AS n2,
+               CAST(CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1))
+                    AS HUGEINT) AS BIGINT) AS r1x2,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+        FROM r
+    )
+    SELECT n1, n2,
+           r1x2 - n1 * (n1 + 1) AS u1_x2,
+           tie AS tie_term,
+           ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / sqrt(
+               (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+               * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                  - CAST(tie AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE)
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
+           ) AS z_stat
+    FROM s
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Mann-Whitney rank-sum via average ranks on the DISTINCT-"
+        "value table (price-domain-sized, not corpus-sized): one "
+        "two-phase agg to (cents -> c, c1), one cumulative window "
+        "over sorted distinct cents (exact BIGINT sums; two-level "
+        "range-bucket cumulative is the declared path past the "
+        "domain regime), then a single-row reduce.  2*R1 stays "
+        "integer (avg ranks have denominator 2) and accumulates in "
+        "HUGEINT/DECIMAL(38,0) - exact past the ~2^63 a x100 corpus "
+        "rank-sum reaches; z is one identical IEEE expression."
+    ),
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test of o_totalprice between order
+    statuses 'O' and 'F', with tie-corrected normal approximation."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus").isin("O", "F")
+    )
+    x = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("g1"),
+    )
+    v = x.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("g1").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.withColumn(
+        "cb", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+    )
+    s = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(19,0)")
+            * (2 * F.col("cb") + F.col("c") + 1)
+        )
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("r1x2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie"),
+    )
+    n1, n2, r1x2, tie = (
+        F.col("n1"), F.col("n2"), F.col("r1x2"), F.col("tie"),
+    )
+    nd = (n1 + n2).cast("double")
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    z = (
+        (u1x2.cast("double") / F.lit(2.0))
+        - n1.cast("double") * n2.cast("double") / F.lit(2.0)
+    ) / F.sqrt(
+        (n1.cast("double") * n2.cast("double") / F.lit(12.0))
+        * (
+            (nd + F.lit(1.0))
+            - tie.cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1x2.alias("u1_x2"),
+        tie.alias("tie_term"),
+        z.alias("z_stat"),
+    )
+
+
+@query(
+    "agg_ks_two_sample",
+    sql="""
+    WITH x AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    v AS (
+        SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(COUNT(*) - SUM(g1) AS BIGINT) AS c2
+        FROM x GROUP BY 1
+    ),
+    r AS (
+        SELECT cents,
+               CAST(SUM(c1) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS f2
+        FROM v
+    ),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM v)
+    SELECT t.n1, t.n2,
+           CAST(MAX(abs(r.f1 * t.n2 - r.f2 * t.n1)) AS BIGINT) AS d_num,
+           CAST(MAX(abs(r.f1 * t.n2 - r.f2 * t.n1)) AS DOUBLE)
+           / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS d_stat
+    FROM r, t GROUP BY t.n1, t.n2
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Kolmogorov-Smirnov D as an exact integer: the max of "
+        "|F1*n2 - F2*n1| over the distinct-value table (price-"
+        "domain-sized), cross-multiplied so no float enters until "
+        "the final division.  Cumulative counts are BIGINT window "
+        "sums over sorted distinct cents (two-level range-bucket "
+        "cumulative past the domain regime); the 1-row totals side "
+        "is a broadcast.  d_num <= n1*n2 bounds the integer width; "
+        "a x100 corpus crosses 2^63 only past ~3e9 rows per side - "
+        "the DECIMAL(38,0) upgrade is a one-line swap and the note "
+        "on the key records it."
+    ),
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between o_totalprice
+    distributions of '1-URGENT' and '5-LOW' orders, exact-integer
+    cross-multiplied form."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    v = x.groupBy("cents").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("g1")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = v.select(
+        "cents",
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    t = v.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    j = r.crossJoin(F.broadcast(t))
+    dnum = F.max(
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    ).cast("bigint")
+    return (
+        j.groupBy("n1", "n2")
+        .agg(dnum.alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+@query(
+    "agg_welch_ttest",
+    sql="""
+    WITH x AS (
+        SELECT c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    g AS (
+        SELECT
+            CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s1,
+            CAST(CAST(SUM(CASE WHEN seg = 'AUTOMOBILE'
+                     THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+                 AS HUGEINT) AS BIGINT) AS ss1,
+            CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s2,
+            CAST(CAST(SUM(CASE WHEN seg = 'BUILDING'
+                     THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+                 AS HUGEINT) AS BIGINT) AS ss2
+        FROM x
+    )
+    SELECT n1, n2,
+           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1_cents,
+           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2_cents,
+           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           / sqrt(
+               ((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+               / CAST(n1 AS DOUBLE)
+               + ((CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                 / CAST(n2 AS DOUBLE)
+           ) AS t_stat,
+           (((CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+            / CAST(n1 AS DOUBLE)
+            + ((CAST(ss2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+              / CAST(n2 AS DOUBLE))
+           * (((CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+              / CAST(n1 AS DOUBLE)
+              + ((CAST(ss2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                / CAST(n2 AS DOUBLE))
+           / (
+               (((CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                / CAST(n1 AS DOUBLE))
+               * (((CAST(ss1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                  / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1.0)
+               + (((CAST(ss2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                  / CAST(n2 AS DOUBLE))
+               * (((CAST(ss2 AS DOUBLE)
+                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                  / CAST(n2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) - 1.0)
+           ) AS welch_dof
+    FROM g
+    """,
+    tables=("customer",),
+    scale_note=(
+        "Welch's unequal-variance t from exact integer sufficient "
+        "statistics: one two-phase conditional agg (n, sum-cents, "
+        "sum-cents-squared per segment; the squared sum accumulates "
+        "in HUGEINT/DECIMAL(38,0) - exact past the ~2^63 a x100 "
+        "corpus of squared cents reaches), then t and the Welch-"
+        "Satterthwaite dof as token-identical IEEE expressions on "
+        "the single output row.  floor() pins negative-balance "
+        "cents (Spark's bigint cast truncates toward zero; floor is "
+        "the engine-agreed semantics - the Benford lesson extended "
+        "to negatives)."
+    ),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test of c_acctbal between AUTOMOBILE and BUILDING
+    segments, with Welch-Satterthwaite degrees of freedom."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    x = c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+    is1 = F.col("seg") == "AUTOMOBILE"
+    is2 = F.col("seg") == "BUILDING"
+    g = x.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                is1, F.col("cents").cast("decimal(19,0)") * F.col("cents")
+            ).otherwise(F.lit(0).cast("decimal(19,0)"))
+        )
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("ss1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is2, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(
+            F.when(
+                is2, F.col("cents").cast("decimal(19,0)") * F.col("cents")
+            ).otherwise(F.lit(0).cast("decimal(19,0)"))
+        )
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("ss2"),
+    )
+
+    def _m(s: F.Column, n: F.Column) -> F.Column:
+        return s.cast("double") / n.cast("double")
+
+    def _v(ss: F.Column, s: F.Column, n: F.Column) -> F.Column:
+        return (
+            ss.cast("double")
+            - s.cast("double") * s.cast("double") / n.cast("double")
+        ) / (n.cast("double") - F.lit(1.0))
+
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    se1 = _v(ss1, s1, n1) / n1.cast("double")
+    se2 = _v(ss2, s2, n2) / n2.cast("double")
+    t = (_m(s1, n1) - _m(s2, n2)) / F.sqrt(se1 + se2)
+    dof = (
+        (se1 + se2)
+        * (se1 + se2)
+        / (
+            se1 * se1 / (n1.cast("double") - F.lit(1.0))
+            + se2 * se2 / (n2.cast("double") - F.lit(1.0))
+        )
+    )
+    return g.select(
+        "n1",
+        "n2",
+        _m(s1, n1).alias("mean1_cents"),
+        _m(s2, n2).alias("mean2_cents"),
+        t.alias("t_stat"),
+        dof.alias("welch_dof"),
+    )

@@ -1755,3 +1755,371 @@ def ts_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("wma_num"),
         (num.cast("double") / WMA_DEN).alias("wma"),
     )
+
+
+# ---- finance-style indicator trio (round-7 continuation) --------------
+# Bollinger bands, Wilder RSI, and maximum drawdown — the three
+# indicator shapes a metrics/finance user computes over ANY keyed
+# series (here: the hourly/daily event series).  House numeric rules:
+# window statistics accumulate EXACT integers or decimals (associative
+# — safe under DuckDB's segment-tree vs Spark's running-fold window
+# evaluation, the ts_rolling_median lesson), and the sequential Wilder
+# recurrence is an ordered per-key fold (the Holt idiom) restated as a
+# recursive CTE on the oracle side, token-identical.
+
+BOLL_W = 8  # trailing window (hours); bands need full windows only
+
+
+@query(
+    "ts_bollinger_bands",
+    sql=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, hr, cnt,
+               CAST(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS s,
+               CAST(SUM(cnt * cnt) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS ss,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) AS rn
+        FROM hourly
+    )
+    SELECT event_type, hr, cnt,
+           CAST(s AS DOUBLE) / {BOLL_W}.0 AS mid,
+           CAST(s AS DOUBLE) / {BOLL_W}.0
+           + 2.0 * sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / {BOLL_W}.0) / {BOLL_W}.0) AS upper_band,
+           CAST(s AS DOUBLE) / {BOLL_W}.0
+           - 2.0 * sqrt((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / {BOLL_W}.0) / {BOLL_W}.0) AS lower_band
+    FROM w WHERE rn >= {BOLL_W}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Trailing mean +/- 2 sigma bands per type: one event_type "
+        "shuffle, one partition-local sort reused by all three "
+        "windows, constant per-row work.  The window sums are EXACT "
+        "BIGINTs (associative - immune to the segment-tree vs "
+        "running-fold association-order split between engines that "
+        "makes windowed DOUBLE sums hash-unsafe); mean and sigma are "
+        "per-row IEEE expressions from those integers.  Warm-up rows "
+        "(first W-1 per key) are excluded by contract so every "
+        "emitted band is a full-window statistic."
+    ),
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (8-hour trailing mean ± 2σ) over hourly event
+    counts per type; warm-up rows excluded."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-(BOLL_W - 1), Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type").orderBy("hr")
+    w = hourly.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.sum("cnt").over(wf).cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(wf).cast("bigint").alias("ss"),
+        F.row_number().over(wn).alias("rn"),
+    ).where(F.col("rn") >= BOLL_W)
+    s, ss = F.col("s"), F.col("ss")
+    mid = s.cast("double") / F.lit(float(BOLL_W))
+    sigma = F.sqrt(
+        (
+            ss.cast("double")
+            - s.cast("double") * s.cast("double") / F.lit(float(BOLL_W))
+        )
+        / F.lit(float(BOLL_W))
+    )
+    return w.select(
+        "event_type",
+        "hr",
+        "cnt",
+        mid.alias("mid"),
+        (mid + F.lit(2.0) * sigma).alias("upper_band"),
+        (mid - F.lit(2.0) * sigma).alias("lower_band"),
+    )
+
+
+RSI_N = 14  # Wilder's smoothing period
+
+
+@query(
+    "ts_rsi_wilder",
+    sql=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               {dsum_sql('value')} AS x
+        FROM events GROUP BY 1, 2
+    ),
+    d0 AS (
+        SELECT event_type, hr,
+               x - lag(x) OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) AS d
+        FROM hourly
+    ),
+    s AS (
+        SELECT event_type, d,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM d0 WHERE d IS NOT NULL
+    ),
+    seed AS (
+        SELECT event_type, n, CAST({RSI_N} AS BIGINT) AS rn,
+               list_reduce(
+                   list(greatest(d, 0.0) ORDER BY rn),
+                   (a, b) -> a + b) / {RSI_N}.0 AS ag,
+               list_reduce(
+                   list(greatest(-d, 0.0) ORDER BY rn),
+                   (a, b) -> a + b) / {RSI_N}.0 AS al
+        FROM s WHERE rn <= {RSI_N} AND n >= {RSI_N} + 1
+        GROUP BY event_type, n
+    ),
+    rec AS (
+        SELECT event_type, n, rn, ag, al FROM seed
+        UNION ALL
+        SELECT r.event_type, r.n, t.rn,
+               (r.ag * 13.0 + greatest(t.d, 0.0)) / {RSI_N}.0 AS ag,
+               (r.al * 13.0 + greatest(-t.d, 0.0)) / {RSI_N}.0 AS al
+        FROM rec r
+        JOIN s t ON t.event_type = r.event_type AND t.rn = r.rn + 1
+        WHERE r.rn < r.n
+    )
+    SELECT event_type, n AS n_deltas, ag AS avg_gain, al AS avg_loss,
+           CASE WHEN al = 0.0 THEN 100.0
+                ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+    FROM rec WHERE rn = n
+    """,
+    tables=("events",),
+    scale_note=(
+        "Wilder-smoothed RSI over the hourly value series per type: "
+        "the textbook RECURSIVE smoother (avg_gain <- (13*prev + "
+        "gain)/14), handled like Holt - an ordered per-key aggregate "
+        "fold over the delta array (O(hours) state per key, fold "
+        "runs in the executor), restated as a recursive CTE on the "
+        "oracle side so both engines run the identical IEEE "
+        "sequence.  The hourly sums behind the deltas are exact "
+        "decimals; the 14-delta seed mean folds left-to-right on "
+        "both engines (ANOVA order-pinning).  Sequential in time, "
+        "embarrassingly parallel in keys."
+    ),
+)
+def ts_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder RSI (period 14) of hourly event-value sums per type:
+    seed mean of first 14 gains/losses, then the recursive smoother."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(dsum("value").alias("x"))
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    d0 = hourly.select(
+        "event_type",
+        "hr",
+        (F.col("x") - F.lag("x").over(wo)).alias("d"),
+    ).where(F.col("d").isNotNull())
+    s = d0.select(
+        "event_type",
+        "d",
+        F.row_number().over(wo).alias("rn"),
+    )
+    series = (
+        s.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "d"))),
+                lambda x: x["d"],
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= RSI_N + 1)
+    )
+    st = series.select(
+        "event_type",
+        F.size("ds").cast("bigint").alias("n_deltas"),
+        F.expr(
+            f"""
+            aggregate(
+                slice(ds, {RSI_N + 1}, size(ds) - {RSI_N}),
+                named_struct(
+                    'ag', aggregate(slice(ds, 1, {RSI_N}),
+                                    CAST(0.0 AS DOUBLE),
+                                    (a, x) -> a + greatest(x, 0.0D))
+                          / {RSI_N}.0D,
+                    'al', aggregate(slice(ds, 1, {RSI_N}),
+                                    CAST(0.0 AS DOUBLE),
+                                    (a, x) -> a + greatest(-x, 0.0D))
+                          / {RSI_N}.0D),
+                (acc, x) -> named_struct(
+                    'ag', (acc.ag * 13.0D + greatest(x, 0.0D))
+                          / {RSI_N}.0D,
+                    'al', (acc.al * 13.0D + greatest(-x, 0.0D))
+                          / {RSI_N}.0D)
+            )
+            """
+        ).alias("st"),
+    )
+    ag, al = F.col("st.ag"), F.col("st.al")
+    return st.select(
+        "event_type",
+        "n_deltas",
+        ag.alias("avg_gain"),
+        al.alias("avg_loss"),
+        F.when(al == 0.0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al))
+        .alias("rsi"),
+    )
+
+
+@query(
+    "ts_drawdown_max",
+    sql="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(12,2))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, day,
+               SUM(v) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS cum
+        FROM daily
+    ),
+    d AS (
+        SELECT event_type, day, cum,
+               MAX(cum) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) - cum AS dd
+        FROM c
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(dd) AS DOUBLE) AS max_drawdown
+    FROM d GROUP BY event_type
+    """,
+    tables=("events",),
+    scale_note=(
+        "Maximum drawdown of the cumulative daily value per type: "
+        "cumulative sum and running max are both over EXACT DECIMALs "
+        "(associative - window-evaluation-order immune), so the "
+        "drawdown is exact until the single final DOUBLE cast.  One "
+        "event_type shuffle, one partition-local sort shared by both "
+        "windows, then a dimension-sized agg.  The cumulative window "
+        "is per-key (never unpartitioned); a key whose history "
+        "exceeds one partition takes the two-level range-bucket "
+        "cumulative (sample_weighted_pps idiom)."
+    ),
+)
+def ts_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (peak-to-trough of the cumulative daily value
+    series) per event type, exact-decimal until the final cast."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.select(
+        "event_type", "day", F.sum("v").over(wc).alias("cum")
+    )
+    d = c.select(
+        "event_type",
+        (F.max("cum").over(wc) - F.col("cum")).alias("dd"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("dd").cast("double").alias("max_drawdown"),
+    )
+
+@query(
+    "ts_entropy_daily",
+    sql="""
+    WITH cell AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    ct AS (
+        SELECT day, event_type, c,
+               CAST(SUM(c) OVER (PARTITION BY day) AS BIGINT) AS n
+        FROM cell
+    )
+    SELECT day,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INT) AS k_types,
+           list_reduce(
+               list(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 8)
+                    ORDER BY event_type),
+               (a, b) -> a + b) + 0.0 AS entropy
+    FROM ct GROUP BY day
+    """,
+    tables=("events",),
+    scale_note=(
+        "Shannon entropy (nats) of the daily event-type mix: cell "
+        "counts are one two-phase agg (grid-sized: days x types), "
+        "the day total is an exact BIGINT window over the grid, and "
+        "the entropy total folds over a day's <=|types| cells in "
+        "event_type order — ORDER-PINNED on both engines (the ANOVA "
+        "cell-fold idiom) because -p*ln(p) terms are floats; each "
+        "term is rounded to 8dp BEFORE the fold (the perplexity "
+        "key's ln-ulp discipline: engine ln() implementations "
+        "differ in the last ulp, rounding re-synchronizes them so "
+        "the pinned fold adds identical doubles).  The "
+        "trailing +0.0 normalizes the k=1 corner where the single "
+        "fold term is IEEE -0.0 (DuckDB's init-less reduce would "
+        "return it verbatim; Spark's 0.0-seeded fold flips it).  "
+        "Grid-sized work after the first agg."
+    ),
+)
+def ts_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per day, from
+    exact cell counts with an order-pinned float fold."""
+    e = load(spark, sf_dir, "events")
+    cell = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wd = Window.partitionBy("day")
+    ct = cell.withColumn("n", F.sum("c").over(wd).cast("bigint"))
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("event_type", "c", "n"))),
+            lambda x: F.round(
+                -(x["c"].cast("double") / x["n"].cast("double"))
+                * F.log(x["c"].cast("double") / x["n"].cast("double")),
+                8,
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return ct.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("int").alias("k_types"),
+        (fold + F.lit(0.0)).alias("entropy"),
+    )

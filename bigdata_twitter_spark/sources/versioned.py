@@ -800,3 +800,110 @@ def table_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_len)"
         )
     )
+
+
+# ---- RESTORE to an earlier version (round-7 continuation) -------------
+# The missing lifecycle verb beside time-travel/compact/vacuum/clone:
+# RESTORE VERSION AS OF — roll the table back to a prior snapshot by
+# committing a NEW manifest that references the old version's file
+# set.  Restore is metadata-only (zero data files rewritten — the
+# Delta/Iceberg semantics): history is preserved (the bad version
+# stays readable), and the restored head resolves identically to the
+# restored-to version.
+
+
+@query(
+    "table_restore_version",
+    sql=f"""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('value')} AS sum_value,
+           CAST(0 AS BIGINT) AS n_from_delta
+    FROM events
+    UNION ALL
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql(f"CASE WHEN event_id % {DELTA_MOD} = 0"
+                     f" THEN value + {DELTA_BUMP} ELSE value END")}
+               AS sum_value,
+           CAST(SUM(CASE WHEN event_id % {DELTA_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_from_delta
+    FROM events
+    UNION ALL
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {dsum_sql('value')} AS sum_value,
+           CAST(0 AS BIGINT) AS n_from_delta
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "RESTORE VERSION AS OF: commit a NEW manifest whose file "
+        "list is the restored-to version's — metadata-sized work "
+        "regardless of table size, zero data files rewritten, and "
+        "the rolled-back version stays readable (history preserved, "
+        "the Delta/Iceberg contract).  The oracle recomputes v0/v1 "
+        "from source and states v2 == v0, proving the restore "
+        "resolves byte-identically through the same merge-on-read "
+        "reader as every other versioned key."
+    ),
+)
+def table_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-commit versioned table: base, bad delta, then RESTORE to
+    v0 as v2 (metadata-only rollback); per-version resolved stats."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_restore_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = e.select(*cols, F.lit(0).alias("commit"))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn("value", F.col("value") + F.lit(DELTA_BUMP))
+        .select(*cols, F.lit(1).alias("commit"))
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta1"))
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    # v2 IS the restore: same file set as v0, committed as new history.
+    manifests = {0: ["base"], 1: ["base", "delta1"], 2: ["base"]}
+    for files in manifests.values():
+        commit_next(man_dir, files)
+
+    def read_as_of(version: int) -> DataFrame:
+        with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.parquet(*[os.path.join(root, f) for f in files])
+        w = Window.partitionBy("event_id").orderBy(F.col("commit").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    rows = []
+    for v in (0, 1, 2):
+        snap = read_as_of(v)
+        rows.append(
+            snap.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                dsum("value").alias("sum_value"),
+                F.sum("commit").cast("bigint").alias("n_from_delta"),
+            )
+            .select(F.lit(v).alias("version"), "*")
+            .collect()[0]
+        )
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "manifests": manifests,
+            "restore_files_rewritten": 0,  # metadata-only by construction
+            "history_preserved": sorted(manifests),
+        }
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, sum_value double, n_from_delta bigint",
+    )

@@ -749,3 +749,104 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("type_token_ratio"),
         )
     )
+
+
+# ---- corpus readability (round-7 continuation) ------------------------
+# Flesch reading-ease from exact integer sufficient statistics per
+# language: words, sentence terminators (>=1 per doc by the standard
+# convention), vowel-group "syllables", and polysyllabic words.  All
+# four counts are per-row codegen (regex char classes — identical
+# semantics in Java regex and RE2 for these patterns), summed as
+# BIGINTs; the Flesch formula is one IEEE expression per language row.
+
+
+@query(
+    "text_readability_flesch",
+    sql="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    t -> t != '')) AS BIGINT) AS w,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syl,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> len(regexp_extract_all(t, '[aeiouy]+')) >= 3))
+                    AS BIGINT) AS poly
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(s) AS BIGINT) AS n_sentences,
+           CAST(SUM(syl) AS BIGINT) AS n_syllables,
+           CAST(SUM(poly) AS BIGINT) AS n_polysyllables,
+           206.835
+           - 1.015 * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE))
+           - 84.6 * (CAST(SUM(syl) AS DOUBLE) / CAST(SUM(w) AS DOUBLE))
+               AS flesch
+    FROM d GROUP BY lang
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Corpus readability per language: the four counts are pure "
+        "per-row codegen (regex char classes, no Python), the "
+        "per-lang reduce is a two-phase BIGINT agg, and Flesch is "
+        "one IEEE expression per output row — the same "
+        "sufficient-statistics shape as agg_stats, so it "
+        "distributes over any partitioning with map-side combine.  "
+        "Sentence count floors at 1 per doc (the standard "
+        "convention; the fixture corpus is punctuation-free, which "
+        "this makes explicit rather than letting W/0 leak)."
+    ),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language from exact word / sentence /
+    vowel-group-syllable counts (documents table)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    w = F.size(words).cast("bigint")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    poly = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+            >= 3,
+        )
+    ).cast("bigint")
+    per_doc = d.select(
+        "lang", w.alias("w"), s.alias("s"), syl.alias("syl"),
+        poly.alias("poly"),
+    )
+    g = per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("s").cast("bigint").alias("n_sentences"),
+        F.sum("syl").cast("bigint").alias("n_syllables"),
+        F.sum("poly").cast("bigint").alias("n_polysyllables"),
+    )
+    nw, ns, nsyl = (
+        F.col("n_words").cast("double"),
+        F.col("n_sentences").cast("double"),
+        F.col("n_syllables").cast("double"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "n_polysyllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * (nw / ns)
+            - F.lit(84.6) * (nsyl / nw)
+        ).alias("flesch"),
+    )

@@ -1976,3 +1976,620 @@ def test_gini_coefficient_matches_python(specs, spark, sf_dir):
         assert (r["n"], r["total_cents"]) == (n, sx)
         assert r["gini"] == gini, pri
         assert 0.0 <= r["gini"] < 1.0
+
+
+# ---- two-sample test family (round-7 continuation) --------------------
+
+
+def test_mann_whitney_matches_python(specs, spark, sf_dir):
+    """agg_mann_whitney_u == Python exact rank-sum with tie correction."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .where("o_orderstatus IN ('O','F')")
+        .select("o_orderstatus", "o_totalprice")
+        .collect()
+    )
+    by_val: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cents = math.floor(r["o_totalprice"] * 100)
+        by_val[cents][0] += 1
+        by_val[cents][1] += r["o_orderstatus"] == "O"
+    n1 = sum(v[1] for v in by_val.values())
+    n2 = sum(v[0] - v[1] for v in by_val.values())
+    cb = 0
+    r1x2 = 0
+    tie = 0
+    for cents in sorted(by_val):
+        c, c1 = by_val[cents]
+        r1x2 += c1 * (2 * cb + c + 1)
+        tie += c * c * c - c
+        cb += c
+    u1x2 = r1x2 - n1 * (n1 + 1)
+    nd = float(n1 + n2)
+    z = ((u1x2 / 2.0) - float(n1) * float(n2) / 2.0) / math.sqrt(
+        (float(n1) * float(n2) / 12.0)
+        * ((nd + 1.0) - float(tie) / (nd * (nd - 1.0)))
+    )
+    [got] = specs["agg_mann_whitney_u"].fn(spark, sf_dir).collect()
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["u1_x2"] == u1x2
+    assert got["tie_term"] == tie
+    assert got["z_stat"] == z
+
+
+def test_ks_two_sample_matches_python(specs, spark, sf_dir):
+    """agg_ks_two_sample == Python exact cross-multiplied D."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "orders")
+        .where("o_orderpriority IN ('1-URGENT','5-LOW')")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    by_val: dict[int, list[int]] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cents = math.floor(r["o_totalprice"] * 100)
+        g = 0 if r["o_orderpriority"] == "1-URGENT" else 1
+        by_val[cents][g] += 1
+    n1 = sum(v[0] for v in by_val.values())
+    n2 = sum(v[1] for v in by_val.values())
+    f1 = f2 = 0
+    d_num = 0
+    for cents in sorted(by_val):
+        c1, c2 = by_val[cents]
+        f1 += c1
+        f2 += c2
+        d_num = max(d_num, abs(f1 * n2 - f2 * n1))
+    [got] = specs["agg_ks_two_sample"].fn(spark, sf_dir).collect()
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["d_num"] == d_num
+    assert got["d_stat"] == float(d_num) / (float(n1) * float(n2))
+    # D is a probability distance: 0 <= D <= 1.
+    assert 0.0 <= got["d_stat"] <= 1.0
+
+
+def test_welch_ttest_matches_python(specs, spark, sf_dir):
+    """agg_welch_ttest == Python exact-moment Welch t and dof."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "customer")
+        .where("c_mktsegment IN ('AUTOMOBILE','BUILDING')")
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    stats = {"AUTOMOBILE": [0, 0, 0], "BUILDING": [0, 0, 0]}
+    for r in rows:
+        cents = math.floor(r["c_acctbal"] * 100)
+        s = stats[r["c_mktsegment"]]
+        s[0] += 1
+        s[1] += cents
+        s[2] += cents * cents
+    n1, s1, ss1 = stats["AUTOMOBILE"]
+    n2, s2, ss2 = stats["BUILDING"]
+
+    def var(ss: int, s: int, n: int) -> float:
+        return (float(ss) - float(s) * float(s) / float(n)) / (
+            float(n) - 1.0
+        )
+
+    se1 = var(ss1, s1, n1) / float(n1)
+    se2 = var(ss2, s2, n2) / float(n2)
+    t = (float(s1) / float(n1) - float(s2) / float(n2)) / math.sqrt(
+        se1 + se2
+    )
+    dof = (
+        (se1 + se2)
+        * (se1 + se2)
+        / (se1 * se1 / (float(n1) - 1.0) + se2 * se2 / (float(n2) - 1.0))
+    )
+    [got] = specs["agg_welch_ttest"].fn(spark, sf_dir).collect()
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["mean1_cents"] == float(s1) / float(n1)
+    assert got["mean2_cents"] == float(s2) / float(n2)
+    assert got["t_stat"] == t
+    assert got["welch_dof"] == dof
+    # negative-balance cents must have used floor(), not trunc():
+    # at least one customer balance is negative in every fixture SF.
+    assert any(r["c_acctbal"] < 0 for r in rows)
+
+
+# ---- finance indicator trio (round-7 continuation) ---------------------
+
+
+def test_bollinger_matches_python(specs, spark, sf_dir):
+    """ts_bollinger_bands == Python exact-integer window statistics."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["count"]))
+    want = {}
+    for et, rows in series.items():
+        rows.sort()
+        for i in range(7, len(rows)):
+            win = [c for _, c in rows[i - 7 : i + 1]]
+            s, ss = sum(win), sum(c * c for c in win)
+            mid = float(s) / 8.0
+            sig = math.sqrt((float(ss) - float(s) * float(s) / 8.0) / 8.0)
+            want[(et, rows[i][0])] = (
+                rows[i][1], mid, mid + 2.0 * sig, mid - 2.0 * sig,
+            )
+    got = specs["ts_bollinger_bands"].fn(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        cnt, mid, up, lo = want[(r["event_type"], r["hr"])]
+        assert r["cnt"] == cnt
+        assert r["mid"] == mid
+        assert r["upper_band"] == up
+        assert r["lower_band"] == lo
+
+
+def test_rsi_wilder_matches_python(specs, spark, sf_dir):
+    """ts_rsi_wilder == Python replay of the seed mean + recurrence."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], float(Decimal(r["v"]))))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_rsi_wilder"].fn(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for et, rows in series.items():
+        rows.sort()
+        xs = [v for _, v in rows]
+        ds = [xs[i] - xs[i - 1] for i in range(1, len(xs))]
+        if len(ds) < 15:
+            assert et not in got
+            continue
+        ag = al = 0.0
+        for d in ds[:14]:
+            ag = ag + max(d, 0.0)
+            al = al + max(-d, 0.0)
+        ag, al = ag / 14.0, al / 14.0
+        for d in ds[14:]:
+            ag = (ag * 13.0 + max(d, 0.0)) / 14.0
+            al = (al * 13.0 + max(-d, 0.0)) / 14.0
+        rsi = 100.0 if al == 0.0 else 100.0 - 100.0 / (1.0 + ag / al)
+        r = got[et]
+        assert r["n_deltas"] == len(ds)
+        assert r["avg_gain"] == ag
+        assert r["avg_loss"] == al
+        assert r["rsi"] == rsi
+        n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
+
+
+def test_drawdown_matches_python(specs, spark, sf_dir):
+    """ts_drawdown_max == Python exact-Decimal running-peak drawdown."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], Decimal(r["v"])))
+    got = {
+        r["event_type"]: r
+        for r in specs["ts_drawdown_max"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for et, rows in series.items():
+        rows.sort()
+        cum = Decimal(0)
+        peak = None
+        dd = Decimal(0)
+        for _, v in rows:
+            cum += v
+            peak = cum if peak is None else max(peak, cum)
+            dd = max(dd, peak - cum)
+        assert got[et]["n_days"] == len(rows)
+        assert got[et]["max_drawdown"] == float(dd)
+        # drawdown is nonnegative by construction
+        assert got[et]["max_drawdown"] >= 0.0
+
+
+# ---- basket rules + clustering coefficient (round-7 continuation) ------
+
+
+def _copurchase_edges(spark, sf_dir):
+    from bigdata_twitter_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = defaultdict(set)
+    for r in rows:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    return baskets, edges
+
+
+def test_assoc_rules_matches_python(specs, spark, sf_dir):
+    """graph_assoc_rules_lift == Python exact basket counting."""
+    baskets, _ = _copurchase_edges(spark, sf_dir)
+    n_baskets = len(baskets)
+    item_c: dict[int, int] = defaultdict(int)
+    pair_c: dict[tuple, int] = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for p in s:
+            item_c[p] += 1
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_c[(s[i], s[j])] += 1
+    want = {k: v for k, v in pair_c.items() if v >= 2}
+    got = specs["graph_assoc_rules_lift"].fn(spark, sf_dir).collect()
+    assert {(r["part_a"], r["part_b"]) for r in got} == set(want)
+    for r in got:
+        a, b = r["part_a"], r["part_b"]
+        cab, ca, cb = want[(a, b)], item_c[a], item_c[b]
+        assert (r["n_both"], r["n_a"], r["n_b"]) == (cab, ca, cb)
+        assert r["n_baskets"] == n_baskets
+        assert r["conf_ab"] == float(cab) / float(ca)
+        assert r["conf_ba"] == float(cab) / float(cb)
+        assert r["lift"] == float(n_baskets) * float(cab) / (
+            float(ca) * float(cb)
+        )
+
+
+def test_clustering_coeff_matches_python(specs, spark, sf_dir):
+    """graph_clustering_coeff == Python naive triangle/degree cc."""
+    _, edges = _copurchase_edges(spark, sf_dir)
+    adj: dict[int, set] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri: dict[int, int] = defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once per vertex
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    got = {
+        r["p_partkey"]: r
+        for r in specs["graph_clustering_coeff"].fn(spark, sf_dir).collect()
+    }
+    want = {v for v, ns in adj.items() if len(ns) >= 2}
+    assert set(got) == want
+    for v in want:
+        d, t = len(adj[v]), tri.get(v, 0)
+        r = got[v]
+        assert r["degree"] == d
+        assert r["n_triangles"] == t
+        assert r["clustering_coeff"] == 2.0 * float(t) / (
+            float(d) * (float(d) - 1.0)
+        )
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+
+
+# ---- readability + entropy (round-7 continuation) ----------------------
+
+
+def test_flesch_matches_python(specs, spark, sf_dir):
+    """text_readability_flesch == Python regex counting per lang."""
+    import re
+
+    from bigdata_twitter_spark.tables import load
+
+    docs = (
+        load(spark, sf_dir, "documents").select("lang", "text").collect()
+    )
+    agg: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    vg = re.compile(r"[aeiouy]+")
+    st = re.compile(r"[.!?]+")
+    for r in docs:
+        text = r["text"]
+        words = [t for t in text.split(" ") if t]
+        low = text.lower()
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(words)
+        a[2] += max(len(st.findall(text)), 1)
+        a[3] += len(vg.findall(low))
+        a[4] += sum(1 for t in low.split(" ") if len(vg.findall(t)) >= 3)
+    got = {
+        r["lang"]: r
+        for r in specs["text_readability_flesch"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, nw, ns, nsyl, npoly) in agg.items():
+        r = got[lang]
+        assert r["n_docs"] == nd
+        assert r["n_words"] == nw
+        assert r["n_sentences"] == ns
+        assert r["n_syllables"] == nsyl
+        assert r["n_polysyllables"] == npoly
+        assert r["flesch"] == 206.835 - 1.015 * (
+            float(nw) / float(ns)
+        ) - 84.6 * (float(nsyl) / float(nw))
+
+
+def test_entropy_daily_matches_python(specs, spark, sf_dir):
+    """ts_entropy_daily == Python order-pinned rounded-term fold."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .count()
+        .collect()
+    )
+    by_day: dict = defaultdict(dict)
+    for r in cells:
+        by_day[r["day"]][r["event_type"]] = r["count"]
+    got = {
+        r["day"]: r
+        for r in specs["ts_entropy_daily"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_day)
+
+    def round_half_up_8(x: float) -> float:
+        # Spark's ROUND on doubles is BigDecimal HALF_UP; replay it.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    for day, cell in by_day.items():
+        n = sum(cell.values())
+        h = 0.0
+        for et in sorted(cell):
+            p = float(cell[et]) / float(n)
+            h = h + round_half_up_8(-p * math.log(p))
+        r = got[day]
+        assert r["n_events"] == n
+        assert r["k_types"] == len(cell)
+        assert r["entropy"] == h + 0.0
+        assert 0.0 <= r["entropy"] <= math.log(len(cell)) + 1e-6
+
+
+# ---- TPC-H Q7/Q10 analogs (round-7 continuation) -----------------------
+
+
+def test_q7_nation_volume_matches_python(specs, spark, sf_dir):
+    """agg_q7_nation_volume == Python exact-Decimal recompute."""
+    import datetime
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    o = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    cnat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load(spark, sf_dir, "supplier").collect()
+    }
+    nname = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    want: dict[tuple, list] = defaultdict(lambda: [Decimal(0), 0])
+    lo, hi = datetime.datetime(1995, 1, 1), datetime.datetime(1997, 1, 1)
+    for r in load(spark, sf_dir, "lineitem").collect():
+        if not (lo <= r["l_shipdate"] < hi):
+            continue
+        sn = nname[snat[r["l_suppkey"]]]
+        cn = nname[cnat[o[r["l_orderkey"]]]]
+        if {sn, cn} != {"NATION_1", "NATION_2"}:
+            continue
+        key = (sn, cn, r["l_shipdate"].year)
+        ep = Decimal(str(round(r["l_extendedprice"], 2)))
+        dc = Decimal(str(round(r["l_discount"], 2)))
+        want[key][0] += ep * (1 - dc)
+        want[key][1] += 1
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r
+        for r in specs["agg_q7_nation_volume"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (rev, n) in want.items():
+        assert got[key]["revenue"] == float(rev)
+        assert got[key]["n_lineitems"] == n
+
+
+def test_q10_returned_topk_matches_python(specs, spark, sf_dir):
+    """agg_q10_returned_topk == Python recompute of the exact top-20."""
+    import datetime
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    lo, hi = datetime.datetime(1998, 10, 1), datetime.datetime(1999, 1, 1)
+    okeys = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load(spark, sf_dir, "orders").collect()
+        if lo <= r["o_orderdate"] < hi
+    }
+    cust = {
+        r["c_custkey"]: (r["c_name"], r["c_nationkey"])
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    nname = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    rev: dict[int, list] = defaultdict(lambda: [Decimal(0), 0])
+    for r in load(spark, sf_dir, "lineitem").collect():
+        ck = okeys.get(r["l_orderkey"])
+        if ck is None or r["l_returnflag"] != "R":
+            continue
+        ep = Decimal(str(round(r["l_extendedprice"], 2)))
+        dc = Decimal(str(round(r["l_discount"], 2)))
+        rev[ck][0] += ep * (1 - dc)
+        rev[ck][1] += 1
+    ranked = sorted(
+        rev.items(), key=lambda kv: (-float(kv[1][0]), kv[0])
+    )[:20]
+    got = specs["agg_q10_returned_topk"].fn(spark, sf_dir).collect()
+    assert [r["c_custkey"] for r in got] == [ck for ck, _ in ranked]
+    for r, (ck, (rv, n)) in zip(got, ranked):
+        assert r["revenue"] == float(rv)
+        assert r["n_lineitems"] == n
+        assert (r["c_name"], r["nation"]) == (
+            cust[ck][0], nname[cust[ck][1]],
+        )
+
+
+# ---- centroid confusion + skyline (round-7 continuation) ---------------
+
+
+def test_centroid_confusion_matches_python(specs, spark, sf_dir):
+    """embed_centroid_confusion == Python centroid argmax replay."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    by_label: dict[int, list] = defaultdict(list)
+    for r in rows:
+        by_label[r["label"]].append(r["embedding"])
+    cents = {}
+    for lbl, vecs in by_label.items():
+        dims = len(vecs[0])
+        cents[lbl] = [
+            round(
+                sum(float(v[i]) for v in vecs) / len(vecs), 6
+            )  # loose: avg replay below is order-sensitive, see assert
+            for i in range(dims)
+        ]
+    want: dict[tuple, int] = defaultdict(int)
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        nv = math.sqrt(sum(x * x for x in v))
+        best = None
+        for lbl in sorted(cents):
+            c = cents[lbl]
+            nc = math.sqrt(sum(x * x for x in c))
+            cos = sum(a * b for a, b in zip(v, c)) / (nv * nc)
+            if best is None or cos > best[0] + 1e-12:
+                best = (cos, lbl)
+        want[(r["label"], best[1])] += 1
+    got = {
+        (r["label"], r["predicted"]): r
+        for r in specs["embed_centroid_confusion"].fn(spark, sf_dir).collect()
+    }
+    # cell totals must cover every vector exactly once
+    assert sum(r["n"] for r in got.values()) == len(rows)
+    # diagonal bookkeeping is internally consistent
+    for (lbl, pred), r in got.items():
+        assert r["n_correct"] == (r["n"] if lbl == pred else 0)
+    # Python replay agrees on the cell set and counts (float avg replay
+    # matches because centroid values are rounded to 6dp before scoring)
+    assert got.keys() == want.keys()
+    for k, n in want.items():
+        assert got[k]["n"] == n
+
+
+def test_skyline_matches_naive_python(specs, spark, sf_dir):
+    """agg_skyline_pareto == Python quadratic domination check."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    parts = [
+        (
+            r["p_partkey"],
+            math.floor(r["p_retailprice"] * 100),
+            r["p_size"],
+        )
+        for r in load(spark, sf_dir, "part").collect()
+    ]
+    levels = [(c, s) for _, c, s in parts]
+
+    def dominated(c, s):
+        return any(
+            qc <= c and qs >= s and (qc < c or qs > s) for qc, qs in levels
+        )
+
+    want = {pk for pk, c, s in parts if not dominated(c, s)}
+    got = specs["agg_skyline_pareto"].fn(spark, sf_dir).collect()
+    assert {r["p_partkey"] for r in got} == want
+    # front is a strict staircase over its distinct price levels:
+    # strictly cheaper level => strictly larger size never violated
+    lv = sorted({(r["price_cents"], r["p_size"]) for r in got})
+    for (c1, s1), (c2, s2) in zip(lv, lv[1:]):
+        if c1 < c2:
+            assert s1 < s2
+
+
+def test_restore_version_semantics(specs, spark, sf_dir):
+    """table_restore_version: v2 == v0 exactly, v1 differs, metadata-only."""
+    from bigdata_twitter_spark.sources import versioned as V
+
+    rows = {
+        r["version"]: r
+        for r in specs["table_restore_version"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    v0, v1, v2 = rows[0], rows[1], rows[2]
+    # restore resolves byte-identically to the restored-to version
+    assert (v2["n_rows"], v2["sum_value"], v2["n_from_delta"]) == (
+        v0["n_rows"], v0["sum_value"], v0["n_from_delta"],
+    )
+    # the bad version differs and stays readable (history preserved)
+    assert v1["sum_value"] != v0["sum_value"]
+    assert v1["n_from_delta"] > 0
+    info = V.LAST_RUN_INFO
+    assert info["restore_files_rewritten"] == 0
+    assert info["manifests"][2] == info["manifests"][0]
+    assert info["history_preserved"] == [0, 1, 2]
