@@ -322,3 +322,120 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("active_ratio"),
         )
     )
+
+
+# ---- zero-crossing rate (round-7 continuation) ------------------------
+# The second classic frame feature next to VAD's energy: per-frame
+# zero-crossing COUNT over the same non-overlapping 400-sample frames
+# — the cheap voiced/unvoiced discriminator (speech: low ZCR = voiced,
+# high = fricative/noise).  Integer-exact end to end: a crossing is a
+# sign flip between adjacent samples ((s >= 0) != (prev >= 0)), so the
+# count is an exact BIGINT and the oracle recomputes it from the
+# generator's closed-form sample formula — the decode-proving pattern
+# of the chunker and the VAD.
+
+ZCR_FRAME = 400  # non-overlapping, same segmentation grid as the VAD
+
+ZCR_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, frame_len bigint, "
+    "n_crossings bigint"
+)
+
+
+def _zcr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow framer: per non-overlapping frame, count adjacent
+    sign flips of REAL decoded int16 PCM."""
+    import numpy as np
+
+    from ..binfixtures import decode_wav
+
+    for pdf in batches:
+        doc, idx, length, cross = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, n, samples = decode_wav(bytes(payload))
+            sig = np.asarray(samples, dtype=np.int64)
+            nonneg = sig >= 0
+            for i in range(0, (n + ZCR_FRAME - 1) // ZCR_FRAME):
+                lo = i * ZCR_FRAME
+                hi = min(lo + ZCR_FRAME, n)
+                f = nonneg[lo:hi]
+                doc.append(doc_id)
+                idx.append(i)
+                length.append(hi - lo)
+                cross.append(int(np.count_nonzero(f[1:] != f[:-1])))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "frame_idx": pd.Series(idx, dtype="int64"),
+                "frame_len": pd.Series(length, dtype="int64"),
+                "n_crossings": pd.Series(cross, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_audio_zcr",
+    sql=f"""
+    WITH ids AS (SELECT unnest(range(0, {_BF_N_FILES})) AS doc_id),
+    meta AS (
+        SELECT doc_id, 1600 + (doc_id * 37) % 3200 AS n FROM ids
+    ),
+    f AS (
+        SELECT doc_id, n,
+               unnest(range((n + {ZCR_FRAME} - 1) // {ZCR_FRAME}))
+                   AS frame_idx
+        FROM meta
+    ),
+    s AS (
+        SELECT doc_id, frame_idx,
+               least({ZCR_FRAME}, n - frame_idx * {ZCR_FRAME}) AS flen,
+               unnest(range(1, least({ZCR_FRAME},
+                                     n - frame_idx * {ZCR_FRAME}))) AS j
+        FROM f
+    )
+    SELECT f.doc_id, f.frame_idx,
+           CAST(least({ZCR_FRAME}, f.n - f.frame_idx * {ZCR_FRAME})
+                AS BIGINT) AS frame_len,
+           CAST(COALESCE(SUM(
+               CASE WHEN
+                   (((s.doc_id * 31
+                      + (s.frame_idx * {ZCR_FRAME} + s.j) * 17)
+                     % 65536 - 32768) >= 0)
+                   !=
+                   (((s.doc_id * 31
+                      + (s.frame_idx * {ZCR_FRAME} + s.j - 1) * 17)
+                     % 65536 - 32768) >= 0)
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_crossings
+    FROM f
+    LEFT JOIN s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx
+    GROUP BY 1, 2, 3
+    """,
+    tables=(),
+    scale_note=(
+        "Per-frame zero-crossing counts over REAL decoded PCM in "
+        "Arrow mapInPandas batches — executor-side, batch-bounded, "
+        "integer-exact (a crossing is a sign flip, so no float "
+        "enters at all).  Same non-overlapping segmentation grid as "
+        "the VAD; the oracle recomputes every count from the "
+        "generator's closed-form sample formula — the independent "
+        "route that proves the WAV parse, the framing, and the "
+        "flip logic.  A real corpus swaps the stdlib reader at this "
+        "exact seam."
+    ),
+)
+def multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate per non-overlapping 400-sample frame of
+    real WAV fixtures (integer-exact voiced/unvoiced feature)."""
+    from ..binfixtures import ensure_wav_dir
+
+    root = ensure_wav_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.wav$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    return d.mapInPandas(_zcr_batches, schema=ZCR_SCHEMA)

@@ -2223,3 +2223,90 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         dof.alias("welch_dof"),
     )
+
+# ---- Herfindahl-Hirschman concentration (round-7 continuation) --------
+# Market-concentration HHI per nation: Σ (supplier revenue share)².
+# The naive route (Σ revᵢ² as a wide decimal, cast once) is NOT
+# hash-safe: a DECIMAL(38,8) at ~1e23 carries more information than a
+# double mantissa, and the two engines' wide-decimal→double casts
+# round differently in the last ulp (measured here: 7/25 nations off
+# by one ulp).  So the shares themselves are the floats: revᵢ and the
+# nation total are SAFE casts (≤18-digit decimals, both engines round
+# identically — the dsum discipline), shareᵢ² is pure IEEE, and the
+# per-nation total folds over suppliers in s_suppkey order (the ANOVA
+# order-pinning) — no wide cast anywhere.
+
+
+@query(
+    "agg_hhi_concentration",
+    sql="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, s.s_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                    AS DECIMAL(18,4)) AS r
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    wt AS (
+        SELECT nation, s_suppkey, r,
+               SUM(r) OVER (PARTITION BY nation) AS t
+        FROM rev
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(MAX(t) AS DOUBLE) AS total_revenue,
+           list_reduce(
+               list((CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                    * (CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                    ORDER BY s_suppkey),
+               (a, b) -> a + b) AS hhi
+    FROM wt GROUP BY nation
+    """,
+    tables=("lineitem", "supplier", "nation"),
+    scale_note=(
+        "HHI per market: one fact-side two-phase agg to supplier "
+        "revenue (supplier/nation dims broadcast), an exact decimal "
+        "window total per nation, then an ORDER-PINNED fold of "
+        "share^2 terms over the suppliers-per-nation list (market-"
+        "participant sized, not corpus sized).  All decimal->double "
+        "casts stay at <=18 digits where both engines round "
+        "identically; the wide Sigma-r^2 decimal route was measured "
+        "ulp-divergent and rejected (comment in source)."
+    ),
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    per nation (order-pinned share-squared fold)."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        l.join(F.broadcast(s), s["s_suppkey"] == l["l_suppkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (1 - dec("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("r")
+        )
+    )
+    wt = rev.withColumn(
+        "t", F.sum("r").over(Window.partitionBy("nation"))
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s_suppkey", "r", "t"))),
+            lambda x: (x["r"].cast("double") / x["t"].cast("double"))
+            * (x["r"].cast("double") / x["t"].cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return wt.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.max("t").cast("double").alias("total_revenue"),
+        fold.alias("hhi"),
+    )

@@ -850,3 +850,127 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(84.6) * (nsyl / nw)
         ).alias("flesch"),
     )
+
+
+# ---- Zipf rank-frequency fit (round-7 continuation) -------------------
+# The companion of text_vocab_growth's Heaps law: fit log(count) ~
+# a + b·log(rank) over each language's top-50 terms — b near -1 is
+# Zipf.  Ranks and counts are exact integers; the two logs are
+# rounded 8dp (the ln-ulp discipline) and the four OLS sums fold in
+# rank order on both engines (ANOVA pinning), so slope/intercept are
+# single IEEE expressions over identical doubles.
+
+ZIPF_TOPK = 50
+
+
+@query(
+    "text_zipf_fit",
+    sql=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS tk
+        FROM documents
+    ),
+    tc AS (
+        SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT lang, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, tk) AS rnk
+        FROM tc
+    ),
+    top AS (
+        SELECT lang, rnk,
+               round(ln(CAST(rnk AS DOUBLE)), 8) AS x,
+               round(ln(CAST(cnt AS DOUBLE)), 8) AS y
+        FROM rk WHERE rnk <= {ZIPF_TOPK}
+    ),
+    s AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               list_reduce(list(x ORDER BY rnk), (a, b) -> a + b) AS sx,
+               list_reduce(list(y ORDER BY rnk), (a, b) -> a + b) AS sy,
+               list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b)
+                   AS sxy,
+               list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b)
+                   AS sxx
+        FROM top GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+           (sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+           / CAST(n_terms AS DOUBLE) AS zipf_intercept
+    FROM s
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Zipf slope per language: term counts are one two-phase agg "
+        "over the token explosion (the TF-IDF scan shape), the "
+        "top-50 rank is a per-lang window over the vocab-sized count "
+        "table (two-level range-bucket rank past the vocab regime), "
+        "and the OLS runs over EXACTLY 50 rounded doubles per lang "
+        "via rank-ORDER-PINNED folds — constant reduce-side work "
+        "per key regardless of corpus size.  Logs rounded 8dp "
+        "before any accumulation (the perplexity ln-ulp "
+        "discipline)."
+    ),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS fit (slope/intercept of log count vs
+    log rank) over each language's top-50 terms."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tk"),
+    )
+    tc = tok.groupBy("lang", "tk").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tk")
+    )
+    top = (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ZIPF_TOPK)
+        .select(
+            "lang",
+            "rnk",
+            F.round(F.log(F.col("rnk").cast("double")), 8).alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")), 8).alias("y"),
+        )
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("rnk", "x", "y"))
+                ),
+                term,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = top.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        fold(lambda r: r["x"]).alias("sx"),
+        fold(lambda r: r["y"]).alias("sy"),
+        fold(lambda r: r["x"] * r["y"]).alias("sxy"),
+        fold(lambda r: r["x"] * r["x"]).alias("sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx, sy, sxy, sxx = F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "lang",
+        "n_terms",
+        slope.alias("zipf_slope"),
+        ((sy - slope * sx) / nd).alias("zipf_intercept"),
+    )

@@ -2593,3 +2593,120 @@ def test_restore_version_semantics(specs, spark, sf_dir):
     assert info["restore_files_rewritten"] == 0
     assert info["manifests"][2] == info["manifests"][0]
     assert info["history_preserved"] == [0, 1, 2]
+
+
+# ---- HHI + Zipf + audio ZCR (round-7 continuation) ---------------------
+
+
+def test_hhi_matches_python(specs, spark, sf_dir):
+    """agg_hhi_concentration == Python pinned share-squared fold."""
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    snat = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load(spark, sf_dir, "supplier").collect()
+    }
+    nname = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    rev: dict[tuple, Decimal] = defaultdict(Decimal)
+    for r in li:
+        nat = nname[snat[r["l_suppkey"]]]
+        ep = Decimal(str(round(r["l_extendedprice"], 2)))
+        dc = Decimal(str(round(r["l_discount"], 2)))
+        rev[(nat, r["l_suppkey"])] += ep * (1 - dc)
+    by_nat: dict[str, list] = defaultdict(list)
+    for (nat, sk), rv in rev.items():
+        by_nat[nat].append((sk, rv))
+    got = {
+        r["nation"]: r
+        for r in specs["agg_hhi_concentration"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_nat)
+    for nat, sup in by_nat.items():
+        sup.sort()
+        t = sum(rv for _, rv in sup)
+        h = 0.0
+        for _, rv in sup:
+            share = float(rv) / float(t)
+            h = h + share * share
+        r = got[nat]
+        assert r["n_suppliers"] == len(sup)
+        assert r["total_revenue"] == float(t)
+        assert r["hhi"] == h
+        assert 1.0 / len(sup) - 1e-9 <= r["hhi"] <= 1.0
+
+
+def test_zipf_fit_matches_python(specs, spark, sf_dir):
+    """text_zipf_fit == Python OLS over rounded log rank/count."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    def r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text").collect()
+    counts: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                counts[r["lang"]][t] += 1
+    got = {
+        r["lang"]: r
+        for r in specs["text_zipf_fit"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(counts)
+    for lang, tc in counts.items():
+        top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        n = len(top)
+        sx = sy = sxy = sxx = 0.0
+        for rnk, (_, cnt) in enumerate(top, start=1):
+            x, y = r8(math.log(float(rnk))), r8(math.log(float(cnt)))
+            sx, sy = sx + x, sy + y
+            sxy, sxx = sxy + x * y, sxx + x * x
+        slope = (float(n) * sxy - sx * sy) / (float(n) * sxx - sx * sx)
+        r = got[lang]
+        assert r["n_terms"] == n
+        assert r["zipf_slope"] == slope
+        assert r["zipf_intercept"] == (sy - slope * sx) / float(n)
+        assert r["zipf_slope"] < 0  # frequency decreases with rank
+
+
+def test_audio_zcr_matches_decode(specs, spark, sf_dir):
+    """multimodal_audio_zcr == Python replay over REAL decoded WAVs."""
+    from bigdata_twitter_spark.binfixtures import (
+        N_FILES,
+        decode_wav,
+        wav_bytes,
+    )
+
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in specs["multimodal_audio_zcr"].fn(spark, sf_dir).collect()
+    }
+    n_frames = 0
+    for doc_id in range(N_FILES):
+        _rate, n, samples = decode_wav(wav_bytes(doc_id))
+        nonneg = [s >= 0 for s in samples]
+        for i in range(0, (n + 399) // 400):
+            lo, hi = i * 400, min(i * 400 + 400, n)
+            want = sum(
+                1
+                for j in range(lo + 1, hi)
+                if nonneg[j] != nonneg[j - 1]
+            )
+            r = got[(doc_id, i)]
+            assert r["frame_len"] == hi - lo
+            assert r["n_crossings"] == want
+            n_frames += 1
+    assert n_frames == len(got)
