@@ -547,3 +547,75 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
+
+
+# ---- packing-efficiency eval (round-7 continuation) -------------------
+# The eval layer over pack_token_budget (the ann_recall_eval pattern):
+# per packed sequence, how full is the budget and how much of the
+# LAST doc spills past the boundary (concatenate-then-chunk splits
+# it into the next sequence)?  Everything is exact integer arithmetic
+# over the packer's own offsets, so the oracle is the same window
+# restated — and a fill_rate > 1 row would prove the packer broke.
+
+
+@query(
+    "train_packing_efficiency",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // {PACK_BUDGET} AS seq_id
+        FROM c
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_assigned,
+           CAST(greatest(MAX(start_offset + n_tokens)
+                         - (seq_id + 1) * {PACK_BUDGET}, 0)
+                AS BIGINT) AS spill_tokens,
+           CAST(least(MAX(start_offset + n_tokens)
+                      - seq_id * {PACK_BUDGET}, {PACK_BUDGET})
+                AS DOUBLE) / {PACK_BUDGET}.0 AS fill_rate
+    FROM p GROUP BY seq_id
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Packing QA: one seq_id-keyed two-phase agg over "
+        "pack_token_budget's probed distributed-cumsum output — "
+        "integer min/max/sum per sequence, one division per output "
+        "row.  Output is sequences-sized (corpus_tokens/budget); "
+        "fill_rate <= 1 and spill accounting are the invariants a "
+        "packer regression would break first, which is why this is "
+        "registered as its own eval key."
+    ),
+)
+def train_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence fill/spill accounting over pack_token_budget's
+    assignments (integer-exact packing QA)."""
+    p = pack_token_budget(spark, sf_dir)
+    end = F.max(F.col("start_offset") + F.col("n_tokens"))
+    g = p.groupBy("seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_assigned"),
+        F.greatest(
+            end - (F.col("seq_id") + 1) * PACK_BUDGET, F.lit(0)
+        )
+        .cast("bigint")
+        .alias("spill_tokens"),
+        (
+            F.least(
+                end - F.col("seq_id") * PACK_BUDGET, F.lit(PACK_BUDGET)
+            ).cast("double")
+            / F.lit(float(PACK_BUDGET))
+        ).alias("fill_rate"),
+    )
+    return g

@@ -604,3 +604,84 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("price").cast("double").alias("weighted_median_price")
         )
     )
+
+
+# ---- hierarchical share-of-parent (round-7 continuation) --------------
+# The ratio layer the rollup/cube keys do not give you: each nation's
+# revenue as a share of its region and of the grand total — the
+# drill-down readout every BI hierarchy renders.  Revenue sums are
+# exact decimals; region/total denominators are decimal window sums
+# over the DIMENSION-sized nation table (associative, window-order
+# immune); the two shares are safe-magnitude decimal->double
+# divisions (the HHI cast discipline — no wide-decimal cast).
+
+
+@query(
+    "agg_share_of_parent",
+    sql="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rv
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(rv AS DOUBLE) AS revenue,
+           CAST(rv AS DOUBLE)
+           / CAST(SUM(rv) OVER (PARTITION BY region) AS DOUBLE)
+               AS share_of_region,
+           CAST(rv AS DOUBLE)
+           / CAST(SUM(rv) OVER () AS DOUBLE) AS share_of_total
+    FROM rev
+    """,
+    tables=("lineitem", "orders", "customer", "nation", "region"),
+    scale_note=(
+        "Share-of-parent hierarchy ratios: ONE fact-side two-phase "
+        "agg to the nations-sized revenue table (dims broadcast), "
+        "then two window sums over that DIMENSION-sized table (25 "
+        "rows — the unpartitioned total is dimension-sized, never "
+        "corpus-sized) and two IEEE divisions per output row.  All "
+        "decimal->double casts stay in the sub-2^53-units regime "
+        "(the HHI cast discipline); a x1000 corpus re-caps the "
+        "denominators to DECIMAL(18,2) first."
+    ),
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue share of region and of total — hierarchical
+    drill-down ratios from exact decimal sums."""
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        l.join(o, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).alias("rv"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    rv = F.col("rv")
+    return rev.select(
+        "region",
+        "nation",
+        rv.cast("double").alias("revenue"),
+        (rv.cast("double") / F.sum(rv).over(wr).cast("double")).alias(
+            "share_of_region"
+        ),
+        (rv.cast("double") / F.sum(rv).over(wt).cast("double")).alias(
+            "share_of_total"
+        ),
+    )

@@ -1247,3 +1247,103 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (d.cast("double") * (d.cast("double") - F.lit(1.0)))
         ).alias("clustering_coeff"),
     )
+
+
+# ---- power-law slope of the degree distribution (round-7 cont.) -------
+# The quantitative readout over graph_degree_distribution's log2
+# histogram: OLS of log(vertex count) vs log(representative degree)
+# per vertex side — the scale-free exponent estimate that decides hub
+# mitigation.  Composes the registered histogram (its two shuffles,
+# O(log max_deg) output), then folds over the <=64 buckets with the
+# ANOVA order-pinning; logs rounded 8dp (the ln-ulp discipline).
+
+
+@query(
+    "graph_powerlaw_slope",
+    sql=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey + {PART_OFFSET} AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), e AS (
+        SELECT c AS src FROM cp UNION ALL SELECT p AS src FROM cp
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), h AS (
+        SELECT CAST(floor(log2(deg)) AS INT) AS bucket,
+               src >= {PART_OFFSET} AS is_part,
+               CAST(COUNT(*) AS BIGINT) AS n_vertices
+        FROM deg GROUP BY 1, 2
+    ), pts AS (
+        SELECT is_part, bucket,
+               round(ln(pow(2.0, CAST(bucket AS DOUBLE))), 8) AS x,
+               round(ln(CAST(n_vertices AS DOUBLE)), 8) AS y
+        FROM h
+    ), s AS (
+        SELECT is_part,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               list_reduce(list(x ORDER BY bucket), (a, b) -> a + b) AS sx,
+               list_reduce(list(y ORDER BY bucket), (a, b) -> a + b) AS sy,
+               list_reduce(list(x * y ORDER BY bucket),
+                           (a, b) -> a + b) AS sxy,
+               list_reduce(list(x * x ORDER BY bucket),
+                           (a, b) -> a + b) AS sxx
+        FROM pts GROUP BY is_part
+    )
+    SELECT is_part, n_buckets,
+           (CAST(n_buckets AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n_buckets AS DOUBLE) * sxx - sx * sx)
+               AS powerlaw_slope
+    FROM s WHERE n_buckets >= 2
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Power-law exponent estimate per vertex side: composes "
+        "graph_degree_distribution's probed two-shuffle histogram "
+        "(O(log max_deg) rows regardless of graph size), then an "
+        "OLS over <=64 bucket points via bucket-ORDER-PINNED folds "
+        "with 8dp-rounded logs — constant reduce-side work at any "
+        "scale.  Degenerate sides (<2 buckets) are excluded by "
+        "contract (no slope exists)."
+    ),
+)
+def graph_powerlaw_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope of log(count) vs log(2^bucket) over the log2 degree
+    histogram per vertex side (scale-free exponent estimate)."""
+    h = graph_degree_distribution(spark, sf_dir).select(
+        "is_part", "bucket", "n_vertices"
+    )
+    pts = h.select(
+        "is_part",
+        "bucket",
+        F.round(
+            F.log(F.pow(F.lit(2.0), F.col("bucket").cast("double"))), 8
+        ).alias("x"),
+        F.round(F.log(F.col("n_vertices").cast("double")), 8).alias("y"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "x", "y"))),
+                term,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    s = pts.groupBy("is_part").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        fold(lambda r: r["x"]).alias("sx"),
+        fold(lambda r: r["y"]).alias("sy"),
+        fold(lambda r: r["x"] * r["y"]).alias("sxy"),
+        fold(lambda r: r["x"] * r["x"]).alias("sxx"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    sx, sy, sxy, sxx = F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    return s.where(F.col("n_buckets") >= 2).select(
+        "is_part",
+        "n_buckets",
+        ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)).alias(
+            "powerlaw_slope"
+        ),
+    )

@@ -2710,3 +2710,120 @@ def test_audio_zcr_matches_decode(specs, spark, sf_dir):
             assert r["n_crossings"] == want
             n_frames += 1
     assert n_frames == len(got)
+
+
+# ---- power-law, packing QA, share-of-parent (round-7 continuation) -----
+
+
+def test_powerlaw_slope_matches_python(specs, spark, sf_dir):
+    """graph_powerlaw_slope == Python OLS over the histogram points."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    hist = specs["graph_degree_distribution"].fn(spark, sf_dir).collect()
+    pts: dict[bool, list] = defaultdict(list)
+    for r in hist:
+        pts[r["is_part"]].append((r["bucket"], r["n_vertices"]))
+    got = {
+        r["is_part"]: r
+        for r in specs["graph_powerlaw_slope"].fn(spark, sf_dir).collect()
+    }
+    want_sides = {side for side, p in pts.items() if len(p) >= 2}
+    assert set(got) == want_sides
+    for side in want_sides:
+        p = sorted(pts[side])
+        n = float(len(p))
+        sx = sy = sxy = sxx = 0.0
+        for bucket, nv in p:
+            x = r8(math.log(math.pow(2.0, float(bucket))))
+            y = r8(math.log(float(nv)))
+            sx, sy = sx + x, sy + y
+            sxy, sxx = sxy + x * y, sxx + x * x
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[side]["n_buckets"] == len(p)
+        assert got[side]["powerlaw_slope"] == slope
+
+
+def test_packing_efficiency_invariants(specs, spark, sf_dir):
+    """train_packing_efficiency: exact replay + packer invariants."""
+    packed = specs["pack_token_budget"].fn(spark, sf_dir).collect()
+    by_seq: dict[int, list] = defaultdict(list)
+    for r in packed:
+        by_seq[r["seq_id"]].append((r["start_offset"], r["n_tokens"]))
+    got = {
+        r["seq_id"]: r
+        for r in specs["train_packing_efficiency"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_seq)
+    budget = 512
+    for seq, docs in by_seq.items():
+        r = got[seq]
+        end = max(o + t for o, t in docs)
+        assert r["n_docs"] == len(docs)
+        assert r["tokens_assigned"] == sum(t for _, t in docs)
+        assert r["spill_tokens"] == max(end - (seq + 1) * budget, 0)
+        assert r["fill_rate"] == float(
+            min(end - seq * budget, budget)
+        ) / float(budget)
+        assert 0.0 < r["fill_rate"] <= 1.0
+    # non-terminal sequences are exactly full (concatenate-then-chunk)
+    last = max(by_seq)
+    for seq in by_seq:
+        if seq != last:
+            assert got[seq]["fill_rate"] == 1.0
+
+
+def test_share_of_parent_matches_python(specs, spark, sf_dir):
+    """agg_share_of_parent == Python exact-Decimal hierarchy shares."""
+    from decimal import Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    o2c = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    cnat = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    nat = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in load(spark, sf_dir, "region").collect()
+    }
+    rev: dict[tuple, Decimal] = defaultdict(Decimal)
+    for r in load(spark, sf_dir, "lineitem").collect():
+        nk = cnat[o2c[r["l_orderkey"]]]
+        nname, rk = nat[nk]
+        ep = Decimal(str(round(r["l_extendedprice"], 2)))
+        dc = Decimal(str(round(r["l_discount"], 2)))
+        rev[(reg[rk], nname)] += ep * (1 - dc)
+    tot = sum(rev.values())
+    by_reg: dict[str, Decimal] = defaultdict(Decimal)
+    for (rg, _), v in rev.items():
+        by_reg[rg] += v
+    got = {
+        (r["region"], r["nation"]): r
+        for r in specs["agg_share_of_parent"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(rev)
+    for key, v in rev.items():
+        r = got[key]
+        assert r["revenue"] == float(v)
+        assert r["share_of_region"] == float(v) / float(by_reg[key[0]])
+        assert r["share_of_total"] == float(v) / float(tot)
+    # shares sum to 1 within each region up to fold noise
+    for rg in by_reg:
+        s = sum(
+            r["share_of_region"] for k, r in got.items() if k[0] == rg
+        )
+        assert abs(s - 1.0) < 1e-9
