@@ -235,3 +235,92 @@ def _inject_facts() -> None:
 
 
 _inject_facts()
+
+
+# ---- intensity histogram (round-7 continuation) -----------------------
+# The standard image-stats primitive next to the hash: a 16-bin
+# intensity histogram per image over the SAME CRC-verified decode.
+# Integer-exact (bin = pixel // 16, counts are BIGINTs); the oracle
+# recomputes every bin from the generator's closed-form pixels via
+# unnest ranges — the disjoint-route pattern, fully in SQL.
+
+HIST_BINS = 16
+HIST_SCHEMA = "doc_id bigint, bin int, n_pixels bigint"
+
+
+def _hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow pass: decode each PNG for real, bincount intensities."""
+    import numpy as np
+
+    from ..binfixtures import decode_png
+
+    for pdf in batches:
+        doc, bins, counts = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, pix = decode_png(bytes(payload))
+            arr = np.frombuffer(pix, dtype=np.uint8)
+            bc = np.bincount(arr >> 4, minlength=HIST_BINS)
+            for b in range(HIST_BINS):
+                if bc[b]:
+                    doc.append(doc_id)
+                    bins.append(b)
+                    counts.append(int(bc[b]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "bin": pd.Series(bins, dtype="int32"),
+                "n_pixels": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+
+@query(
+    "multimodal_image_histogram",
+    sql="""
+    WITH ids AS (SELECT unnest(range(0, 100)) AS doc_id),
+    dims AS (
+        SELECT doc_id,
+               16 + (doc_id * 7) % 49 AS w,
+               16 + (doc_id * 11) % 49 AS h
+        FROM ids
+    ),
+    px AS (
+        SELECT doc_id, w, unnest(range(h)) AS y FROM dims
+    ),
+    p AS (
+        SELECT doc_id, y, unnest(range(w)) AS x FROM px
+    )
+    SELECT doc_id,
+           CAST(((3 * x + 7 * y + doc_id) % 256) // 16 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels
+    FROM p GROUP BY 1, 2
+    """,
+    tables=(),
+    scale_note=(
+        "Per-image 16-bin intensity histogram over REAL decoded "
+        "pixels: one map-only Arrow pass (numpy bincount per image, "
+        "batch memory bounded), zero shuffles, integer-exact.  The "
+        "oracle recomputes every bin from the generator's "
+        "closed-form pixel formula via unnest ranges — decode route "
+        "and oracle route share no code, so bin equality proves the "
+        "chunk-walk + inflate + unfilter path pixel-for-pixel (the "
+        "pHash verification pattern, extended to the full pixel "
+        "distribution)."
+    ),
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin intensity histogram per fixture PNG from CRC-verified
+    decoded pixels (integer-exact; empty bins omitted)."""
+    from ..binfixtures import ensure_png_dir
+
+    root = ensure_png_dir()
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
+    )
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.png$", 1
+    ).cast("bigint")
+    d = files.select(doc_id.alias("doc_id"), F.col("content").alias("payload"))
+    return d.mapInPandas(_hist_batches, schema=HIST_SCHEMA)

@@ -2827,3 +2827,29 @@ def test_share_of_parent_matches_python(specs, spark, sf_dir):
             r["share_of_region"] for k, r in got.items() if k[0] == rg
         )
         assert abs(s - 1.0) < 1e-9
+
+
+def test_image_histogram_matches_decode(specs, spark, sf_dir):
+    """multimodal_image_histogram == Python replay over real decodes."""
+    from bigdata_twitter_spark.binfixtures import (
+        N_FILES,
+        decode_png,
+        png_bytes,
+    )
+
+    got = {
+        (r["doc_id"], r["bin"]): r["n_pixels"]
+        for r in specs["multimodal_image_histogram"].fn(spark, sf_dir).collect()
+    }
+    n_cells = 0
+    for doc_id in range(N_FILES):
+        w, h, pix = decode_png(png_bytes(doc_id))
+        want: dict[int, int] = defaultdict(int)
+        for b in pix:
+            want[b >> 4] += 1
+        for b, n in want.items():
+            assert got[(doc_id, b)] == n
+            n_cells += 1
+        # bins sum to the full pixel count — nothing dropped
+        assert sum(want.values()) == w * h
+    assert n_cells == len(got)
