@@ -600,3 +600,128 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= MD5_SIMHASH_MAX_HAMMING)
     )
+
+
+# ---- LSH recall evaluation (round-7 continuation) ----------------------
+# The dedup analog of ann_recall_eval: measure what fraction of the
+# EXACT Jaccard>=tau pairs the banded-minhash candidate generation
+# actually surfaces (recall), and how selective the candidate set is
+# at the tau cut (precision proxy).  Both sides are registered,
+# hash-verified keys — this eval composes their plans and the oracle
+# restates BOTH pipelines in one statement, so the quality metric is
+# itself hash-verified end to end (the ann_recall_eval pattern).
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    sql=f"""
+    WITH jsh_all AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1] || ' ' ||
+                        string_split(lower(text), ' ')[i + 2]))) AS s
+        FROM documents
+    ),
+    jsh AS (
+        SELECT doc_id, s FROM jsh_all
+        QUALIFY COUNT(*) OVER (PARTITION BY s) <= {SHINGLE_DF_CAP}
+    ),
+    jsizes AS (SELECT doc_id, COUNT(*) AS n FROM jsh GROUP BY 1),
+    jpairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        FROM jsh a JOIN jsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT a_id, b_id FROM jpairs
+        JOIN jsizes sa ON sa.doc_id = a_id
+        JOIN jsizes sb ON sb.doc_id = b_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                  >= {JACCARD_THRESHOLD}
+    ),
+    msh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split(lower(text), ' ')) - 1),
+                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                        string_split(lower(text), ' ')[i + 1] || ' ' ||
+                        string_split(lower(text), ' ')[i + 2]))) AS s
+        FROM documents
+    ),
+    mhh AS (
+        SELECT doc_id, u.seed AS seed,
+               min(md5(CAST(u.seed AS VARCHAR) || ':' || s)) AS mh
+        FROM msh, UNNEST(range(0, {MD5_MINHASH_SEEDS})) AS u(seed)
+        GROUP BY doc_id, u.seed
+    ),
+    msig AS (
+        SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mhh GROUP BY doc_id
+    ),
+    mbands AS (
+        SELECT doc_id, u.band AS band,
+               md5(array_to_string(
+                   list_slice(sig, u.band * {MD5_LSH_ROWS} + 1,
+                              u.band * {MD5_LSH_ROWS} + {MD5_LSH_ROWS}),
+                   ',')) AS band_sig
+        FROM msig, UNNEST(range(0, {MD5_LSH_BANDS})) AS u(band)
+    ),
+    mkeep AS (
+        SELECT doc_id, band, band_sig FROM mbands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig)
+                <= {LSH_HOT_BUCKET_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM mkeep a JOIN mkeep b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.a_id FROM truth t
+        JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit
+    )
+    SELECT n_true, n_cand, n_hit,
+           CASE WHEN n_true = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+           END AS recall,
+           CASE WHEN n_cand = 0 THEN 1.0
+                ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+           END AS precision_at_tau
+    FROM counts
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Dedup-quality acceptance gate: composes the EXACT Jaccard "
+        "miner (df-capped inverted-index self-join — linear in "
+        "shingle volume) and the banded md5-minhash candidate "
+        "generator (docs x bands shuffle), then two pair-keyed "
+        "joins and a 1-row reduce.  On a real corpus the truth side "
+        "runs on a SAMPLE (recall estimation does not need the full "
+        "corpus — the ann_recall_eval QUERY_MOD design); the "
+        "candidate side is the production path unchanged.  Both "
+        "composed pipelines are independently driver-hash-verified "
+        "keys, and the oracle restates them end to end."
+    ),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall (and tau-cut precision) of banded md5-minhash candidate
+    pairs against exact 3-gram Jaccard >= 0.8 truth pairs."""
+    truth = dedup_fuzzy_jaccard(spark, sf_dir).select("a_id", "b_id")
+    cand = dedup_minhash_md5(spark, sf_dir).select("a_id", "b_id")
+    n_true = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["a_id", "b_id"]).count()
+    recall = 1.0 if n_true == 0 else float(n_hit) / float(n_true)
+    prec = 1.0 if n_cand == 0 else float(n_hit) / float(n_cand)
+    return spark.createDataFrame(
+        [(n_true, n_cand, n_hit, recall, prec)],
+        "n_true bigint, n_cand bigint, n_hit bigint, "
+        "recall double, precision_at_tau double",
+    )

@@ -2853,3 +2853,30 @@ def test_image_histogram_matches_decode(specs, spark, sf_dir):
         # bins sum to the full pixel count — nothing dropped
         assert sum(want.values()) == w * h
     assert n_cells == len(got)
+
+
+def test_lsh_recall_eval_matches_composed_keys(specs, spark, sf_dir):
+    """dedup_lsh_recall_eval == direct recomposition of its two sides."""
+    truth = {
+        (r["a_id"], r["b_id"])
+        for r in specs["dedup_fuzzy_jaccard"].fn(spark, sf_dir).collect()
+    }
+    cand = {
+        (r["a_id"], r["b_id"])
+        for r in specs["dedup_minhash_md5"].fn(spark, sf_dir).collect()
+    }
+    [got] = specs["dedup_lsh_recall_eval"].fn(spark, sf_dir).collect()
+    hit = truth & cand
+    assert got["n_true"] == len(truth)
+    assert got["n_cand"] == len(cand)
+    assert got["n_hit"] == len(hit)
+    assert got["recall"] == (
+        1.0 if not truth else float(len(hit)) / float(len(truth))
+    )
+    assert got["precision_at_tau"] == (
+        1.0 if not cand else float(len(hit)) / float(len(cand))
+    )
+    # the banded scheme must surface every true pair at this scale
+    # (b=4, r=4: P(collision) at j>=0.8 is ~92% per band family —
+    # and the fixture's near-dup pairs are j ~= 1, collision ~100%)
+    assert got["recall"] == 1.0
