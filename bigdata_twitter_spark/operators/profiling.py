@@ -692,3 +692,78 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("expected"),
         ((obs - exp) * (obs - exp) / exp).alias("chi2_contrib"),
     )
+
+
+# ---- Tukey-fence outlier profile (round-7 continuation) ---------------
+# The box-plot outlier rule over the exact-percentile machinery
+# agg_percentiles already certifies: per priority, Q1/Q3 by linear
+# interpolation (Spark `percentile` == DuckDB `quantile_cont`,
+# repr-equal — the agg_percentiles finding), fences at 1.5 IQR, and
+# the outlier counts from one second pass against the broadcast
+# group-fence table.  Fence arithmetic is token-identical IEEE on
+# repr-equal quantiles, so the comparisons classify identically.
+
+
+@query(
+    "agg_tukey_fences",
+    sql="""
+    WITH f AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           f.q1, f.q3,
+           f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+           f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM orders o JOIN f ON f.o_orderpriority = o.o_orderpriority
+    GROUP BY 1, 3, 4
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Box-plot outlier screen: exact interpolated Q1/Q3 per group "
+        "(the agg_percentiles plan — t-digest twin past the exact "
+        "regime), fences as token-identical IEEE arithmetic on "
+        "repr-equal quantiles, then ONE second scan with the "
+        "groups-sized fence table broadcast and a conditional "
+        "two-phase count.  Two scans total, no corpus-sized "
+        "intermediate."
+    ),
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5-IQR outlier profile of order values per priority
+    (exact quantiles, broadcast fences, conditional counts)."""
+    o = load(spark, sf_dir, "orders")
+    f = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("q1"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    j = o.join(F.broadcast(f), "o_orderpriority")
+    return j.groupBy("o_orderpriority", "q1", "q3").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < lo, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(F.col("o_totalprice") > hi, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        "q1",
+        "q3",
+        lo.alias("lo_fence"),
+        hi.alias("hi_fence"),
+        "n_low",
+        "n_high",
+    )

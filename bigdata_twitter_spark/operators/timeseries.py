@@ -2123,3 +2123,113 @@ def ts_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("k_types"),
         (fold + F.lit(0.0)).alias("entropy"),
     )
+
+
+# ---- rolling cross-series correlation (round-7 continuation) ----------
+# 24-observation rolling Pearson correlation between the click and
+# purchase hourly count series — the windowed companion of
+# ts_cross_correlation's whole-series lead-lag.  All five window
+# accumulations are EXACT BIGINTs (counts and their products), so the
+# correlation is one per-row IEEE expression over identical integers;
+# zero-variance windows emit NULL by contract (no 0/0).
+
+RCORR_W = 24  # observations (hours) per window
+RCORR_A, RCORR_B = "click", "purchase"
+
+
+@query(
+    "ts_rolling_correlation",
+    sql=f"""
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(SUM(CASE WHEN event_type = '{RCORR_A}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN event_type = '{RCORR_B}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events
+        WHERE event_type IN ('{RCORR_A}', '{RCORR_B}')
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT hr, x, y,
+               CAST(SUM(x) OVER win AS BIGINT) AS sx,
+               CAST(SUM(y) OVER win AS BIGINT) AS sy,
+               CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+               CAST(SUM(x * x) OVER win AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER win AS BIGINT) AS syy,
+               row_number() OVER (ORDER BY hr) AS rn
+        FROM hourly
+        WINDOW win AS (ORDER BY hr
+                       ROWS BETWEEN {RCORR_W - 1} PRECEDING
+                                AND CURRENT ROW)
+    )
+    SELECT hr, x, y,
+           CASE WHEN ({RCORR_W} * sxx - sx * sx) > 0
+                 AND ({RCORR_W} * syy - sy * sy) > 0
+                THEN (CAST({RCORR_W} AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST({RCORR_W} AS DOUBLE)
+                             * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST({RCORR_W} AS DOUBLE)
+                               * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                ELSE NULL END AS rolling_corr
+    FROM w WHERE rn >= {RCORR_W}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Rolling Pearson between two keyed count series: one "
+        "conditional hourly agg (grid-sized), one global hour sort "
+        "shared by all five windows and the row_number (the series "
+        "spine is calendar-bounded — hours, not corpus rows; a "
+        "per-key variant partitions the window by key).  All window "
+        "sums exact BIGINTs (segment-tree/running-fold immune); "
+        "corr is one IEEE expression per full window; zero-variance "
+        "windows NULL by contract."
+    ),
+)
+def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between click and purchase
+    hourly counts (exact integer window sums)."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin(RCORR_A, RCORR_B)
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == RCORR_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == RCORR_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    win = Window.orderBy("hr").rowsBetween(-(RCORR_W - 1), Window.currentRow)
+    wn = Window.orderBy("hr")
+    w = hourly.select(
+        "hr",
+        "x",
+        "y",
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).cast("bigint").alias("syy"),
+        F.row_number().over(wn).alias("rn"),
+    ).where(F.col("rn") >= RCORR_W)
+    wd = F.lit(float(RCORR_W))
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    varx = RCORR_W * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = RCORR_W * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (wd * sxy - sx * sy) / (
+        F.sqrt(wd * sxx - sx * sx) * F.sqrt(wd * syy - sy * sy)
+    )
+    return w.select(
+        "hr",
+        "x",
+        "y",
+        F.when((varx > 0) & (vary > 0), corr)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rolling_corr"),
+    )

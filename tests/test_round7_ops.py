@@ -2880,3 +2880,88 @@ def test_lsh_recall_eval_matches_composed_keys(specs, spark, sf_dir):
     # (b=4, r=4: P(collision) at j>=0.8 is ~92% per band family —
     # and the fixture's near-dup pairs are j ~= 1, collision ~100%)
     assert got["recall"] == 1.0
+
+
+def test_rolling_correlation_matches_python(specs, spark, sf_dir):
+    """ts_rolling_correlation == Python exact-integer window replay."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .where("event_type IN ('click','purchase')")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("y"),
+        )
+        .collect()
+    )
+    series = sorted((r["hr"], r["x"], r["y"]) for r in hourly)
+    got = {
+        r["hr"]: r
+        for r in specs["ts_rolling_correlation"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == max(0, len(series) - 23)
+    for i in range(23, len(series)):
+        win = series[i - 23 : i + 1]
+        sx = sum(x for _, x, _ in win)
+        sy = sum(y for _, _, y in win)
+        sxy = sum(x * y for _, x, y in win)
+        sxx = sum(x * x for _, x, _ in win)
+        syy = sum(y * y for _, _, y in win)
+        r = got[series[i][0]]
+        assert (r["x"], r["y"]) == (series[i][1], series[i][2])
+        vx, vy = 24 * sxx - sx * sx, 24 * syy - sy * sy
+        if vx > 0 and vy > 0:
+            want = (24.0 * float(sxy) - float(sx) * float(sy)) / (
+                math.sqrt(24.0 * float(sxx) - float(sx) * float(sx))
+                * math.sqrt(24.0 * float(syy) - float(sy) * float(sy))
+            )
+            assert r["rolling_corr"] == want
+            assert -1.0 - 1e-12 <= r["rolling_corr"] <= 1.0 + 1e-12
+        else:
+            assert r["rolling_corr"] is None
+
+
+def test_tukey_fences_matches_python(specs, spark, sf_dir):
+    """agg_tukey_fences == Python interpolated-quantile replay."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect()
+    by_pri: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_pri[r["o_orderpriority"]].append(r["o_totalprice"])
+
+    def q(vals: list, p: float) -> float:
+        # replay the engines' interpolation: lower*(1-frac)+upper*frac
+        s = sorted(vals)
+        pos = p * (len(s) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        if lo + 1 < len(s):
+            return s[lo] * (1.0 - frac) + s[lo + 1] * frac
+        return s[lo]
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_tukey_fences"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_pri)
+    for pri, vals in by_pri.items():
+        r = got[pri]
+        q1, q3 = q(vals, 0.25), q(vals, 0.75)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        assert r["n"] == len(vals)
+        assert r["q1"] == q1 and r["q3"] == q3
+        assert r["lo_fence"] == lo and r["hi_fence"] == hi
+        assert r["n_low"] == sum(1 for v in vals if v < lo)
+        assert r["n_high"] == sum(1 for v in vals if v > hi)
