@@ -685,3 +685,93 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+# ---- ABC / Pareto revenue classification (round-7 continuation) -------
+# "Which orders carry 80% of the money?" — classify each order A/B/C
+# by its group's cumulative revenue share at 80%/95%, ENTIRELY in
+# integer arithmetic: the cumulative is exact cents, and the class
+# boundaries are cross-multiplied integer comparisons
+# (cum*100 <= total*80), so no float exists anywhere in the
+# classification — only the summary row counts/ratios at the end.
+
+
+@query(
+    "agg_abc_classification",
+    sql="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, cents,
+               SUM(cents) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               SUM(cents) OVER (PARTITION BY o_orderpriority) AS total
+        FROM c
+    ),
+    k AS (
+        SELECT o_orderpriority,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM r
+    )
+    SELECT o_orderpriority, abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM k GROUP BY 1, 2
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Pareto/ABC classes per group with ZERO float in the "
+        "classification: value-descending rank + exact-cents "
+        "cumulative (the gini idiom — two-level range-bucket "
+        "cumulative past one-partition groups), class boundaries as "
+        "cross-multiplied INTEGER comparisons (cum*100 <= total*80 "
+        "— no 0.8 literal to round), then a classes-sized agg.  "
+        "cum*100 stays inside BIGINT until ~9e16 total cents per "
+        "group; the DECIMAL(38,0) upgrade is the noted scale swap."
+    ),
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C revenue classes per priority: orders covering the first
+    80% / next 15% / tail of cumulative value, exact-integer cuts."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_tot).alias("total"),
+    )
+    k = r.select(
+        "o_orderpriority",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return k.groupBy("o_orderpriority", "abc_class").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+    )

@@ -2233,3 +2233,77 @@ def ts_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("rolling_corr"),
     )
+
+
+# ---- daily bounce rate + ABC revenue classes (round-7 continuation) ---
+# Two classic product-analytics readouts on machinery already
+# certified here: bounce rate (share of single-event sessions) per
+# day over the gap-and-island sessionization, and ABC/Pareto
+# classification of orders by cumulative revenue share — the "do 20%
+# of orders carry 80% of revenue" answer agg_gini_coefficient's
+# scalar cannot give.  Both are exact until one final ratio.
+
+
+@query(
+    "ts_bounce_rate_daily",
+    sql=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts)
+                         - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                         > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS session_id
+        FROM marked
+    ), sess AS (
+        SELECT user_id, session_id,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+    tables=("events",),
+    scale_note=(
+        "Bounce rate per day over the certified gap-and-island "
+        "sessionization: one user_id shuffle (lag + running sum "
+        "partition-local), session agg reuses the partitioning, "
+        "then a days-sized conditional count.  Sessions are dated "
+        "by their START day (contract).  The ratio is exact-int / "
+        "exact-int, one IEEE division per day row."
+    ),
+)
+def ts_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of single-event (bounce) sessions per day, dated by
+    session start, over 30-min-gap sessions."""
+    e = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(w_order)
+    )
+    numbered = e.withColumn(
+        "brk", F.when(gap_us > SESSION_GAP_US, 1).otherwise(0)
+    ).withColumn("session_id", F.sum("brk").over(w_run).cast("long"))
+    sess = numbered.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    n_bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        n_bounce.cast("bigint").alias("n_bounces"),
+        (n_bounce.cast("double") / F.count("*")).alias("bounce_rate"),
+    )

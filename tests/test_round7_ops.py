@@ -2965,3 +2965,66 @@ def test_tukey_fences_matches_python(specs, spark, sf_dir):
         assert r["lo_fence"] == lo and r["hi_fence"] == hi
         assert r["n_low"] == sum(1 for v in vals if v < lo)
         assert r["n_high"] == sum(1 for v in vals if v > hi)
+
+
+def test_bounce_rate_matches_sessionize(specs, spark, sf_dir):
+    """ts_bounce_rate_daily == replay over the certified session key."""
+    sessions = specs["ts_sessionize_batch"].fn(spark, sf_dir).collect()
+    by_day: dict = defaultdict(lambda: [0, 0])
+    for s in sessions:
+        day = s["session_start"].replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        by_day[day][0] += 1
+        by_day[day][1] += s["n_events"] == 1
+    got = {
+        r["day"]: r
+        for r in specs["ts_bounce_rate_daily"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_day)
+    for day, (n, b) in by_day.items():
+        r = got[day]
+        assert r["n_sessions"] == n
+        assert r["n_bounces"] == b
+        assert r["bounce_rate"] == float(b) / float(n)
+
+
+def test_abc_classification_matches_python(specs, spark, sf_dir):
+    """agg_abc_classification == Python exact-integer cumulative cuts."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_pri: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_pri[r["o_orderpriority"]].append(
+            (math.floor(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    want: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for pri, vals in by_pri.items():
+        vals.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(c for c, _ in vals)
+        cum = 0
+        for c, _ in vals:
+            cum += c
+            cls = "A" if cum * 100 <= total * 80 else (
+                "B" if cum * 100 <= total * 95 else "C"
+            )
+            want[(pri, cls)][0] += 1
+            want[(pri, cls)][1] += c
+    got = {
+        (r["o_orderpriority"], r["abc_class"]): r
+        for r in specs["agg_abc_classification"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n, cents) in want.items():
+        assert got[key]["n_orders"] == n
+        assert got[key]["class_cents"] == cents
+    # the A class must carry the plurality of value in every group
+    for pri in by_pri:
+        a = got.get((pri, "A"))
+        c = got.get((pri, "C"))
+        assert a is not None and (c is None or a["class_cents"] > c["class_cents"])
