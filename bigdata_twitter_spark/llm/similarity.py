@@ -312,3 +312,83 @@ def embed_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+# ---- centroid silhouette (round-7 continuation) ------------------------
+# The clustering-quality eval beside embed_centroid_confusion: the
+# simplified (centroid-based) silhouette — a = cosine DISTANCE to the
+# nearest label centroid, b = distance to the second-nearest,
+# s = (b − a)/max(a, b) — per vector.  Composes sim_knn_join's rank-1
+# and rank-2 rows (broadcast rounded centroids, map-side scoring), so
+# every float is already engine-pinned; the silhouette is two
+# subtractions and one division more.
+
+
+@query(
+    "embed_silhouette_centroid",
+    sql=f"""
+    WITH c AS (
+        SELECT label AS clabel, i AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+        FROM embeddings, range(1, {DIMS + 1}) t(i)
+        GROUP BY 1, 2
+    ),
+    cl AS (SELECT clabel, list(cv ORDER BY pos) AS cvec FROM c GROUP BY 1),
+    s AS (
+        SELECT e.vec_id, e.label, cl.clabel,
+               {_duck_cosine('e.embedding', 'cl.cvec')} AS cosine
+        FROM embeddings e, cl
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, clabel) AS rnk
+          FROM s),
+    p AS (
+        SELECT r1.vec_id, r1.label,
+               r1.clabel AS assigned,
+               1.0 - r1.cosine AS a_dist,
+               1.0 - r2.cosine AS b_dist
+        FROM r r1 JOIN r r2
+          ON r2.vec_id = r1.vec_id AND r1.rnk = 1 AND r2.rnk = 2
+    )
+    SELECT vec_id, label, assigned, a_dist, b_dist,
+           CASE WHEN greatest(a_dist, b_dist) = 0.0 THEN 0.0
+                ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+           END AS silhouette
+    FROM p
+    """,
+    tables=("embeddings",),
+    scale_note=(
+        "Centroid-based silhouette per vector: inherits "
+        "sim_knn_join's probed plan (labels-sized broadcast "
+        "centroids, map-side cosine, per-vector top-2 window) plus "
+        "one vec-keyed self-pair and three IEEE ops per row — "
+        "map-sided end to end, output corpus-rows-sized like every "
+        "per-vector scoring key.  Degenerate a=b=0 pins to 0.0 by "
+        "contract."
+    ),
+)
+def embed_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (nearest vs second-nearest label
+    centroid, cosine distance) per embedding vector."""
+    top2 = sim_knn_join(spark, sf_dir).where(F.col("rnk") <= 2)
+    r1 = top2.where(F.col("rnk") == 1).select(
+        "vec_id",
+        "label",
+        F.col("clabel").alias("assigned"),
+        (F.lit(1.0) - F.col("cosine")).alias("a_dist"),
+    )
+    r2 = top2.where(F.col("rnk") == 2).select(
+        "vec_id", (F.lit(1.0) - F.col("cosine")).alias("b_dist")
+    )
+    p = r1.join(r2, "vec_id")
+    a, b = F.col("a_dist"), F.col("b_dist")
+    return p.select(
+        "vec_id",
+        "label",
+        "assigned",
+        "a_dist",
+        "b_dist",
+        F.when(F.greatest(a, b) == 0.0, F.lit(0.0))
+        .otherwise((b - a) / F.greatest(a, b))
+        .alias("silhouette"),
+    )

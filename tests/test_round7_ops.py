@@ -3028,3 +3028,67 @@ def test_abc_classification_matches_python(specs, spark, sf_dir):
         a = got.get((pri, "A"))
         c = got.get((pri, "C"))
         assert a is not None and (c is None or a["class_cents"] > c["class_cents"])
+
+
+def test_modularity_matches_python(specs, spark, sf_dir):
+    """graph_modularity_eval == Python exact-integer recompute."""
+    from bigdata_twitter_spark.tables import load
+
+    PART_OFFSET = 1_000_000_000
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    und = {
+        (orders[r["l_orderkey"]], r["l_partkey"] + PART_OFFSET)
+        for r in li
+    }
+    labs = {}
+    for r in specs["graph_label_propagation"].fn(spark, sf_dir).collect():
+        v = r["vertex"] + PART_OFFSET if r["is_part"] else r["vertex"]
+        labs[v] = r["community"]
+    m = len(und)
+    deg: dict[int, int] = defaultdict(int)
+    e_c: dict[int, int] = defaultdict(int)
+    for c, p in und:
+        deg[c] += 1
+        deg[p] += 1
+        if labs[c] == labs[p]:
+            e_c[labs[c]] += 1
+    d_c: dict[int, int] = defaultdict(int)
+    for v, d in deg.items():
+        d_c[labs[v]] += d
+    q_num = sum(4 * m * e_c.get(cm, 0) - dd * dd for cm, dd in d_c.items())
+    [got] = specs["graph_modularity_eval"].fn(spark, sf_dir).collect()
+    assert got["m"] == m
+    assert got["n_communities"] == len(d_c)
+    assert got["q_num"] == q_num
+    assert got["modularity"] == float(q_num) / (4.0 * float(m) * float(m))
+    assert -1.0 <= got["modularity"] <= 1.0
+
+
+def test_silhouette_matches_knn_join(specs, spark, sf_dir):
+    """embed_silhouette_centroid == replay over sim_knn_join ranks."""
+    knn = specs["sim_knn_join"].fn(spark, sf_dir).collect()
+    by_vec: dict[int, dict] = defaultdict(dict)
+    for r in knn:
+        by_vec[r["vec_id"]][r["rnk"]] = r
+    got = {
+        r["vec_id"]: r
+        for r in specs["embed_silhouette_centroid"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_vec)
+    for vid, ranks in by_vec.items():
+        a = 1.0 - ranks[1]["cosine"]
+        b = 1.0 - ranks[2]["cosine"]
+        r = got[vid]
+        assert r["assigned"] == ranks[1]["clabel"]
+        assert r["a_dist"] == a and r["b_dist"] == b
+        want = 0.0 if max(a, b) == 0.0 else (b - a) / max(a, b)
+        assert r["silhouette"] == want
+        assert -1.0 - 1e-12 <= r["silhouette"] <= 1.0 + 1e-12
