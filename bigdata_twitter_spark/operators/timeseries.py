@@ -2307,3 +2307,67 @@ def ts_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bounce.cast("bigint").alias("n_bounces"),
         (n_bounce.cast("double") / F.count("*")).alias("bounce_rate"),
     )
+
+
+# ---- new-vs-returning split (round-7 continuation) --------------------
+# The acquisition-vs-retention daily split: a user is NEW on the day
+# of their first event, RETURNING on any later active day.  First-seen
+# is one user-keyed min; the daily split is exact distinct counts —
+# a companion to ts_retention_cohort that answers "how much of today's
+# traffic is growth?" in one row per day.
+
+
+@query(
+    "ts_new_vs_returning_daily",
+    sql="""
+    WITH fs AS (
+        SELECT user_id,
+               CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               user_id
+        FROM events
+    )
+    SELECT act.day,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN fs.first_day = act.day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN fs.first_day <> act.day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+           CAST(SUM(CASE WHEN fs.first_day = act.day
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS new_share
+    FROM act JOIN fs ON fs.user_id = act.user_id
+    GROUP BY act.day
+    """,
+    tables=("events",),
+    scale_note=(
+        "New-vs-returning: one user-keyed min (two-phase), one "
+        "distinct (day,user) projection, one user-keyed join that "
+        "reuses the same hash partitioning, then a days-sized "
+        "conditional count.  The first-seen table is users-sized "
+        "(broadcastable well past fixture scale; at 100 TB it joins "
+        "shuffle-on-user with the distinct pass).  Exact-int ratio, "
+        "one IEEE division per day."
+    ),
+)
+def ts_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever day) vs
+    returning, with the new-user share."""
+    e = load(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    act = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    j = act.join(fs, "user_id")
+    is_new = F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+    return j.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(is_new).cast("bigint").alias("n_new"),
+        F.sum(1 - is_new).cast("bigint").alias("n_returning"),
+        (F.sum(is_new).cast("double") / F.count("*")).alias("new_share"),
+    )

@@ -3092,3 +3092,33 @@ def test_silhouette_matches_knn_join(specs, spark, sf_dir):
         want = 0.0 if max(a, b) == 0.0 else (b - a) / max(a, b)
         assert r["silhouette"] == want
         assert -1.0 - 1e-12 <= r["silhouette"] <= 1.0 + 1e-12
+
+
+def test_new_vs_returning_matches_python(specs, spark, sf_dir):
+    """ts_new_vs_returning_daily == Python first-seen replay."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select("user_id", "ts").collect()
+    first: dict[int, object] = {}
+    active: dict = defaultdict(set)
+    for r in rows:
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        active[day].add(r["user_id"])
+        if r["user_id"] not in first or day < first[r["user_id"]]:
+            first[r["user_id"]] = day
+    got = {
+        r["day"]: r
+        for r in specs["ts_new_vs_returning_daily"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(active)
+    total_new = 0
+    for day, users in active.items():
+        n_new = sum(1 for u in users if first[u] == day)
+        r = got[day]
+        assert r["n_active"] == len(users)
+        assert r["n_new"] == n_new
+        assert r["n_returning"] == len(users) - n_new
+        assert r["new_share"] == float(n_new) / float(len(users))
+        total_new += n_new
+    # every user is new exactly once
+    assert total_new == len(first)
