@@ -311,3 +311,88 @@ def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+# ---- running distinct count (round-7 continuation) ---------------------
+# "How many DISTINCT parts has this customer bought up to each
+# order?" — the cumulative-uniques window that naive COUNT(DISTINCT)
+# OVER cannot express in either engine.  Standard decomposition:
+# flag each (customer, part)'s FIRST purchase with one keyed
+# row_number, then a running sum of flags per customer — both
+# windows partition-local after one customer-keyed shuffle, all
+# integers.
+
+
+@query(
+    "win_running_distinct",
+    sql="""
+    WITH x AS (
+        SELECT o.o_custkey AS c, o.o_orderkey AS ok,
+               CAST(o.o_orderdate AS TIMESTAMP) AS od, l.l_partkey AS p,
+               row_number() OVER (
+                   PARTITION BY o.o_custkey, l.l_partkey
+                   ORDER BY o.o_orderdate, o.o_orderkey, l.l_linenumber
+               ) AS rn
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_order AS (
+        SELECT c, ok, od,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new
+        FROM x GROUP BY 1, 2, 3
+    )
+    SELECT c AS o_custkey, ok AS o_orderkey, od AS o_orderdate,
+           n_new AS n_new_parts,
+           CAST(SUM(n_new) OVER (
+               PARTITION BY c ORDER BY od, ok
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_distinct_parts
+    FROM per_order
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Cumulative DISTINCT per key — the window neither engine's "
+        "COUNT(DISTINCT) OVER expresses: first-occurrence flags via "
+        "one (customer, part)-keyed row_number, an order-grain "
+        "conditional sum, then a customer-keyed running BIGINT sum "
+        "— one fact-fact join, then every window partition-local "
+        "after one customer shuffle (the (c,p) window re-shuffles "
+        "within the same key family).  All integers; no distinct "
+        "state accumulates anywhere."
+    ),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer order: new parts in this order and cumulative
+    distinct parts bought so far (first-occurrence-flag idiom)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    x = l.join(o, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").alias("od"),
+        F.col("l_partkey").alias("p"),
+        "l_linenumber",
+    )
+    w_first = Window.partitionBy("c", "p").orderBy(
+        "od", "ok", "l_linenumber"
+    )
+    flagged = x.withColumn("rn", F.row_number().over(w_first))
+    per_order = flagged.groupBy("c", "ok", "od").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new")
+    )
+    w_run = (
+        Window.partitionBy("c")
+        .orderBy("od", "ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_order.select(
+        F.col("c").alias("o_custkey"),
+        F.col("ok").alias("o_orderkey"),
+        F.col("od").alias("o_orderdate"),
+        F.col("n_new").alias("n_new_parts"),
+        F.sum("n_new").over(w_run).cast("bigint").alias(
+            "cum_distinct_parts"
+        ),
+    )

@@ -974,3 +974,94 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((sy - slope * sx) / nd).alias("zipf_intercept"),
     )
+
+
+# ---- term burstiness / dispersion (round-7 continuation) --------------
+# Corpus linguistics' variance-to-mean ratio (index of dispersion)
+# for the top-20 corpus terms: VMR ~ 1 means Poisson scatter, > 1
+# means the term is BURSTY (concentrated in few docs — boilerplate
+# or topical), the signal behind burstiness-based quality filters.
+# Per-doc zero counts never need materializing: Sigma c and Sigma c^2
+# over docs CONTAINING the term plus the global doc count N give the
+# exact moments, all integers until two final IEEE expressions.
+
+BURST_TOPK = 20
+
+
+@query(
+    "text_burstiness_dispersion",
+    sql=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t != '')) AS tk
+        FROM documents
+    ),
+    dc AS (
+        SELECT tk, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT tk,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_containing
+        FROM dc GROUP BY tk
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    top AS (
+        SELECT agg.*, nn.n FROM agg CROSS JOIN nn
+        QUALIFY row_number() OVER (ORDER BY s DESC, tk) <= {BURST_TOPK}
+    )
+    SELECT tk AS term, s AS total_count, n_docs_containing,
+           (CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)
+           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS vmr
+    FROM top
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Burstiness (variance-to-mean) of the top-20 terms: the "
+        "TF-IDF scan shape (one (term, doc) two-phase agg), a "
+        "vocab-sized moment table, the 1-row doc count broadcast, "
+        "and a top-20 TakeOrdered cut — per-doc ZERO counts are "
+        "never materialized (the moments fold them in via N), so "
+        "work is term-occurrence-sized, never terms x docs.  All "
+        "integer until two IEEE expressions per output row."
+    ),
+)
+def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (VMR) of per-doc counts for the top-20
+    corpus terms — the burstiness quality signal."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tk"),
+    )
+    dc = tok.groupBy("tk", "doc_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    agg = dc.groupBy("tk").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("n_docs_containing"),
+    )
+    nn = d.agg(F.count("*").cast("bigint").alias("n"))
+    top = (
+        agg.crossJoin(F.broadcast(nn))
+        .orderBy(F.col("s").desc(), F.col("tk"))
+        .limit(BURST_TOPK)
+    )
+    s, ss, n = (
+        F.col("s").cast("double"),
+        F.col("ss").cast("double"),
+        F.col("n").cast("double"),
+    )
+    return top.select(
+        F.col("tk").alias("term"),
+        F.col("s").alias("total_count"),
+        "n_docs_containing",
+        (((ss - s * s / n) / (n - F.lit(1.0))) / (s / n)).alias("vmr"),
+    )

@@ -3122,3 +3122,78 @@ def test_new_vs_returning_matches_python(specs, spark, sf_dir):
         total_new += n_new
     # every user is new exactly once
     assert total_new == len(first)
+
+
+def test_running_distinct_matches_python(specs, spark, sf_dir):
+    """win_running_distinct == Python first-occurrence replay."""
+    from bigdata_twitter_spark.tables import load
+
+    o = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"])
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    ).collect()
+    by_cust: dict[int, list] = defaultdict(list)
+    for r in li:
+        c, od = o[r["l_orderkey"]]
+        by_cust[c].append((od, r["l_orderkey"], r["l_linenumber"], r["l_partkey"]))
+    want = {}
+    for c, rows in by_cust.items():
+        rows.sort()
+        seen: set[int] = set()
+        per_order: dict[tuple, int] = defaultdict(int)
+        order_seq = []
+        for od, ok, _ln, p in rows:
+            if (od, ok) not in per_order:
+                order_seq.append((od, ok))
+            if p not in seen:
+                seen.add(p)
+                per_order[(od, ok)] += 1
+            else:
+                per_order.setdefault((od, ok), 0)
+        cum = 0
+        for od, ok in order_seq:
+            cum += per_order[(od, ok)]
+            want[(c, ok)] = (per_order[(od, ok)], cum)
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): r
+        for r in specs["win_running_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (n_new, cum) in want.items():
+        assert got[key]["n_new_parts"] == n_new
+        assert got[key]["cum_distinct_parts"] == cum
+
+
+def test_burstiness_matches_python(specs, spark, sf_dir):
+    """text_burstiness_dispersion == Python exact-moment replay."""
+    from bigdata_twitter_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    n = len(docs)
+    per_term: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                per_term[t][r["doc_id"]] += 1
+    stats = {
+        t: (sum(cs.values()), sum(c * c for c in cs.values()), len(cs))
+        for t, cs in per_term.items()
+    }
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    got = {
+        r["term"]: r
+        for r in specs["text_burstiness_dispersion"].fn(spark, sf_dir).collect()
+    }
+    assert [r for r, _ in top] == sorted(got, key=lambda t: (-got[t]["total_count"], t))
+    for term, (s, ss, ndc) in top:
+        r = got[term]
+        assert r["total_count"] == s
+        assert r["n_docs_containing"] == ndc
+        vmr = ((float(ss) - float(s) * float(s) / float(n)) / (float(n) - 1.0)) / (
+            float(s) / float(n)
+        )
+        assert r["vmr"] == vmr
+        assert r["vmr"] > 0.0
