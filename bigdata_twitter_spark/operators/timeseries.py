@@ -2371,3 +2371,88 @@ def ts_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - is_new).cast("bigint").alias("n_returning"),
         (F.sum(is_new).cast("double") / F.count("*")).alias("new_share"),
     )
+
+
+# ---- cohort LTV accumulation (round-7 continuation) --------------------
+# The revenue side of ts_retention_cohort: customers cohorted by
+# first-order month, cumulative revenue tracked by cohort age in
+# months — the LTV curve table every growth team keeps.  Revenue is
+# exact decimal throughout; the age axis is pure integer month
+# arithmetic ((Δyear)·12 + Δmonth — no months_between float); the
+# cumulative is an exact decimal window per cohort; one final DOUBLE
+# cast per output cell.
+
+
+@query(
+    "ts_cohort_ltv",
+    sql="""
+    WITH fo AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    rv AS (
+        SELECT fo.cohort_month,
+               (EXTRACT(year FROM o.o_orderdate)
+                - EXTRACT(year FROM fo.cohort_month)) * 12
+               + (EXTRACT(month FROM o.o_orderdate)
+                  - EXTRACT(month FROM fo.cohort_month)) AS age_months,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o JOIN fo ON fo.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort_month,
+           CAST(age_months AS INT) AS age_months,
+           n_orders,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) OVER (
+               PARTITION BY cohort_month ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM rv
+    """,
+    tables=("orders",),
+    scale_note=(
+        "LTV curves: one customer-keyed first-order min, one "
+        "customer-keyed join reusing the partitioning, a (cohort, "
+        "age)-grid two-phase agg, then an exact-integer cumulative "
+        "over the months axis per cohort (grid-sized window — "
+        "months, never orders).  The age axis is integer month "
+        "arithmetic ((dy)*12 + dm), not months_between's float; "
+        "revenue stays exact cents end to end."
+    ),
+)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by (first-order-month cohort, age in
+    months) — the LTV curve table, exact cents throughout."""
+    o = load(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    j = o.join(fo, "o_custkey")
+    age = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    )
+    rv = j.groupBy(
+        "cohort_month", age.alias("age_months")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rv.select(
+        "cohort_month",
+        F.col("age_months").cast("int").alias("age_months"),
+        "n_orders",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.sum("cents").over(w).cast("bigint").alias("cum_revenue_cents"),
+    )

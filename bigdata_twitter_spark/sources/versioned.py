@@ -907,3 +907,114 @@ def table_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version int, n_rows bigint, sum_value double, n_from_delta bigint",
     )
+
+
+# ---- schema evolution ACROSS commits (round-7 continuation) -----------
+# scan_schema_evolution proves mergeSchema over two plain directories;
+# this key proves it through the VERSIONED reader: commit 1 appends
+# rows carrying a NEW column (score_cents), and the merge-on-read
+# resolve must (a) surface the column with NULLs for pre-evolution
+# rows, (b) leave v0 reads untouched — the add-a-column migration
+# every lakehouse table eventually performs.
+
+
+@query(
+    "table_schema_evolution_versioned",
+    sql=f"""
+    SELECT 0 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_scored,
+           CAST(0 AS BIGINT) AS sum_score_cents
+    FROM events
+    UNION ALL
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % {DELTA_MOD} = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN event_id % {DELTA_MOD} = 0
+                         THEN CAST(floor(value * 100) AS BIGINT) + 1000
+                         ELSE 0 END) AS BIGINT) AS sum_score_cents
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "Add-a-column migration through the versioned merge-on-read "
+        "reader: the evolved commit's files carry the new column, "
+        "mergeSchema resolves base rows to NULL, and v0 stays "
+        "byte-identical (history untouched) — commit cost is still "
+        "delta + manifest, no base rewrite.  The oracle recomputes "
+        "both versions' stats from source, proving the NULL-fill "
+        "and the keep-highest-commit resolve compose."
+    ),
+)
+def table_schema_evolution_versioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-commit versioned table where commit 1 ADDS a column;
+    per-version row/score stats read through mergeSchema."""
+    e = load(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdt_spark_versioned")
+    os.makedirs(base_dir, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base_dir, prefix="events_evolve_")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    base = e.select(*cols, F.lit(0).alias("commit"))
+    delta = (
+        e.filter(F.col("event_id") % DELTA_MOD == 0)
+        .withColumn(
+            "score_cents",
+            F.floor(F.col("value") * 100).cast("bigint") + 1000,
+        )
+        .select(*cols, "score_cents", F.lit(1).alias("commit"))
+    )
+    base.write.mode("overwrite").parquet(os.path.join(root, "base"))
+    delta.write.mode("overwrite").parquet(os.path.join(root, "delta1"))
+    man_dir = os.path.join(root, "_manifests")
+    os.makedirs(man_dir, exist_ok=True)
+    manifests = {0: ["base"], 1: ["base", "delta1"]}
+    for files in manifests.values():
+        commit_next(man_dir, files)
+
+    def read_as_of(version: int) -> DataFrame:
+        with open(os.path.join(man_dir, f"v{version}.json")) as fh:
+            files = json.load(fh)["files"]
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+        w = Window.partitionBy("event_id").orderBy(F.col("commit").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    rows = []
+    for v in (0, 1):
+        snap = read_as_of(v)
+        has_score = "score_cents" in snap.columns
+        score = (
+            F.col("score_cents") if has_score else F.lit(None).cast("bigint")
+        )
+        rows.append(
+            snap.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.count(score).cast("bigint").alias("n_scored"),
+                F.coalesce(F.sum(score), F.lit(0))
+                .cast("bigint")
+                .alias("sum_score_cents"),
+            )
+            .select(F.lit(v).alias("version"), "*")
+            .collect()[0]
+        )
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "manifests": manifests,
+            "v0_has_column": False,
+            "v1_null_filled_base_rows": True,
+        }
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version int, n_rows bigint, n_scored bigint, sum_score_cents bigint",
+    )

@@ -3197,3 +3197,72 @@ def test_burstiness_matches_python(specs, spark, sf_dir):
         )
         assert r["vmr"] == vmr
         assert r["vmr"] > 0.0
+
+
+def test_cohort_ltv_matches_python(specs, spark, sf_dir):
+    """ts_cohort_ltv == Python exact-cents cohort replay."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    first: dict[int, object] = {}
+    for r in rows:
+        m0 = r["o_orderdate"].replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+        if r["o_custkey"] not in first or m0 < first[r["o_custkey"]]:
+            first[r["o_custkey"]] = m0
+    grid: dict[tuple, list] = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cm = first[r["o_custkey"]]
+        om = r["o_orderdate"]
+        age = (om.year - cm.year) * 12 + (om.month - cm.month)
+        g = grid[(cm, age)]
+        g[0] += 1
+        g[1] += math.floor(r["o_totalprice"] * 100)
+    got = {
+        (r["cohort_month"], r["age_months"]): r
+        for r in specs["ts_cohort_ltv"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(grid)
+    cum_check: dict[object, int] = defaultdict(int)
+    for cm, age in sorted(grid):
+        n, cents = grid[(cm, age)]
+        cum_check[cm] += cents
+        r = got[(cm, age)]
+        assert r["n_orders"] == n
+        assert r["revenue_cents"] == cents
+        assert r["cum_revenue_cents"] == cum_check[cm]
+
+
+def test_schema_evolution_versioned_semantics(specs, spark, sf_dir):
+    """table_schema_evolution_versioned: v0 untouched, v1 null-fills."""
+    import math
+
+    from bigdata_twitter_spark.sources import versioned as V
+    from bigdata_twitter_spark.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "value"
+    ).collect()
+    n = len(events)
+    scored = [r for r in events if r["event_id"] % 4 == 0]
+    want_sum = sum(
+        math.floor(r["value"] * 100) + 1000 for r in scored
+    )
+    rows = {
+        r["version"]: r
+        for r in specs["table_schema_evolution_versioned"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows[0]["n_rows"] == n and rows[1]["n_rows"] == n
+    assert rows[0]["n_scored"] == 0 and rows[0]["sum_score_cents"] == 0
+    assert rows[1]["n_scored"] == len(scored)
+    assert rows[1]["sum_score_cents"] == want_sum
+    info = V.LAST_RUN_INFO
+    assert info["v0_has_column"] is False
+    assert info["v1_null_filled_base_rows"] is True
