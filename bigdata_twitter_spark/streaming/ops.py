@@ -1522,3 +1522,57 @@ def stream_backfill_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n"),
         F.sum("total_value_dec").cast("double").alias("total_value"),
     )
+
+
+# ---- streaming distinct users per window (round-7 continuation) -------
+# Exact COUNT(DISTINCT) is unsupported in streaming aggregations; the
+# production pattern is the two-stateful-operator chain this key
+# registers: dropDuplicatesWithinWatermark on (window-start, user)
+# collapses each user to one row per hour with state evicted by the
+# watermark, then a windowed count over the SURVIVING rows emits the
+# exact distinct-user count per closed window (append finalization —
+# the stream_late_data emission contract).
+
+
+@query(
+    "stream_distinct_users_window",
+    sql="""
+    SELECT * FROM (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1
+    )
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tables=("events",),
+    scale_note=(
+        "Streaming exact distinct-per-window via the two-stateful-"
+        "operator chain (dedup-within-watermark on (hour, user) -> "
+        "windowed count of survivors): dedup state is one row per "
+        "distinct (hour, user) inside the watermark horizon and is "
+        "EVICTED as windows close; the count state is windows-sized.  "
+        "This is the production replacement for the unsupported "
+        "streaming COUNT(DISTINCT); the batch oracle states the "
+        "same distinct count over the closed-window set."
+    ),
+)
+def stream_distinct_users_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct users per closed hourly window, via
+    dedup-within-watermark feeding a windowed count."""
+    ev = _stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    keyed = ev.select(
+        F.window("ts", "1 hour").getField("start").alias("ws"),
+        "user_id",
+        "ts",
+    ).dropDuplicatesWithinWatermark(["ws", "user_id"])
+    agg = keyed.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    res = _run_to_table(agg, "append")
+    return res.select(
+        F.col("w.start").alias("window_start"), "n_users"
+    )

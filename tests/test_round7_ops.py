@@ -3266,3 +3266,29 @@ def test_schema_evolution_versioned_semantics(specs, spark, sf_dir):
     info = V.LAST_RUN_INFO
     assert info["v0_has_column"] is False
     assert info["v1_null_filled_base_rows"] is True
+
+
+def test_stream_distinct_users_matches_batch(specs, spark, sf_dir):
+    """stream_distinct_users_window == batch distinct over closed set."""
+    import datetime
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select("ts", "user_id").collect()
+    max_ts = max(r["ts"] for r in rows)
+    cutoff = max_ts - datetime.timedelta(minutes=10)
+    per_hour: dict = defaultdict(set)
+    for r in rows:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        per_hour[h].add(r["user_id"])
+    want = {
+        h: len(us)
+        for h, us in per_hour.items()
+        if h + datetime.timedelta(hours=1) <= cutoff
+    }
+    got = {
+        r["window_start"]: r["n_users"]
+        for r in specs["stream_distinct_users_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) > 0
