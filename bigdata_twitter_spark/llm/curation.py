@@ -619,3 +619,119 @@ def train_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_rate"),
     )
     return g
+
+
+# ---- corpus dataset card (round-7 continuation, key #300) --------------
+# The one-row datasheet every published training corpus ships: size,
+# token volume, language spread, duplicate exposure, and quality-gate
+# pass rate — each number the head of a certified pipeline key
+# (tokenizer = text_tokenize's, quality rule = text_quality_score's,
+# dup grouping = dedup_exact's full-text identity).  All integers
+# until three final ratios.
+
+
+@query(
+    "train_dataset_card",
+    sql="""
+    WITH t AS (
+        SELECT doc_id, lang, text, n_chars,
+               len(list_filter(string_split(text, ' '), x -> x != ''))
+                   AS n_tokens,
+               (CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) / len(string_split(text, ' ')) > 0.2
+                       THEN 1 ELSE 0 END
+                + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                                 x -> x IN ('the', 'a')))
+                            AS DOUBLE) / len(string_split(text, ' ')) < 0.5
+                       THEN 1 ELSE 0 END) AS quality
+        FROM documents
+    ),
+    dup AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+               CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_redundant_docs
+        FROM (SELECT text, COUNT(*) AS c FROM documents
+              GROUP BY text HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t.lang) AS INT) AS n_langs,
+           CAST(SUM(CASE WHEN t.quality >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quality_pass,
+           dup.n_dup_groups,
+           dup.n_redundant_docs,
+           CAST(SUM(t.n_tokens) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+           CAST(SUM(CASE WHEN t.quality >= 2 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS quality_pass_rate,
+           CAST(dup.n_redundant_docs AS DOUBLE) / COUNT(*)
+               AS redundancy_rate
+    FROM t CROSS JOIN dup
+    GROUP BY dup.n_dup_groups, dup.n_redundant_docs
+    """,
+    tables=("documents",),
+    scale_note=(
+        "The corpus datasheet: one documents scan computing tokens "
+        "and the quality rule per row (pure codegen), one full-text "
+        "identity agg for duplicate exposure (dedup_exact's shuffle "
+        "— at 100 TB the md5-of-text key, not the text itself, is "
+        "the shuffle key), a 1-row broadcast combine, three exact-"
+        "int ratios.  Every number is the head of a certified key "
+        "(tokenizer/quality/dup semantics shared by construction), "
+        "so the card can never drift from the pipeline it "
+        "describes."
+    ),
+)
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet: docs, tokens, langs, quality pass
+    rate, duplicate exposure — the numbers a dataset card publishes."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(F.filter(toks, lambda x: x != ""))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+        / F.size(toks)
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    quality = (
+        F.when(F.col("n_chars").between(50, 5000), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.2, 1).otherwise(0)
+        + F.when(stop_ratio < 0.5, 1).otherwise(0)
+    )
+    t = d.select(
+        "lang", n_tokens.alias("n_tokens"), quality.alias("quality")
+    )
+    dup = (
+        d.groupBy("text")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_groups"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_redundant_docs"),
+        )
+    )
+    qpass = F.sum(F.when(F.col("quality") >= 2, 1).otherwise(0))
+    card = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        qpass.cast("bigint").alias("n_quality_pass"),
+    ).crossJoin(F.broadcast(dup))
+    return card.select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_quality_pass",
+        "n_dup_groups",
+        "n_redundant_docs",
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_tokens"
+        ),
+        (F.col("n_quality_pass").cast("double") / F.col("n_docs")).alias(
+            "quality_pass_rate"
+        ),
+        (F.col("n_redundant_docs").cast("double") / F.col("n_docs")).alias(
+            "redundancy_rate"
+        ),
+    )

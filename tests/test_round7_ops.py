@@ -3292,3 +3292,45 @@ def test_stream_distinct_users_matches_batch(specs, spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_dataset_card_matches_python(specs, spark, sf_dir):
+    """train_dataset_card == Python replay of each certified number."""
+    from bigdata_twitter_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "text", "n_chars"
+    ).collect()
+    n_docs = len(docs)
+    n_tokens = 0
+    langs = set()
+    n_pass = 0
+    text_counts: dict[str, int] = defaultdict(int)
+    for r in docs:
+        toks_all = r["text"].split(" ")
+        toks = [t for t in toks_all if t]
+        n_tokens += len(toks)
+        langs.add(r["lang"])
+        uniq_ratio = len(set(toks_all)) / len(toks_all)
+        stop_ratio = sum(1 for t in toks_all if t in ("the", "a")) / len(
+            toks_all
+        )
+        q = (
+            (1 if 50 <= r["n_chars"] <= 5000 else 0)
+            + (1 if uniq_ratio > 0.2 else 0)
+            + (1 if stop_ratio < 0.5 else 0)
+        )
+        n_pass += q >= 2
+        text_counts[r["text"]] += 1
+    dup_groups = sum(1 for c in text_counts.values() if c > 1)
+    redundant = sum(c - 1 for c in text_counts.values() if c > 1)
+    [got] = specs["train_dataset_card"].fn(spark, sf_dir).collect()
+    assert got["n_docs"] == n_docs
+    assert got["n_tokens"] == n_tokens
+    assert got["n_langs"] == len(langs)
+    assert got["n_quality_pass"] == n_pass
+    assert got["n_dup_groups"] == dup_groups
+    assert got["n_redundant_docs"] == redundant
+    assert got["mean_doc_tokens"] == float(n_tokens) / float(n_docs)
+    assert got["quality_pass_rate"] == float(n_pass) / float(n_docs)
+    assert got["redundancy_rate"] == float(redundant) / float(n_docs)
