@@ -2310,3 +2310,259 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t").cast("double").alias("total_revenue"),
         fold.alias("hhi"),
     )
+
+
+# ---- Spearman rank correlation + runs test (round-7 continuation) -----
+# Two more classical shapes on the rank machinery the Mann-Whitney
+# key certified: Spearman's rho (Pearson on average ranks — ties
+# handled exactly because 2·avg-rank is an integer) and the
+# Wald-Wolfowitz runs test for randomness of a series' ups and downs.
+# Both keep every accumulation integer (BIGINT at validation scale —
+# all magnitudes < 2^53, so the int->double casts are exact; the
+# DECIMAL(38,0) upgrade past that regime is the noted swap) and
+# spend floats once per output row.
+
+
+@query(
+    "agg_spearman_rank_corr",
+    sql="""
+    WITH x AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS xv,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS yv
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT g, xv,
+               2 * (CAST(COALESCE(SUM(c) OVER (
+                        PARTITION BY g ORDER BY xv
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT))
+               + c + 1 AS r2x
+        FROM (SELECT g, xv, CAST(COUNT(*) AS BIGINT) AS c
+              FROM x GROUP BY 1, 2)
+    ),
+    ry AS (
+        SELECT g, yv,
+               2 * (CAST(COALESCE(SUM(c) OVER (
+                        PARTITION BY g ORDER BY yv
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT))
+               + c + 1 AS r2y
+        FROM (SELECT g, yv, CAST(COUNT(*) AS BIGINT) AS c
+              FROM x GROUP BY 1, 2)
+    ),
+    j AS (
+        SELECT x.g, rx.r2x, ry.r2y
+        FROM x
+        JOIN rx ON rx.g = x.g AND rx.xv = x.xv
+        JOIN ry ON ry.g = x.g AND ry.yv = x.yv
+    ),
+    s AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x) AS BIGINT) AS sx,
+               CAST(SUM(r2y) AS BIGINT) AS sy,
+               CAST(CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT)
+                    AS BIGINT) AS sxy,
+               CAST(CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT)
+                    AS BIGINT) AS sxx,
+               CAST(CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT)
+                    AS BIGINT) AS syy
+        FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS spearman_rho
+    FROM s
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Spearman = Pearson on average ranks, ties exact because "
+        "2*avg-rank is an INTEGER (the Mann-Whitney rank machinery, "
+        "per group and per variable: distinct-value tables are "
+        "value-DOMAIN-sized, cumulative BIGINT windows, rank join "
+        "back by value key).  The five rank-moment sums stay BIGINT "
+        "(< 2^53 at validation scale so the double casts are exact; "
+        "DECIMAL(38,0) is the noted swap past ~1e9 rows/group); rho "
+        "is one IEEE expression per group."
+    ),
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per
+    returnflag, exact tie handling via integer doubled ranks."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("xv"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("yv"),
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        counts = x.groupBy("g", col).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            "g",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    rx = ranks("xv", "r2x")
+    ry = ranks("yv", "r2y")
+    j = x.join(rx, ["g", "xv"]).join(ry, ["g", "yv"])
+    s = j.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2y"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2x"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum(F.col("r2y").cast("decimal(19,0)") * F.col("r2y"))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"), "n", rho.alias("spearman_rho")
+    )
+
+
+@query(
+    "agg_runs_test",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT event_type, hr,
+               cnt - lag(cnt) OVER (
+                   PARTITION BY event_type ORDER BY hr
+               ) AS delta
+        FROM hourly
+    ),
+    sgn AS (
+        SELECT event_type, hr,
+               CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+        FROM d WHERE delta IS NOT NULL AND delta <> 0
+    ),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN s = lag(s) OVER (
+                        PARTITION BY event_type ORDER BY hr
+                    ) THEN 0 ELSE 1 END AS brk
+        FROM sgn
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down,
+               CAST(SUM(COALESCE(brk, 1)) AS BIGINT) AS n_runs
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n_up, n_down, n_runs,
+           (CAST(n_runs AS DOUBLE)
+            - (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) + 1.0))
+           / sqrt(
+               2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                  - CAST(n_up AS DOUBLE) - CAST(n_down AS DOUBLE))
+               / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                  * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                  * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                     - 1.0))
+           ) AS z_stat
+    FROM agg WHERE n_up > 0 AND n_down > 0
+    """,
+    tables=("events",),
+    scale_note=(
+        "Wald-Wolfowitz runs test for randomness of the hourly "
+        "series' ups and downs per type: signs and run breaks from "
+        "one type-partitioned lag chain (calendar-bounded series), "
+        "run/sign counts exact BIGINTs, z one IEEE expression per "
+        "type.  Zero deltas are excluded by contract (the classical "
+        "treatment); degenerate one-sided series are excluded (no "
+        "variance)."
+    ),
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test (Wald-Wolfowitz) on the signs of hourly count deltas
+    per event type."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    wo = Window.partitionBy("event_type").orderBy("hr")
+    d = hourly.select(
+        "event_type",
+        "hr",
+        (F.col("cnt") - F.lag("cnt").over(wo)).alias("delta"),
+    ).where(F.col("delta").isNotNull() & (F.col("delta") != 0))
+    sgn = d.select(
+        "event_type",
+        "hr",
+        F.when(F.col("delta") > 0, 1).otherwise(-1).alias("s"),
+    )
+    runs = sgn.select(
+        "event_type",
+        "s",
+        F.when(F.col("s") == F.lag("s").over(wo), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(F.coalesce(F.col("brk"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    u, v = F.col("n_up").cast("double"), F.col("n_down").cast("double")
+    r = F.col("n_runs").cast("double")
+    mu = F.lit(2.0) * u * v / (u + v) + F.lit(1.0)
+    var = (
+        F.lit(2.0) * u * v * (F.lit(2.0) * u * v - u - v)
+        / ((u + v) * (u + v) * (u + v - F.lit(1.0)))
+    )
+    return agg.where((F.col("n_up") > 0) & (F.col("n_down") > 0)).select(
+        "event_type",
+        "n_up",
+        "n_down",
+        "n_runs",
+        ((r - mu) / F.sqrt(var)).alias("z_stat"),
+    )

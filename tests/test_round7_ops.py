@@ -3334,3 +3334,100 @@ def test_dataset_card_matches_python(specs, spark, sf_dir):
     assert got["mean_doc_tokens"] == float(n_tokens) / float(n_docs)
     assert got["quality_pass_rate"] == float(n_pass) / float(n_docs)
     assert got["redundancy_rate"] == float(redundant) / float(n_docs)
+
+
+def test_spearman_matches_python(specs, spark, sf_dir):
+    """agg_spearman_rank_corr == Python doubled-average-rank replay."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_g: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_g[r["l_returnflag"]].append(
+            (int(r["l_quantity"]), math.floor(r["l_extendedprice"] * 100))
+        )
+
+    def rank2(vals: list) -> dict:
+        from collections import Counter
+
+        c = Counter(vals)
+        out, cb = {}, 0
+        for v in sorted(c):
+            out[v] = 2 * cb + c[v] + 1
+            cb += c[v]
+        return out
+
+    got = {
+        r["l_returnflag"]: r
+        for r in specs["agg_spearman_rank_corr"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_g)
+    for g, pairs in by_g.items():
+        rx = rank2([x for x, _ in pairs])
+        ry = rank2([y for _, y in pairs])
+        n = len(pairs)
+        sx = sum(rx[x] for x, _ in pairs)
+        sy = sum(ry[y] for _, y in pairs)
+        sxy = sum(rx[x] * ry[y] for x, y in pairs)
+        sxx = sum(rx[x] * rx[x] for x, _ in pairs)
+        syy = sum(ry[y] * ry[y] for _, y in pairs)
+        rho = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+            math.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+            * math.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+        )
+        r = got[g]
+        assert r["n"] == n
+        assert r["spearman_rho"] == rho
+        assert -1.0 - 1e-12 <= rho <= 1.0 + 1e-12
+
+
+def test_runs_test_matches_python(specs, spark, sf_dir):
+    """agg_runs_test == Python sign-sequence replay."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = defaultdict(list)
+    for r in hourly:
+        series[r["event_type"]].append((r["hr"], r["count"]))
+    got = {
+        r["event_type"]: r
+        for r in specs["agg_runs_test"].fn(spark, sf_dir).collect()
+    }
+    for et, rows in series.items():
+        rows.sort()
+        signs = []
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            if b != a:
+                signs.append(1 if b > a else -1)
+        n_up = signs.count(1)
+        n_down = signs.count(-1)
+        if n_up == 0 or n_down == 0:
+            assert et not in got
+            continue
+        n_runs = 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        u, v = float(n_up), float(n_down)
+        mu = 2.0 * u * v / (u + v) + 1.0
+        var = (
+            2.0 * u * v * (2.0 * u * v - u - v)
+            / ((u + v) * (u + v) * (u + v - 1.0))
+        )
+        r = got[et]
+        assert (r["n_up"], r["n_down"], r["n_runs"]) == (
+            n_up, n_down, n_runs,
+        )
+        assert r["z_stat"] == (float(n_runs) - mu) / math.sqrt(var)
