@@ -2324,136 +2324,6 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_spearman_rank_corr",
-    sql="""
-    WITH x AS (
-        SELECT l_returnflag AS g,
-               CAST(l_quantity AS BIGINT) AS xv,
-               CAST(floor(l_extendedprice * 100) AS BIGINT) AS yv
-        FROM lineitem
-    ),
-    rx AS (
-        SELECT g, xv,
-               2 * (CAST(COALESCE(SUM(c) OVER (
-                        PARTITION BY g ORDER BY xv
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) AS BIGINT))
-               + c + 1 AS r2x
-        FROM (SELECT g, xv, CAST(COUNT(*) AS BIGINT) AS c
-              FROM x GROUP BY 1, 2)
-    ),
-    ry AS (
-        SELECT g, yv,
-               2 * (CAST(COALESCE(SUM(c) OVER (
-                        PARTITION BY g ORDER BY yv
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) AS BIGINT))
-               + c + 1 AS r2y
-        FROM (SELECT g, yv, CAST(COUNT(*) AS BIGINT) AS c
-              FROM x GROUP BY 1, 2)
-    ),
-    j AS (
-        SELECT x.g, rx.r2x, ry.r2y
-        FROM x
-        JOIN rx ON rx.g = x.g AND rx.xv = x.xv
-        JOIN ry ON ry.g = x.g AND ry.yv = x.yv
-    ),
-    s AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(r2x) AS BIGINT) AS sx,
-               CAST(SUM(r2y) AS BIGINT) AS sy,
-               CAST(CAST(SUM(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT)
-                    AS BIGINT) AS sxy,
-               CAST(CAST(SUM(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT)
-                    AS BIGINT) AS sxx,
-               CAST(CAST(SUM(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT)
-                    AS BIGINT) AS syy
-        FROM j GROUP BY g
-    )
-    SELECT g AS l_returnflag, n,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-               AS spearman_rho
-    FROM s
-    """,
-    tables=("lineitem",),
-    scale_note=(
-        "Spearman = Pearson on average ranks, ties exact because "
-        "2*avg-rank is an INTEGER (the Mann-Whitney rank machinery, "
-        "per group and per variable: distinct-value tables are "
-        "value-DOMAIN-sized, cumulative BIGINT windows, rank join "
-        "back by value key).  The five rank-moment sums stay BIGINT "
-        "(< 2^53 at validation scale so the double casts are exact; "
-        "DECIMAL(38,0) is the noted swap past ~1e9 rows/group); rho "
-        "is one IEEE expression per group."
-    ),
-)
-def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rank correlation between quantity and price per
-    returnflag, exact tie handling via integer doubled ranks."""
-    li = load(spark, sf_dir, "lineitem")
-    x = li.select(
-        F.col("l_returnflag").alias("g"),
-        F.col("l_quantity").cast("bigint").alias("xv"),
-        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("yv"),
-    )
-
-    def ranks(col: str, out: str) -> DataFrame:
-        counts = x.groupBy("g", col).agg(
-            F.count("*").cast("bigint").alias("c")
-        )
-        w = (
-            Window.partitionBy("g")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return counts.select(
-            "g",
-            col,
-            (
-                2 * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
-                + F.col("c")
-                + 1
-            ).alias(out),
-        )
-
-    rx = ranks("xv", "r2x")
-    ry = ranks("yv", "r2y")
-    j = x.join(rx, ["g", "xv"]).join(ry, ["g", "yv"])
-    s = j.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("r2x").cast("bigint").alias("sx"),
-        F.sum("r2y").cast("bigint").alias("sy"),
-        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2y"))
-        .cast("decimal(38,0)")
-        .cast("bigint")
-        .alias("sxy"),
-        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2x"))
-        .cast("decimal(38,0)")
-        .cast("bigint")
-        .alias("sxx"),
-        F.sum(F.col("r2y").cast("decimal(19,0)") * F.col("r2y"))
-        .cast("decimal(38,0)")
-        .cast("bigint")
-        .alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    rho = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
-    return s.select(
-        F.col("g").alias("l_returnflag"), "n", rho.alias("spearman_rho")
-    )
-
-
-@query(
     "agg_runs_test",
     sql="""
     WITH hourly AS (
@@ -2565,4 +2435,157 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_down",
         "n_runs",
         ((r - mu) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+# Two-limb exact decimal->double: the x10 probe caught the naive
+# BIGINT cast overflowing at Sigma r2x*r2y ~ 1.07e19 > 2^63, and the
+# single wide-decimal cast is the measured cross-engine ulp hazard
+# (the HHI lesson).  Splitting x = hi*2^32 + lo keeps every step
+# EXACT (mod and the divisible division are integer-exact in both
+# engines; hi < 2^53 for x < 2^85) and the final double expression
+# hi*4294967296.0 + lo is the same IEEE sequence on both sides.
+_LIMB = 4_294_967_296  # 2^32
+
+
+def _limb_dbl_sql(x: str) -> str:
+    # `//` (integer division), NOT `/`: DuckDB's `/` is float division
+    # and would round the >2^53 numerator before dividing.
+    return (
+        f"(CAST(CAST({x} // {_LIMB} AS BIGINT) AS DOUBLE)"
+        f" * {_LIMB}.0 + CAST(CAST({x} % {_LIMB} AS BIGINT) AS DOUBLE))"
+    )
+
+
+def _limb_dbl(c: "F.Column") -> "F.Column":
+    lo = c % F.lit(_LIMB)
+    hi = ((c - lo) / F.lit(_LIMB)).cast("decimal(38,0)").cast("bigint")
+    return hi.cast("double") * F.lit(float(_LIMB)) + lo.cast(
+        "bigint"
+    ).cast("double")
+
+
+@query(
+    "agg_spearman_rank_corr",
+    sql=f"""
+    WITH x AS (
+        SELECT l_returnflag AS g,
+               CAST(l_quantity AS BIGINT) AS xv,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS yv
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT g, xv,
+               2 * (CAST(COALESCE(SUM(c) OVER (
+                        PARTITION BY g ORDER BY xv
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT))
+               + c + 1 AS r2x
+        FROM (SELECT g, xv, CAST(COUNT(*) AS BIGINT) AS c
+              FROM x GROUP BY 1, 2)
+    ),
+    ry AS (
+        SELECT g, yv,
+               2 * (CAST(COALESCE(SUM(c) OVER (
+                        PARTITION BY g ORDER BY yv
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT))
+               + c + 1 AS r2y
+        FROM (SELECT g, yv, CAST(COUNT(*) AS BIGINT) AS c
+              FROM x GROUP BY 1, 2)
+    ),
+    j AS (
+        SELECT x.g, rx.r2x, ry.r2y
+        FROM x
+        JOIN rx ON rx.g = x.g AND rx.xv = x.xv
+        JOIN ry ON ry.g = x.g AND ry.yv = x.yv
+    ),
+    s AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x) AS BIGINT) AS sx,
+               CAST(SUM(r2y) AS BIGINT) AS sy,
+               SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+               SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+               SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+        FROM j GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           (CAST(n AS DOUBLE) * {_limb_dbl_sql('sxy')}
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('sxx')}
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('syy')}
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               AS spearman_rho
+    FROM s
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "Spearman = Pearson on average ranks, ties exact because "
+        "2*avg-rank is an INTEGER (the Mann-Whitney rank machinery "
+        "per group per variable: domain-sized distinct tables, "
+        "cumulative BIGINT windows, rank join-back by value key).  "
+        "The three wide rank-moments accumulate in HUGEINT/"
+        "DECIMAL(38,0) and reach doubles via the TWO-LIMB split "
+        "(hi*2^32 + lo — every step integer-exact, identical IEEE "
+        "assembly on both engines, valid to 2^85) — the x10 probe "
+        "caught the naive BIGINT cast overflowing at ~1.07e19 and "
+        "the single wide cast is the measured ulp hazard; rho is "
+        "one IEEE expression per group."
+    ),
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price per
+    returnflag, exact tie handling via integer doubled ranks."""
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("xv"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("yv"),
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        counts = x.groupBy("g", col).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            "g",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    rx = ranks("xv", "r2x")
+    ry = ranks("yv", "r2y")
+    j = x.join(rx, ["g", "xv"]).join(ry, ["g", "yv"])
+    s = j.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("r2x").cast("decimal(19,0)") * F.col("r2x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("r2y").cast("decimal(19,0)") * F.col("r2y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (nd * _limb_dbl(F.col("sxy")) - sx * sy) / (
+        F.sqrt(nd * _limb_dbl(F.col("sxx")) - sx * sx)
+        * F.sqrt(nd * _limb_dbl(F.col("syy")) - sy * sy)
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"), "n", rho.alias("spearman_rho")
     )
