@@ -2589,3 +2589,114 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("g").alias("l_returnflag"), "n", rho.alias("spearman_rho")
     )
+
+
+# ---- Hill tail-index estimator (round-7 continuation) ------------------
+# The estimator heavy-tail analysts actually use (vs the binned
+# log-log slope of graph_powerlaw_slope): Hill's alpha over the top-k
+# order statistics of order values per priority.  The top-k cut is a
+# per-group window (k=100 — constant reduce work per key); each
+# ln(x_i / x_k) term is rounded 8dp (the ln-ulp discipline) and the
+# mean folds in rank order (ANOVA pinning).
+
+HILL_K = 100  # top-k order statistics per group
+
+
+@query(
+    "agg_hill_tail_index",
+    sql=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT g, cents,
+               row_number() OVER (
+                   PARTITION BY g ORDER BY cents DESC, o_orderkey
+               ) AS rnk
+        FROM c
+    ),
+    top AS (SELECT g, cents, rnk FROM r WHERE rnk <= {HILL_K}),
+    kth AS (SELECT g, cents AS x_k FROM top WHERE rnk = {HILL_K}),
+    terms AS (
+        SELECT top.g, top.rnk,
+               round(ln(CAST(top.cents AS DOUBLE)
+                        / CAST(kth.x_k AS DOUBLE)), 8) AS t
+        FROM top JOIN kth ON kth.g = top.g
+        WHERE top.rnk < {HILL_K}
+    ),
+    s AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS k_minus_1,
+               list_reduce(list(t ORDER BY rnk), (a, b) -> a + b) AS st
+        FROM terms GROUP BY g
+    )
+    SELECT g AS o_orderpriority, k_minus_1,
+           st / CAST(k_minus_1 AS DOUBLE) AS hill_mean_log_excess,
+           CAST(k_minus_1 AS DOUBLE) / st AS hill_alpha
+    FROM s
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Hill estimator over top-k order statistics per group: the "
+        "top-100 cut is a per-group rank window (TakeOrdered-class "
+        "work; two-level range-bucket rank past one-partition "
+        "groups), the k-th value joins back group-keyed "
+        "(groups-sized broadcast), and the 99 log-excess terms are "
+        "8dp-rounded then folded in rank order — constant reduce "
+        "work per key at any corpus size.  alpha = (k-1)/Sigma "
+        "ln(x_i/x_k), one IEEE expression per group."
+    ),
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index (alpha) of order values per priority from the
+    top-100 order statistics."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("g").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    r = c.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= HILL_K
+    )
+    kth = r.where(F.col("rnk") == HILL_K).select(
+        "g", F.col("cents").alias("x_k")
+    )
+    terms = (
+        r.where(F.col("rnk") < HILL_K)
+        .join(F.broadcast(kth), "g")
+        .select(
+            "g",
+            "rnk",
+            F.round(
+                F.log(
+                    F.col("cents").cast("double")
+                    / F.col("x_k").cast("double")
+                ),
+                8,
+            ).alias("t"),
+        )
+    )
+    s = terms.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("k_minus_1"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rnk", "t"))),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("st"),
+    )
+    km = F.col("k_minus_1").cast("double")
+    return s.select(
+        F.col("g").alias("o_orderpriority"),
+        "k_minus_1",
+        (F.col("st") / km).alias("hill_mean_log_excess"),
+        (km / F.col("st")).alias("hill_alpha"),
+    )

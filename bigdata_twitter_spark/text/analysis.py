@@ -1065,3 +1065,176 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_containing",
         (((ss - s * s / n) / (n - F.lit(1.0))) / (s / n)).alias("vmr"),
     )
+
+
+# ---- Jensen-Shannon divergence between languages (round-7 cont.) ------
+# The corpus-comparison metric: JSD between each language pair's
+# unigram distribution over a SHARED support — the global top-64
+# terms plus one 'other' bucket (so every distribution sums to 1 and
+# the support is bounded and identical).  Counts are exact integers;
+# each slot's contribution −m·ln(m) + (p·ln(p) + q·ln(q))/2 is
+# rounded 8dp (ln-ulp discipline) and the per-pair total folds in
+# slot order (ANOVA pinning).  JSD is symmetric, 0 ≤ JSD ≤ ln 2.
+
+JSD_TOPV = 64
+
+
+@query(
+    "text_js_divergence_langs",
+    sql=f"""
+    WITH tok AS (
+        SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                        t -> t != '')) AS tk
+        FROM documents
+    ),
+    tc AS (
+        SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tk FROM (
+            SELECT tk, CAST(SUM(c) AS BIGINT) AS s FROM tc GROUP BY tk
+        ) QUALIFY row_number() OVER (ORDER BY s DESC, tk) <= {JSD_TOPV}
+    ),
+    tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY lang),
+    slot AS (
+        SELECT tot.lang, top.tk AS slot, COALESCE(tc.c, 0) AS c, tot.n
+        FROM tot CROSS JOIN top
+        LEFT JOIN tc ON tc.lang = tot.lang AND tc.tk = top.tk
+        UNION ALL
+        SELECT tot.lang, '\x7f_other' AS slot,
+               tot.n - COALESCE(oth.s, 0) AS c, tot.n
+        FROM tot LEFT JOIN (
+            SELECT tc.lang, CAST(SUM(tc.c) AS BIGINT) AS s
+            FROM tc JOIN top ON top.tk = tc.tk GROUP BY tc.lang
+        ) oth ON oth.lang = tot.lang
+    ),
+    pair AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, a.slot,
+               CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS p,
+               CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS q
+        FROM slot a JOIN slot b
+          ON a.slot = b.slot AND a.lang < b.lang
+    ),
+    term AS (
+        SELECT lang_a, lang_b, slot,
+               round(
+                   - (CASE WHEN (p + q) / 2.0 > 0.0
+                           THEN ((p + q) / 2.0) * ln((p + q) / 2.0)
+                           ELSE 0.0 END)
+                   + ((CASE WHEN p > 0.0 THEN p * ln(p) ELSE 0.0 END)
+                      + (CASE WHEN q > 0.0 THEN q * ln(q) ELSE 0.0 END))
+                     / 2.0, 8) AS t
+        FROM pair
+    )
+    SELECT lang_a, lang_b,
+           list_reduce(list(t ORDER BY slot), (a, b) -> a + b) + 0.0
+               AS jsd_nats
+    FROM term GROUP BY 1, 2
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Language-pair JSD over a SHARED bounded support (global "
+        "top-64 terms + 'other'): term counts are the TF-IDF scan "
+        "shape, the support cut is one TakeOrdered, the langs x 65 "
+        "grid and the pair join are dimension-sized, and each "
+        "pair's total folds over 65 slot contributions (rounded "
+        "8dp) in slot order — constant reduce work regardless of "
+        "corpus size.  The 'other' bucket makes every distribution "
+        "sum to exactly 1 from integer counts."
+    ),
+)
+def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between each language pair's
+    unigram mix over the global top-64 terms + other bucket."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tk"),
+    )
+    tc = tok.groupBy("lang", "tk").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    top = (
+        tc.groupBy("tk")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("tk"))
+        .limit(JSD_TOPV)
+        .select("tk")
+    )
+    tot = tc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    in_top = (
+        tc.join(F.broadcast(top), "tk")
+        .groupBy("lang")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    slot_top = (
+        tot.crossJoin(F.broadcast(top))
+        .join(
+            tc.withColumnRenamed("tk", "slot_tk"),
+            (F.col("slot_tk") == F.col("tk"))
+            & (tc["lang"] == tot["lang"]),
+            "left",
+        )
+        .select(
+            tot["lang"],
+            F.col("tk").alias("slot"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "n",
+        )
+    )
+    slot_other = (
+        tot.join(in_top.withColumnRenamed("lang", "l2"),
+                 F.col("l2") == tot["lang"], "left")
+        .select(
+            tot["lang"],
+            F.lit("\x7f_other").alias("slot"),
+            (F.col("n") - F.coalesce(F.col("s"), F.lit(0))).alias("c"),
+            "n",
+        )
+    )
+    slot = slot_top.unionByName(slot_other)
+    a = slot.select(
+        F.col("lang").alias("lang_a"),
+        "slot",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    b = slot.select(
+        F.col("lang").alias("lang_b"),
+        F.col("slot").alias("slot_b"),
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("q"),
+    )
+    pair = a.join(
+        b,
+        (F.col("slot") == F.col("slot_b"))
+        & (F.col("lang_a") < F.col("lang_b")),
+    )
+    p, q = F.col("p"), F.col("q")
+    m = (p + q) / F.lit(2.0)
+    term = pair.select(
+        "lang_a",
+        "lang_b",
+        "slot",
+        F.round(
+            -(F.when(m > 0.0, m * F.log(m)).otherwise(F.lit(0.0)))
+            + (
+                F.when(p > 0.0, p * F.log(p)).otherwise(F.lit(0.0))
+                + F.when(q > 0.0, q * F.log(q)).otherwise(F.lit(0.0))
+            )
+            / F.lit(2.0),
+            8,
+        ).alias("t"),
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("slot", "t"))),
+            lambda x: x["t"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return term.groupBy("lang_a", "lang_b").agg(
+        (fold + F.lit(0.0)).alias("jsd_nats")
+    )

@@ -3431,3 +3431,95 @@ def test_runs_test_matches_python(specs, spark, sf_dir):
             n_up, n_down, n_runs,
         )
         assert r["z_stat"] == (float(n_runs) - mu) / math.sqrt(var)
+
+
+def test_hill_tail_index_matches_python(specs, spark, sf_dir):
+    """agg_hill_tail_index == Python top-k order-statistics replay."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    def r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_g: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_g[r["o_orderpriority"]].append(
+            (math.floor(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_hill_tail_index"].fn(spark, sf_dir).collect()
+    }
+    for g, vals in by_g.items():
+        vals.sort(key=lambda t: (-t[0], t[1]))
+        top = [c for c, _ in vals[:100]]
+        if len(top) < 100:
+            assert g not in got
+            continue
+        xk = top[-1]
+        st = 0.0
+        for c in top[:-1]:
+            st = st + r8(math.log(float(c) / float(xk)))
+        r = got[g]
+        assert r["k_minus_1"] == 99
+        assert r["hill_mean_log_excess"] == st / 99.0
+        assert r["hill_alpha"] == 99.0 / st
+        assert r["hill_alpha"] > 0
+
+
+def test_jsd_langs_matches_python(specs, spark, sf_dir):
+    """text_js_divergence_langs == Python shared-support replay."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from bigdata_twitter_spark.tables import load
+
+    def r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text").collect()
+    tc: dict[str, dict] = defaultdict(lambda: defaultdict(int))
+    glob: dict[str, int] = defaultdict(int)
+    for r in docs:
+        for t in r["text"].split(" "):
+            if t:
+                tc[r["lang"]][t] += 1
+                glob[t] += 1
+    top = [
+        t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    ]
+    langs = sorted(tc)
+    dist = {}
+    for lg in langs:
+        n = sum(tc[lg].values())
+        d = {s: tc[lg].get(s, 0) / n for s in top}
+        d["\x7f_other"] = (n - sum(tc[lg].get(s, 0) for s in top)) / n
+        dist[lg] = d
+    got = {
+        (r["lang_a"], r["lang_b"]): r["jsd_nats"]
+        for r in specs["text_js_divergence_langs"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(langs) * (len(langs) - 1) // 2
+    slots = sorted(top + ["\x7f_other"])
+    for i, a in enumerate(langs):
+        for b in langs[i + 1 :]:
+            js = 0.0
+            for s in slots:
+                p, q = dist[a][s], dist[b][s]
+                m = (p + q) / 2.0
+                t = -(m * math.log(m) if m > 0.0 else 0.0) + (
+                    (p * math.log(p) if p > 0.0 else 0.0)
+                    + (q * math.log(q) if q > 0.0 else 0.0)
+                ) / 2.0
+                js = js + r8(t)
+            assert got[(a, b)] == js + 0.0
+            assert -1e-9 <= got[(a, b)] <= math.log(2.0) + 1e-9
