@@ -2700,3 +2700,113 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("st") / km).alias("hill_mean_log_excess"),
         (km / F.col("st")).alias("hill_alpha"),
     )
+
+
+# ---- Lorenz curve points (round-7 continuation) ------------------------
+# The plottable companion to agg_gini_coefficient's scalar: per
+# priority, cut the value-ascending population into deciles with
+# CROSS-MULTIPLIED integer boundaries (rank*10 <= n*d — no float
+# cut), and report each decile's exact cents plus the cumulative
+# revenue share.  Everything integer until the one share division.
+
+
+@query(
+    "agg_lorenz_curve",
+    sql="""
+    WITH c AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT g, cents,
+               row_number() OVER (
+                   PARTITION BY g ORDER BY cents, o_orderkey
+               ) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM c
+    ),
+    d AS (
+        SELECT g,
+               CAST(CASE WHEN rnk * 10 <= n * 1 THEN 1
+                    WHEN rnk * 10 <= n * 2 THEN 2
+                    WHEN rnk * 10 <= n * 3 THEN 3
+                    WHEN rnk * 10 <= n * 4 THEN 4
+                    WHEN rnk * 10 <= n * 5 THEN 5
+                    WHEN rnk * 10 <= n * 6 THEN 6
+                    WHEN rnk * 10 <= n * 7 THEN 7
+                    WHEN rnk * 10 <= n * 8 THEN 8
+                    WHEN rnk * 10 <= n * 9 THEN 9
+                    ELSE 10 END AS INT) AS decile,
+               cents
+        FROM r
+    ),
+    s AS (
+        SELECT g, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM d GROUP BY 1, 2
+    )
+    SELECT g AS o_orderpriority, decile, n_orders, decile_cents,
+           CAST(SUM(decile_cents) OVER (
+               PARTITION BY g ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(SUM(decile_cents) OVER (PARTITION BY g) AS DOUBLE)
+               AS cum_share
+    FROM s
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Lorenz curve deciles: the gini key's value-ascending rank "
+        "window (two-level range-bucket rank past one-partition "
+        "groups), decile boundaries as CROSS-MULTIPLIED integer "
+        "comparisons (rank*10 <= n*d — no 0.1 literal), a 10-rows-"
+        "per-group agg, and a deciles-sized cumulative; the single "
+        "float is the final share division of exact cents."
+    ),
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve points (cumulative revenue share per population
+    decile, value-ascending) per priority — exact-integer cuts."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("g").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("g")
+    r = c.select(
+        "g",
+        "cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    dec_col = F.lit(10)
+    for d in range(9, 0, -1):
+        dec_col = F.when(
+            F.col("rnk") * 10 <= F.col("n") * d, F.lit(d)
+        ).otherwise(dec_col)
+    s = r.select("g", dec_col.cast("int").alias("decile"), "cents").groupBy(
+        "g", "decile"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    wc = (
+        Window.partitionBy("g")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("g")
+    return s.select(
+        F.col("g").alias("o_orderpriority"),
+        "decile",
+        "n_orders",
+        "decile_cents",
+        (
+            F.sum("decile_cents").over(wc).cast("double")
+            / F.sum("decile_cents").over(wt).cast("double")
+        ).alias("cum_share"),
+    )

@@ -3523,3 +3523,42 @@ def test_jsd_langs_matches_python(specs, spark, sf_dir):
                 js = js + r8(t)
             assert got[(a, b)] == js + 0.0
             assert -1e-9 <= got[(a, b)] <= math.log(2.0) + 1e-9
+
+
+def test_lorenz_curve_matches_python(specs, spark, sf_dir):
+    """agg_lorenz_curve == Python exact decile-cut replay."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_g: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_g[r["o_orderpriority"]].append(
+            (math.floor(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    got = {
+        (r["o_orderpriority"], r["decile"]): r
+        for r in specs["agg_lorenz_curve"].fn(spark, sf_dir).collect()
+    }
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        per_dec: dict[int, list] = defaultdict(lambda: [0, 0])
+        for rnk, (cents, _) in enumerate(vals, start=1):
+            d = next(dd for dd in range(1, 11) if rnk * 10 <= n * dd or dd == 10)
+            per_dec[d][0] += 1
+            per_dec[d][1] += cents
+        total = sum(c for _, c in per_dec.values())
+        cum = 0
+        for d in sorted(per_dec):
+            cnt, cents = per_dec[d]
+            cum += cents
+            r = got[(g, d)]
+            assert r["n_orders"] == cnt
+            assert r["decile_cents"] == cents
+            assert r["cum_share"] == float(cum) / float(total)
+        # Lorenz curve ends at exactly 1 and is convex-increasing
+        assert got[(g, max(per_dec))]["cum_share"] == 1.0
