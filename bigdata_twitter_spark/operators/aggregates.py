@@ -775,3 +775,88 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("class_cents"),
     )
+
+
+# ---- trimmed mean (round-7 continuation) -------------------------------
+# The robust-location companion of agg_weighted_median and the Tukey
+# fences: drop the lowest and highest 5% of each group by rank
+# (CROSS-MULTIPLIED integer boundaries — rank·20 vs n, no 0.05
+# literal), then the exact-cents mean of the kept middle.  Zero float
+# anywhere except the final division.
+
+
+@query(
+    "agg_trimmed_mean",
+    sql="""
+    WITH c AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT g, cents,
+               row_number() OVER (
+                   PARTITION BY g ORDER BY cents, o_orderkey
+               ) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM c
+    ),
+    kept AS (
+        SELECT g, cents, n FROM r
+        WHERE rnk * 20 > n AND rnk * 20 <= 19 * n
+    )
+    SELECT g AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_cents,
+           CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS trimmed_mean_cents
+    FROM kept GROUP BY g
+    """,
+    tables=("orders",),
+    scale_note=(
+        "5%-each-side trimmed mean per group: the gini/Lorenz rank "
+        "window (two-level range-bucket rank past one-partition "
+        "groups), trim boundaries as CROSS-MULTIPLIED integer "
+        "comparisons (rank*20 > n / <= 19n — no 0.05 literal to "
+        "round), exact-cents sum of the kept middle, ONE division "
+        "per group."
+    ),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order values per priority —
+    exact-integer trim cuts, one final division."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("g").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("g")
+    r = c.select(
+        "g",
+        "cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    kept = r.where(
+        (F.col("rnk") * 20 > F.col("n"))
+        & (F.col("rnk") * 20 <= 19 * F.col("n"))
+    )
+    return kept.groupBy("g").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("cents").cast("bigint").alias("kept_cents"),
+        (F.sum("cents").cast("double") / F.count("*")).alias(
+            "trimmed_mean_cents"
+        ),
+    ).select(
+        F.col("g").alias("o_orderpriority"),
+        "n_total",
+        "n_kept",
+        "kept_cents",
+        "trimmed_mean_cents",
+    )

@@ -2456,3 +2456,50 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("bigint").alias("revenue_cents"),
         F.sum("cents").over(w).cast("bigint").alias("cum_revenue_cents"),
     )
+
+
+@query(
+    "ts_dow_hod_heatmap",
+    sql="""
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+    -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7.
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n) AS DOUBLE)
+               AS share_of_total
+    FROM events CROSS JOIN tot
+    GROUP BY 1, 2, 3
+    """,
+    tables=("events",),
+    scale_note=(
+        "The calendar heatmap grid behind ts_anova_hour_of_day's "
+        "statistic: one two-phase agg to the (dow x hod x type) "
+        "grid (<= 7*24*types rows at any corpus size), the 1-row "
+        "total broadcast, one IEEE division per cell.  Spark's "
+        "dayofweek is 1=Sunday..7 while DuckDB's is 0-based — the "
+        "oracle shifts by +1 (measured, referee-pinned)."
+    ),
+)
+def ts_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day-of-week × hour-of-day × type) activity grid with share of
+    total — the calendar heatmap readout."""
+    e = load(spark, sf_dir, "events")
+    tot = e.agg(F.count("*").cast("bigint").alias("n"))
+    g = (
+        e.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.dayofweek("ts").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (
+                F.count("*").cast("double")
+                / F.max("n").cast("double")
+            ).alias("share_of_total"),
+        )
+    )
+    return g

@@ -3562,3 +3562,63 @@ def test_lorenz_curve_matches_python(specs, spark, sf_dir):
             assert r["cum_share"] == float(cum) / float(total)
         # Lorenz curve ends at exactly 1 and is convex-increasing
         assert got[(g, max(per_dec))]["cum_share"] == 1.0
+
+
+def test_trimmed_mean_matches_python(specs, spark, sf_dir):
+    """agg_trimmed_mean == Python exact rank-trim replay."""
+    import math
+
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_g: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_g[r["o_orderpriority"]].append(
+            (math.floor(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in specs["agg_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_g)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        kept = [
+            c
+            for rnk, (c, _) in enumerate(vals, start=1)
+            if rnk * 20 > n and rnk * 20 <= 19 * n
+        ]
+        r = got[g]
+        assert r["n_total"] == n
+        assert r["n_kept"] == len(kept)
+        assert r["kept_cents"] == sum(kept)
+        assert r["trimmed_mean_cents"] == float(sum(kept)) / float(
+            len(kept)
+        )
+        # robustness: trimmed mean sits inside the kept range
+        assert kept[0] <= r["trimmed_mean_cents"] <= kept[-1]
+
+
+def test_dow_hod_heatmap_matches_python(specs, spark, sf_dir):
+    """ts_dow_hod_heatmap == Python calendar replay (Spark dow conv)."""
+    from bigdata_twitter_spark.tables import load
+
+    rows = load(spark, sf_dir, "events").select("ts", "event_type").collect()
+    n = len(rows)
+    grid: dict[tuple, int] = defaultdict(int)
+    for r in rows:
+        # Spark dayofweek: 1=Sunday..7; Python isoweekday: 1=Mon..7=Sun
+        dow = r["ts"].isoweekday() % 7 + 1
+        grid[(dow, r["ts"].hour, r["event_type"])] += 1
+    got = {
+        (r["dow"], r["hod"], r["event_type"]): r
+        for r in specs["ts_dow_hod_heatmap"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(grid)
+    for key, cnt in grid.items():
+        assert got[key]["n_events"] == cnt
+        assert got[key]["share_of_total"] == float(cnt) / float(n)
+    assert sum(r["n_events"] for r in got.values()) == n
