@@ -10,7 +10,10 @@ here, value-hash equality follows.
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import math
+import os
+import pickle
 from collections import Counter
 from decimal import Decimal
 
@@ -21,6 +24,62 @@ import pandas as pd
 from bigdata_twitter_spark.tables import TABLE_NAMES
 
 _MISSING = object()
+
+# Oracle-result disk cache (VERDICT r7 "Next round" #4): the full
+# 307-key parity sweep was dominated by a handful of DuckDB oracles
+# with unrolled/recursive CTEs (ts_forecast_backtest 119 s,
+# graph_khop_reach 87 s at sf0.01).  The fixtures are driver-generated
+# and immutable, so the oracle side is a pure function of
+# (key, oracle SQL, fixture bytes) — cache its NORMALIZED MULTISET
+# (not the DataFrame: pickling the post-norm_cell Counter avoids any
+# dtype round-trip hazard that could mask or invent a mismatch).
+# Only stable fixture dirs are cached; tmp_path fixtures in tests
+# regenerate per run and would only pollute the cache.
+# Disable with BDT_ORACLE_CACHE=0.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".parity_cache"
+)
+
+
+def _cache_enabled(sf_dir: str) -> bool:
+    if os.environ.get("BDT_ORACLE_CACHE", "1") == "0":
+        return False
+    return os.path.realpath(sf_dir).startswith("/root/testdata/")
+
+
+def _fixture_sig(sf_dir: str) -> str:
+    parts = []
+    for name in TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+        except FileNotFoundError:
+            parts.append(f"{name}:missing")
+    return "|".join(parts)
+
+
+def oracle_multiset(sf_dir: str, key: str, sql: str):
+    """Oracle result as ``(sorted_cols, n_rows, Counter)``, disk-cached."""
+    cache_path = None
+    if _cache_enabled(sf_dir):
+        h = hashlib.md5(
+            f"{key}\x00{sql}\x00{_fixture_sig(sf_dir)}".encode()
+        ).hexdigest()
+        cache_path = os.path.join(_CACHE_DIR, f"{key}.{h}.pkl")
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as fh:
+                return pickle.load(fh)
+    with duckdb_connect(sf_dir) as con:
+        pdf = con.sql(sql).df()
+    result = (sorted(pdf.columns), len(pdf), to_multiset(pdf))
+    if cache_path is not None:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = f"{cache_path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(result, fh)
+        os.replace(tmp, cache_path)
+    return result
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -72,14 +131,23 @@ def to_multiset(pdf: pd.DataFrame) -> Counter:
 
 
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, key: str) -> None:
-    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+    compare_to_oracle(
+        spark_pdf,
+        (sorted(oracle_pdf.columns), len(oracle_pdf), to_multiset(oracle_pdf)),
+        key,
+    )
+
+
+def compare_to_oracle(spark_pdf: pd.DataFrame, oracle, key: str) -> None:
+    oracle_cols, oracle_n, o = oracle
+    assert sorted(spark_pdf.columns) == oracle_cols, (
         f"{key}: column sets differ: spark={sorted(spark_pdf.columns)} "
-        f"oracle={sorted(oracle_pdf.columns)}"
+        f"oracle={oracle_cols}"
     )
-    assert len(spark_pdf) == len(oracle_pdf), (
-        f"{key}: row counts differ: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    assert len(spark_pdf) == oracle_n, (
+        f"{key}: row counts differ: spark={len(spark_pdf)} oracle={oracle_n}"
     )
-    s, o = to_multiset(spark_pdf), to_multiset(oracle_pdf)
+    s = to_multiset(spark_pdf)
     if s != o:
         only_s = list((s - o).items())[:5]
         only_o = list((o - s).items())[:5]
@@ -124,9 +192,7 @@ def check_query(spark, sf_dir: str, key: str) -> None:
             return
         finally:
             os.environ.pop(EXPECT_EXACT_ORACLE_ENV, None)
-        with duckdb_connect(sf_dir) as con:
-            oracle_pdf = con.sql(spec.sql).df()
-        compare_frames(spark_pdf, oracle_pdf, key)
+        compare_to_oracle(spark_pdf, oracle_multiset(sf_dir, key, spec.sql), key)
         return
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     assert len(spark_pdf) >= 0  # rows-only check (driver-weak parity)
