@@ -416,3 +416,96 @@ def test_weighted_pps_window_is_bucket_partitioned(spark, sf_dir):
         "hashpartitioning(o_orderpriority" in ln and "bucket" in ln
         for ln in plan.splitlines()
     ), plan
+
+
+def test_q5_dims_broadcast_and_date_pushes_to_orders_scan(spark, sf_dir):
+    """agg_q5_local_supplier (r8 window): the three dimension joins
+    (supplier, nation, region) must all be broadcast — at 100 TB only
+    the customer⋈orders⋈lineitem fact shuffles may exchange data-sized
+    rows — and the order-date range must reach the orders scan as
+    pushed parquet filters (partition pruning when orders is
+    date-partitioned)."""
+    plan = _plan(spark, sf_dir, "agg_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters: [" in ln and "o_orderdate" in ln
+    ]
+    assert pushed, plan
+    assert "partial" in plan.lower(), plan  # map-side combine on the agg
+
+
+def test_q7_both_nation_roles_broadcast_and_shipdate_pushes(spark, sf_dir):
+    """agg_q7_nation_volume (r8 window): nation joins BOTH fact sides
+    under two aliases — supplier and both nation roles broadcast (3+
+    BHJs) — and the ship-date range must reach the lineitem scan before
+    the orders fact-fact shuffle."""
+    plan = _plan(spark, sf_dir, "agg_q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters: [" in ln and "l_shipdate" in ln
+    ]
+    assert pushed, plan
+
+
+def test_q10_topk_is_take_ordered_with_pushed_filters(spark, sf_dir):
+    """agg_q10_returned_topk (r8 window): the final top-20 must be
+    TakeOrderedAndProject (per-partition heaps + K-row driver merge,
+    never a global sort of the customer-grain aggregate), the
+    returnflag equality must push to the lineitem scan and the date
+    range to the orders scan, and nation must broadcast."""
+    plan = _plan(spark, sf_dir, "agg_q10_returned_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert any(
+        "PushedFilters: [" in ln and "l_returnflag" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert any(
+        "PushedFilters: [" in ln and "o_orderdate" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_q18_having_prunes_before_joins(spark, sf_dir):
+    """agg_q18_large_orders (r8 window): the quantity rollup must be a
+    two-phase agg (map-side partial) whose HAVING filter sits on the
+    aggregate side BEFORE the joins — never a join of the full
+    lineitem grain — and no cartesian may appear."""
+    plan = _plan(spark, sf_dir, "agg_q18_large_orders")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    # the HAVING predicate on the summed quantity must appear as a
+    # Filter over the aggregate output (sum(...) > threshold), i.e.
+    # the plan carries a filter on the agg alias, not on raw rows only
+    assert any(
+        "Filter" in ln and ("q#" in ln or "sum(" in ln)
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_pq_adc_windows_are_query_partitioned(spark, sf_dir):
+    """embed_pq_adc_topk (r8 window): every data-sized row_number
+    window (the ADC rankings) must partition by query_id — the only
+    permissible unpartitioned window is the constant 21-row seed
+    prefix, which ranks by vec_id after a global limit — and the
+    codebook/LUT joins must broadcast."""
+    plan = _plan(spark, sf_dir, "embed_pq_adc_topk")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for ln in plan.splitlines():
+        if "row_number() windowspecdefinition(" in ln and "adc_dist" in ln:
+            assert "query_id" in ln, ln
+
+
+def test_ivfpq_probe_join_is_cell_equi(spark, sf_dir):
+    """embed_ivfpq_topk (r8 window): the inverted-list probe must be an
+    equi-join on the cell id (the join IS the probe — only probed
+    cells' vectors flow), with the centroid/codebook tables broadcast
+    and no cartesian."""
+    plan = _plan(spark, sf_dir, "embed_ivfpq_topk")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
