@@ -1,0 +1,56 @@
+"""The parity harness's oracle disk cache must be semantics-free: a
+cached multiset must equal the freshly-computed one bit for bit, the
+cache key must roll over when the oracle SQL changes, and disabling
+the cache must bypass it entirely.  DuckDB-only — no Spark session.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from .parity import _CACHE_DIR, _cache_enabled, oracle_multiset
+
+SF_DIR = "/root/testdata/sf0.001"
+SQL = (
+    "SELECT r_regionkey, COUNT(*) AS n FROM region GROUP BY 1"
+)
+
+
+def _cache_files(key: str) -> list[str]:
+    return glob.glob(os.path.join(_CACHE_DIR, f"{key}.*.pkl"))
+
+
+def test_cached_multiset_is_bitwise_equal_to_fresh(monkeypatch):
+    key = "_test_oracle_cache_demo"
+    for p in _cache_files(key):
+        os.remove(p)
+    fresh = oracle_multiset(SF_DIR, key, SQL)
+    assert _cache_files(key), "first call must populate the cache"
+    cached = oracle_multiset(SF_DIR, key, SQL)
+    assert fresh == cached
+    cols, n, ms = cached
+    assert cols == ["n", "r_regionkey"]
+    assert n == sum(ms.values()) == len(ms)
+    for p in _cache_files(key):
+        os.remove(p)
+
+
+def test_cache_key_rolls_over_when_sql_changes():
+    key = "_test_oracle_cache_roll"
+    for p in _cache_files(key):
+        os.remove(p)
+    oracle_multiset(SF_DIR, key, SQL)
+    oracle_multiset(SF_DIR, key, SQL + " HAVING COUNT(*) > 0")
+    assert len(_cache_files(key)) == 2, "distinct SQL must not share an entry"
+    for p in _cache_files(key):
+        os.remove(p)
+
+
+def test_cache_disabled_by_env_and_for_tmp_dirs(monkeypatch, tmp_path):
+    monkeypatch.setenv("BDT_ORACLE_CACHE", "0")
+    assert not _cache_enabled(SF_DIR)
+    monkeypatch.delenv("BDT_ORACLE_CACHE")
+    assert _cache_enabled(SF_DIR)
+    # tmp_path fixture dirs regenerate per run — never cached
+    assert not _cache_enabled(str(tmp_path))
