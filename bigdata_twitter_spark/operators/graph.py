@@ -672,6 +672,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lineage each round, so plan size stays constant and each
     # round is one small eager job (the standard Spark idiom for
     # iterative algorithms whose rounds branch).
+    #
+    # Checkpoint blocks are stored SERIALIZED with disk spill
+    # (MEMORY_AND_DISK; the localCheckpoint default is the
+    # DESERIALIZED level): deserialized InternalRows kept every
+    # round's edge set as heap objects until the async ContextCleaner
+    # caught up, and the ×30 probe OOM'd the 8 GB local JVM exactly
+    # that way (the Cleaner thread itself died allocating).
+    # Serialized blocks are ~5-10× smaller and evict to disk under
+    # pressure, so the heap profile is flat in the number of rounds;
+    # measured at ×30 edges: OOM → 64.6 s (DISK_ONLY ran 83.2 s —
+    # the serialized-memory tier wins when it fits).
     edges = persist_fresh(
         "kcore_edges", sf_dir, copurchase_edges(spark, sf_dir)
     )
@@ -689,7 +700,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst") == F.col("w"),
                 "left_semi",
             )
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
     return (
         edges.groupBy("src")
