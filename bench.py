@@ -62,8 +62,10 @@ HEADLINE_STREAMING = [
 # the builder's quiet-host best-of-5 read 17.8 s on byte-identical
 # code — a single sample on this noisy host measures hypervisor
 # weather, not the plan (VERDICT r7 "Next round" #3).  ``value_llm``
-# is the sum of per-query minima, comparable against prior single-run
-# values as a lower-bound estimator; the median is alongside.
+# is the sum of per-query minima — a DOWNWARD-BIASED estimator vs the
+# r4-r7 single-run values (ADVICE r8: part of any r7→r8 delta in
+# ``value_llm`` is methodology, not the plan).  Cross-round
+# comparisons from r8 on should use ``value_llm_median_of_3``.
 HEADLINE_LLM = [
     "sim_pairs_bucketed",
     "dedup_embedding",

@@ -732,8 +732,8 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_note=(
         "Pareto/ABC classes per group with ZERO float in the "
         "classification: value-descending rank + exact-cents "
-        "cumulative (the gini idiom — two-level range-bucket "
-        "cumulative past one-partition groups), class boundaries as "
+        "cumulative via the shared two-level path (distcum.py; the "
+        "per-group total is a groups-sized broadcast), class boundaries as "
         "cross-multiplied INTEGER comparisons (cum*100 <= total*80 "
         "— no 0.8 literal to round), then a classes-sized agg.  "
         "cum*100 stays inside BIGINT until ~9e16 total cents per "
@@ -743,7 +743,7 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B/C revenue classes per priority: orders covering the first
     80% / next 15% / tail of cumulative value, exact-integer cuts."""
-    from pyspark.sql import Window
+    from ..operators.distcum import two_level_cumulative
 
     o = load(spark, sf_dir, "orders")
     c = o.select(
@@ -751,17 +751,25 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    w_cum = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Value-descending exact-cents cumulative via the shared two-level
+    # path (distcum.py); the per-group total is a groups-sized agg
+    # broadcast back — no whole-group window partition anywhere.
+    cum = two_level_cumulative(
+        c,
+        order_by=[F.col("cents").desc(), F.col("o_orderkey")],
+        bucket_key="cents",
+        group_cols=["o_orderpriority"],
+        sum_cols=["cents"],
+        descending=True,
     )
-    w_tot = Window.partitionBy("o_orderpriority")
-    r = c.select(
+    totals = c.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("total")
+    )
+    r = cum.join(F.broadcast(totals), "o_orderpriority").select(
         "o_orderpriority",
         "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(w_tot).alias("total"),
+        F.col("cum_cents").alias("cum"),
+        "total",
     )
     k = r.select(
         "o_orderpriority",
@@ -815,9 +823,8 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tables=("orders",),
     scale_note=(
-        "5%-each-side trimmed mean per group: the gini/Lorenz rank "
-        "window (two-level range-bucket rank past one-partition "
-        "groups), trim boundaries as CROSS-MULTIPLIED integer "
+        "5%-each-side trimmed mean per group: the gini/Lorenz two-"
+        "level rank (distcum.py; per-group n broadcast back), trim boundaries as CROSS-MULTIPLIED integer "
         "comparisons (rank*20 > n / <= 19n — no 0.05 literal to "
         "round), exact-cents sum of the kept middle, ONE division "
         "per group."
@@ -826,7 +833,7 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5% two-sided trimmed mean of order values per priority —
     exact-integer trim cuts, one final division."""
-    from pyspark.sql import Window
+    from ..operators.distcum import two_level_cumulative
 
     o = load(spark, sf_dir, "orders")
     c = o.select(
@@ -834,13 +841,18 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    wr = Window.partitionBy("g").orderBy("cents", "o_orderkey")
-    wn = Window.partitionBy("g")
-    r = c.select(
-        "g",
-        "cents",
-        F.row_number().over(wr).alias("rnk"),
-        F.count("*").over(wn).cast("bigint").alias("n"),
+    # Rank via the shared two-level path (distcum.py); n via a groups-
+    # sized agg broadcast back — no whole-group window partition.
+    ranked = two_level_cumulative(
+        c,
+        order_by=["cents", "o_orderkey"],
+        bucket_key="cents",
+        group_cols=["g"],
+        rank_col="rnk",
+    )
+    n_tbl = c.groupBy("g").agg(F.count("*").cast("bigint").alias("n"))
+    r = ranked.join(F.broadcast(n_tbl), "g").select(
+        "g", "cents", "rnk", "n"
     )
     kept = r.where(
         (F.col("rnk") * 20 > F.col("n"))

@@ -1045,11 +1045,17 @@ def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("h"))
         )
+    # TakeOrdered-then-rank (the trending_decayed_topk /
+    # limit_topk_global contract, VERDICT r8 #3): orderBy().limit(K)
+    # compiles to TakeOrderedAndProject — per-partition top-K then a
+    # K-row driver merge — so the rank window only ever sees K rows,
+    # never a vertex-sized single partition.
     wa = Window.orderBy(F.col("a").desc(), F.col("p"))
     wh = Window.orderBy(F.col("h").desc(), F.col("c"))
     top_a = (
-        a.withColumn("rnk", F.row_number().over(wa).cast("int"))
-        .filter(F.col("rnk") <= HITS_TOPK)
+        a.orderBy(F.col("a").desc(), F.col("p"))
+        .limit(HITS_TOPK)
+        .withColumn("rnk", F.row_number().over(wa).cast("int"))
         .select(
             F.lit("authority").alias("side"),
             F.col("p").alias("vertex"),
@@ -1058,8 +1064,9 @@ def graph_hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top_h = (
-        h.withColumn("rnk", F.row_number().over(wh).cast("int"))
-        .filter(F.col("rnk") <= HITS_TOPK)
+        h.orderBy(F.col("h").desc(), F.col("c"))
+        .limit(HITS_TOPK)
+        .withColumn("rnk", F.row_number().over(wh).cast("int"))
         .select(
             F.lit("hub").alias("side"),
             F.col("c").alias("vertex"),

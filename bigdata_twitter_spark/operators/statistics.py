@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..numerics import dec, wide_dbl, wide_dbl_sql
 from ..registry import query
 from ..tables import load
+from .distcum import two_level_cumulative
 
 
 _Q = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -1788,10 +1789,10 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tables=("orders",),
     scale_note=(
-        "Lorenz/Gini inequality per group: one value-ordered rank "
-        "window per group (the stratified-draw idiom; two-level "
-        "range-bucket rank is the declared path past one-partition "
-        "groups), then a two-phase agg whose rank-weighted sum "
+        "Lorenz/Gini inequality per group: the value-ordered rank IS "
+        "the two-level range-partition path (distcum.py — local "
+        "row_number per range partition + broadcast offsets; no "
+        "one-partition groups), then a two-phase agg whose rank-weighted sum "
         "accumulates in DECIMAL(38,0)/HUGEINT — exact past the "
         "~2^63 cents·rank product a ×100 corpus reaches — and G is "
         "one identical IEEE expression per group.  Ties rank by "
@@ -1803,18 +1804,18 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order-value inequality per priority, from
     exact cent-scaled rank-weighted sums."""
-    from pyspark.sql import Window
-
     o = load(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice") * 100).cast("bigint")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        cents, F.col("o_orderkey")
-    )
-    r = o.select(
-        "o_orderpriority",
-        cents.alias("cents"),
-        F.row_number().over(w).alias("i"),
-    )
+    # Per-group rank via the shared two-level path (range partitions +
+    # local row_number + broadcast offsets) — a ~5-value group key must
+    # never become a window partition holding 20% of the table.
+    r = two_level_cumulative(
+        o.select("o_orderpriority", cents.alias("cents"), "o_orderkey"),
+        order_by=["cents", "o_orderkey"],
+        bucket_key="cents",
+        group_cols=["o_orderpriority"],
+        rank_col="i",
+    ).select("o_orderpriority", "cents", "i")
     g = r.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("sx"),
@@ -1902,10 +1903,10 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_note=(
         "Mann-Whitney rank-sum via average ranks on the DISTINCT-"
         "value table (price-domain-sized, not corpus-sized): one "
-        "two-phase agg to (cents -> c, c1), one cumulative window "
-        "over sorted distinct cents (exact BIGINT sums; two-level "
-        "range-bucket cumulative is the declared path past the "
-        "domain regime), then a single-row reduce.  2*R1 stays "
+        "two-phase agg to (cents -> c, c1), one TWO-LEVEL cumulative "
+        "over sorted distinct cents (distcum.py: range partitions + "
+        "local running sums + broadcast offsets — exact BIGINT, no "
+        "unpartitioned window at any size), then a single-row reduce.  2*R1 stays "
         "integer (avg ranks have denominator 2) and accumulates in "
         "HUGEINT/DECIMAL(38,0) - exact past the ~2^63 a x100 corpus "
         "rank-sum reaches; z is one identical IEEE expression."
@@ -1925,10 +1926,12 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("c"),
         F.sum("g1").cast("bigint").alias("c1"),
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.withColumn(
-        "cb", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
-    )
+    # Exclusive cumulative over sorted distinct cents, two-level
+    # (distcum.py): exact even when the distinct-value table outgrows
+    # the price-domain regime — no unpartitioned WindowExec.
+    r = two_level_cumulative(
+        v, order_by=["cents"], bucket_key="cents", sum_cols=["c"]
+    ).withColumn("cb", (F.col("cum_c") - F.col("c")).cast("bigint"))
     s = r.agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).cast("bigint").alias("n2"),
@@ -2005,9 +2008,9 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Kolmogorov-Smirnov D as an exact integer: the max of "
         "|F1*n2 - F2*n1| over the distinct-value table (price-"
         "domain-sized), cross-multiplied so no float enters until "
-        "the final division.  Cumulative counts are BIGINT window "
-        "sums over sorted distinct cents (two-level range-bucket "
-        "cumulative past the domain regime); the 1-row totals side "
+        "the final division.  Cumulative counts are BIGINT two-level "
+        "running sums over sorted distinct cents (distcum.py — no "
+        "unpartitioned window at any size); the 1-row totals side "
         "is a broadcast.  d_num <= n1*n2 bounds the integer width; "
         "a x100 corpus crosses 2^63 only past ~3e9 rows per side - "
         "the DECIMAL(38,0) upgrade is a one-line swap and the note "
@@ -2031,13 +2034,14 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("bigint").alias("c1"),
         (F.count("*") - F.sum("g1")).cast("bigint").alias("c2"),
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = v.select(
+    # Inclusive ECDF numerators via the shared two-level cumulative
+    # (distcum.py) — no unpartitioned WindowExec over the value table.
+    r = two_level_cumulative(
+        v, order_by=["cents"], bucket_key="cents", sum_cols=["c1", "c2"]
+    ).select(
         "cents",
-        F.sum("c1").over(w).cast("bigint").alias("f1"),
-        F.sum("c2").over(w).cast("bigint").alias("f2"),
+        F.col("cum_c1").cast("bigint").alias("f1"),
+        F.col("cum_c2").cast("bigint").alias("f2"),
     )
     t = v.agg(
         F.sum("c1").cast("bigint").alias("n1"),
@@ -2524,7 +2528,8 @@ def _limb_dbl(c: "F.Column") -> "F.Column":
         "Spearman = Pearson on average ranks, ties exact because "
         "2*avg-rank is an INTEGER (the Mann-Whitney rank machinery "
         "per group per variable: domain-sized distinct tables, "
-        "cumulative BIGINT windows, rank join-back by value key).  "
+        "two-level BIGINT cumulatives via distcum.py, rank join-back "
+        "by value key).  "
         "The three wide rank-moments accumulate in HUGEINT/"
         "DECIMAL(38,0) and reach doubles via the TWO-LIMB split "
         "(hi*2^32 + lo — every step integer-exact, identical IEEE "
@@ -2545,19 +2550,24 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ranks(col: str, out: str) -> DataFrame:
+        # Doubled average ranks from an exclusive per-group cumulative
+        # over the distinct-value table — two-level (distcum.py), so a
+        # 3-value group key never becomes one window partition.
         counts = x.groupBy("g", col).agg(
             F.count("*").cast("bigint").alias("c")
         )
-        w = (
-            Window.partitionBy("g")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
+        cum = two_level_cumulative(
+            counts,
+            order_by=[col],
+            bucket_key=col,
+            group_cols=["g"],
+            sum_cols=["c"],
         )
-        return counts.select(
+        return cum.select(
             "g",
             col,
             (
-                2 * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("bigint")
+                2 * (F.col("cum_c") - F.col("c")).cast("bigint")
                 + F.col("c")
                 + 1
             ).alias(out),
@@ -2640,9 +2650,9 @@ HILL_K = 100  # top-k order statistics per group
     tables=("orders",),
     scale_note=(
         "Hill estimator over top-k order statistics per group: the "
-        "top-100 cut is a per-group rank window (TakeOrdered-class "
-        "work; two-level range-bucket rank past one-partition "
-        "groups), the k-th value joins back group-keyed "
+        "top-100 cut is the two-level rank (distcum.py) with the "
+        "local-rank<=K partition prune — TakeOrdered-class work, "
+        "no one-partition groups), the k-th value joins back group-keyed "
         "(groups-sized broadcast), and the 99 log-excess terms are "
         "8dp-rounded then folded in rank order — constant reduce "
         "work per key at any corpus size.  alpha = (k-1)/Sigma "
@@ -2658,11 +2668,18 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    w = Window.partitionBy("g").orderBy(
-        F.col("cents").desc(), F.col("o_orderkey")
-    )
-    r = c.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= HILL_K
+    # Per-group top-K via the two-level rank (distcum.py): rank_limit
+    # prunes to local-rank<=K inside each range partition BEFORE the
+    # offset join, so the reduce side sees at most width*K*groups rows
+    # — never a whole group in one window partition.
+    r = two_level_cumulative(
+        c,
+        order_by=[F.col("cents").desc(), F.col("o_orderkey")],
+        bucket_key="cents",
+        group_cols=["g"],
+        rank_col="rnk",
+        rank_limit=HILL_K,
+        descending=True,
     )
     kth = r.where(F.col("rnk") == HILL_K).select(
         "g", F.col("cents").alias("x_k")
@@ -2759,8 +2776,8 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("orders",),
     scale_note=(
         "Lorenz curve deciles: the gini key's value-ascending rank "
-        "window (two-level range-bucket rank past one-partition "
-        "groups), decile boundaries as CROSS-MULTIPLIED integer "
+        "via the shared two-level path (distcum.py; per-group n is "
+        "a groups-sized broadcast, not a whole-group window), decile boundaries as CROSS-MULTIPLIED integer "
         "comparisons (rank*10 <= n*d — no 0.1 literal), a 10-rows-"
         "per-group agg, and a deciles-sized cumulative; the single "
         "float is the final share division of exact cents."
@@ -2775,13 +2792,19 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    wr = Window.partitionBy("g").orderBy("cents", "o_orderkey")
-    wn = Window.partitionBy("g")
-    r = c.select(
-        "g",
-        "cents",
-        F.row_number().over(wr).alias("rnk"),
-        F.count("*").over(wn).cast("bigint").alias("n"),
+    # Rank via the shared two-level path; per-group n via a groups-
+    # sized agg broadcast back (replaces the whole-group COUNT window,
+    # which was itself a data-sized single partition per group).
+    ranked = two_level_cumulative(
+        c,
+        order_by=["cents", "o_orderkey"],
+        bucket_key="cents",
+        group_cols=["g"],
+        rank_col="rnk",
+    )
+    n_tbl = c.groupBy("g").agg(F.count("*").cast("bigint").alias("n"))
+    r = ranked.join(F.broadcast(n_tbl), "g").select(
+        "g", "cents", "rnk", "n"
     )
     dec_col = F.lit(10)
     for d in range(9, 0, -1):

@@ -33,20 +33,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The driver evaluates exactly the first 50 ``queries()`` keys per
 # round (every round so far cut at key #50 in registration order).
 #
-# == Certification plan (VERDICT r7 "Next round" #1/#2) ============
+# == Certification plan (VERDICT r7 #1/#2, continued r8 #1/#6) =====
 # The registry is FROZEN at 307 keys until the never-checked backlog
-# drains.  After round 7, 92 keys had no driver row yet (all round-7
-# additions, all local-parity hash_pass in PARITY_r07.json) and 16
-# keys carried r3-latest rows.  The drain schedule, so no key
-# silently ages out:
+# drains.  After round 8, 42 keys still have no driver row (all
+# local-parity hash_pass in PARITY_r08.json) and 16 keys carried
+# r3-latest rows (8 refreshed in r9, 8 scheduled r10).  The drain
+# schedule, so no key silently ages out:
 #
-#   r8 window (this tuple, 50 keys): the highest-traffic 50 of the 92
-#     never-checked — TPC-H-shaped aggs, quantized-ANN chain, image
-#     pHash/dedup + LSH recall gate, the stream trio, the full
-#     statistics wave, graph metrics, image/audio features, CDC +
-#     lakehouse scan/table keys.
+#   r8 window (DONE — CORRECTNESS_r08.json 50/50 pass): the
+#     highest-traffic 50 of the 92 never-checked — TPC-H-shaped aggs,
+#     quantized-ANN chain, image pHash/dedup + LSH recall gate, the
+#     stream trio, the full statistics wave, graph metrics,
+#     image/audio features, CDC + lakehouse scan/table keys.
 #
-#   r9 window (50 keys): the remaining 42 never-checked —
+#   r9 window (_R9_WINDOW below): the remaining 42 never-checked —
 #     embed_mmr_diverse, embed_centroid_confusion,
 #     embed_silhouette_centroid, embed_contamination_eval,
 #     train_curriculum_schedule, train_packing_efficiency,
@@ -68,50 +68,81 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     sample_hash_stratified, sample_exact_k_stratified,
 #     agg_mode_per_group).
 #
-#   r10 window: the remaining 8 r3-stale keys (trending_topk_terms,
+#   r10 window (_R10_WINDOW below, pre-staged per VERDICT r8 #6): the
+#     remaining 8 r3-stale keys (trending_topk_terms,
 #     tweet_hashtag_topk, win_session_paths, win_streak_longest,
 #     ts_ewma, ts_downsample_ohlc, text_bigram_familiarity,
-#     text_scrub_denylist), then oldest-r4 keys to fill 50.
+#     text_scrub_denylist), then the 42 oldest-r4 keys to fill 50.
 #
 # After r10: every key's latest driver row is r4+ and the
 # never-checked backlog is 0; normal freshness rotation resumes.
 # ==================================================================
-_R8_WINDOW = (
-    # -- TPC-H-shaped join/agg composites --
-    "agg_q5_local_supplier", "agg_q7_nation_volume",
-    "agg_q10_returned_topk", "agg_q18_large_orders",
-    # -- quantized-ANN chain --
-    "embed_pq_adc_topk", "embed_ivfpq_topk", "embed_binary_quantize",
-    # -- image dedup + LSH recall gate --
-    "dedup_image_phash", "dedup_lsh_recall_eval",
-    # -- stream trio --
-    "stream_backfill_union", "stream_quarantine_split",
-    "stream_distinct_users_window",
-    # -- statistics wave (operators/statistics.py round-7 additions) --
-    "agg_spearman_rank_corr", "agg_welch_ttest", "agg_mann_whitney_u",
-    "agg_ks_two_sample", "agg_chi2_independence",
-    "agg_gini_coefficient", "agg_lorenz_curve", "agg_hill_tail_index",
-    "agg_hhi_concentration", "agg_runs_test", "agg_covariance_matrix",
-    "ab_test_proportions", "ts_mann_kendall", "ts_theil_sen",
-    "ts_holt_winters", "ts_cross_correlation", "ts_survival_km",
-    "ts_anova_hour_of_day",
-    # -- graph metrics wave --
-    "graph_label_propagation", "graph_kcore_peel",
-    "graph_jaccard_neighbors", "graph_random_walk_deterministic",
-    "graph_hits_topk", "graph_assoc_rules_lift",
-    "graph_clustering_coeff", "graph_powerlaw_slope",
-    "graph_modularity_eval",
-    # -- image/audio feature keys --
-    "multimodal_image_phash", "multimodal_image_histogram",
-    "multimodal_image_tiles", "multimodal_audio_vad",
-    "multimodal_audio_zcr",
-    # -- CDC + lakehouse scan/table keys --
-    "cdc_debezium_apply", "scan_bloom_pruned",
-    "scan_partition_evolution", "table_analyze_stats",
-    "table_restore_version", "table_schema_evolution_versioned",
+_R9_WINDOW = (
+    # -- the 42 keys that have never had a driver CORRECTNESS row --
+    # embedding quality/eval keys
+    "embed_mmr_diverse", "embed_centroid_confusion",
+    "embed_silhouette_centroid", "embed_contamination_eval",
+    # train-prep long tail
+    "train_curriculum_schedule", "train_packing_efficiency",
+    "train_dataset_card",
+    # joins / aggregates long tail
+    "join_fuzzy_levenshtein", "agg_share_of_parent",
+    "agg_abc_classification", "agg_trimmed_mean",
+    "win_running_distinct", "sort_range_boundaries",
+    "agg_skyline_pareto",
+    # timeseries finance/behavioral wave (round-7 additions)
+    "ts_burst_hysteresis", "ts_rolling_median",
+    "ts_attribution_last_touch", "ts_sequence_regex_match",
+    "ts_markov_transitions", "trending_decayed_topk",
+    "ts_anomaly_mad", "ts_weighted_moving_avg", "ts_bollinger_bands",
+    "ts_rsi_wilder", "ts_drawdown_max", "ts_entropy_daily",
+    "ts_rolling_correlation", "ts_bounce_rate_daily",
+    "ts_new_vs_returning_daily", "ts_cohort_ltv", "ts_dow_hod_heatmap",
+    # text-analysis long tail
+    "text_lang_id_eval", "text_vocab_growth",
+    "text_readability_flesch", "text_zipf_fit",
+    "text_burstiness_dispersion", "text_js_divergence_langs",
+    # sampling / profiling long tail
+    "sample_stratified_neyman", "sample_balanced_classes",
+    "agg_gini_impurity", "agg_benford_digits", "agg_tukey_fences",
+    # -- the first 8 of the 16 r3-stale keys (freshness refresh) --
+    "fn_json", "fn_struct", "text_tf_idf", "inverted_index",
+    "profile_table", "sample_hash_stratified",
+    "sample_exact_k_stratified", "agg_mode_per_group",
 )
 
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+
+# Pre-staged r10 window (VERDICT r8 "Next round" #6): the remaining 8
+# r3-stale keys, then the 42 oldest-r4 keys to fill 50.  After r10
+# every key's latest driver row is r4+ — from r11 on, normal
+# oldest-first freshness rotation resumes.
+_R10_WINDOW = (
+    # -- remaining 8 r3-stale keys --
+    "trending_topk_terms", "tweet_hashtag_topk", "win_session_paths",
+    "win_streak_longest", "ts_ewma", "ts_downsample_ohlc",
+    "text_bigram_familiarity", "text_scrub_denylist",
+    # -- 42 oldest-r4 keys (registration-order) --
+    "agg_global", "agg_count_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "agg_pivot",
+    "agg_unpivot_melt", "agg_argmax_minby", "agg_q3_shipping",
+    "project_select", "filter_predicate", "filter_in_between_null",
+    "filter_regex", "distinct_rows",
+    "join_inner_equi", "join_outer_left", "join_outer_full",
+    "join_semi", "join_anti", "join_cross", "join_theta_range",
+    "join_interval_time", "join_asof_tolerance",
+    "set_union_all", "set_union_distinct",
+    "cdc_snapshot_diff", "scan_orc",
+    "pack_token_budget", "text_contamination_overlap",
+    "text_boilerplate_ngrams", "text_pii_scrub",
+    "sample_negative_pairs", "cluster_kmeans_lloyd",
+    "dedup_semantic_cluster", "text_gopher_quality",
+    "text_repetition_stats", "text_perplexity_unigram",
+    "dedup_incremental_snapshot", "knn_graph_topk", "embed_dim_stats",
+)
+
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+assert not set(_R9_WINDOW) & set(_R10_WINDOW)
 
 def query(
     name: str,
@@ -140,10 +171,11 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R8_WINDOW``
-    tuple below defines the check-order prefix the driver evaluates
-    (the harness checks the first 50 ``queries()`` keys per round).
-    Keys outside the window follow in registration order.
+    Imports only POPULATE the registry; the explicit ``_R9_WINDOW``
+    tuple above defines the check-order prefix the driver evaluates
+    (the harness checks the first 50 ``queries()`` keys per round),
+    with the pre-staged ``_R10_WINDOW`` queued directly behind it.
+    Keys outside both windows follow in registration order.
     """
     from .operators import windows  # noqa: F401
     from .operators import sort_limit  # noqa: F401
@@ -209,16 +241,19 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key round-5 window first, then
-    # every remaining key in registration order.
-    missing = [k for k in _R8_WINDOW if k not in REGISTRY]
+    # Final check order: the explicit 50-key r9 window first (what the
+    # driver certifies this round), the pre-staged r10 window second,
+    # then every remaining key in registration order.
+    missing = [
+        k for k in (*_R9_WINDOW, *_R10_WINDOW) if k not in REGISTRY
+    ]
     if missing:
         raise RuntimeError(
-            f"_R8_WINDOW names unregistered operator keys: {missing}; "
+            f"window names unregistered operator keys: {missing}; "
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in _R8_WINDOW:
+    for key in (*_R9_WINDOW, *_R10_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

@@ -41,10 +41,23 @@ _CACHE_DIR = os.path.join(
 )
 
 
+def _stable_fixture_root() -> str:
+    """Root under which fixtures are immutable (⇒ cacheable).
+
+    Derived from SPARK_GRAFT_TEST_SF_DIR's parent when set (ADVICE r8:
+    a hardcoded /root/testdata/ silently disabled the cache on any
+    other fixture root), defaulting to the driver's testdata tree.
+    """
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    if sf:
+        return os.path.dirname(os.path.realpath(sf.rstrip("/"))) + "/"
+    return "/root/testdata/"
+
+
 def _cache_enabled(sf_dir: str) -> bool:
     if os.environ.get("BDT_ORACLE_CACHE", "1") == "0":
         return False
-    return os.path.realpath(sf_dir).startswith("/root/testdata/")
+    return os.path.realpath(sf_dir).startswith(_stable_fixture_root())
 
 
 def _fixture_sig(sf_dir: str) -> str:
@@ -59,12 +72,28 @@ def _fixture_sig(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _norm_version() -> str:
+    """Fingerprint of the normalization code baked into cached values.
+
+    Cached entries embed the behavior of :func:`norm_cell` /
+    :func:`to_multiset` at write time (ADVICE r8): if either changes,
+    a stale entry would compare fresh-normalized Spark output against
+    stale-normalized oracle multisets.  Hashing their source into the
+    cache key rolls the cache over automatically on any edit.
+    """
+    import inspect
+
+    return hashlib.md5(
+        (inspect.getsource(norm_cell) + inspect.getsource(to_multiset)).encode()
+    ).hexdigest()
+
+
 def oracle_multiset(sf_dir: str, key: str, sql: str):
     """Oracle result as ``(sorted_cols, n_rows, Counter)``, disk-cached."""
     cache_path = None
     if _cache_enabled(sf_dir):
         h = hashlib.md5(
-            f"{key}\x00{sql}\x00{_fixture_sig(sf_dir)}".encode()
+            f"{key}\x00{sql}\x00{_fixture_sig(sf_dir)}\x00{_norm_version()}".encode()
         ).hexdigest()
         cache_path = os.path.join(_CACHE_DIR, f"{key}.{h}.pkl")
         if os.path.exists(cache_path):
@@ -75,6 +104,17 @@ def oracle_multiset(sf_dir: str, key: str, sql: str):
     result = (sorted(pdf.columns), len(pdf), to_multiset(pdf))
     if cache_path is not None:
         os.makedirs(_CACHE_DIR, exist_ok=True)
+        # One entry per key: evict siblings from older SQL/fixture/
+        # normalization revisions so the cache dir stays bounded
+        # (ADVICE r8).
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(_CACHE_DIR, f"{key}.*.pkl")):
+            if stale != cache_path:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass  # concurrent sweep already removed it
         tmp = f"{cache_path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:
             pickle.dump(result, fh)

@@ -37,12 +37,41 @@ def test_cached_multiset_is_bitwise_equal_to_fresh(monkeypatch):
 
 
 def test_cache_key_rolls_over_when_sql_changes():
+    # Distinct SQL must not reuse the old entry, AND the old entry is
+    # evicted on write so the dir holds exactly one file per key
+    # (ADVICE r8: unbounded growth across rounds).
     key = "_test_oracle_cache_roll"
     for p in _cache_files(key):
         os.remove(p)
     oracle_multiset(SF_DIR, key, SQL)
-    oracle_multiset(SF_DIR, key, SQL + " HAVING COUNT(*) > 0")
-    assert len(_cache_files(key)) == 2, "distinct SQL must not share an entry"
+    first = _cache_files(key)
+    assert len(first) == 1
+    sql2 = SQL + " HAVING COUNT(*) > 0"
+    fresh2 = oracle_multiset(SF_DIR, key, sql2)
+    second = _cache_files(key)
+    assert len(second) == 1, "stale sibling entries must be evicted"
+    assert second != first, "distinct SQL must not share an entry"
+    assert oracle_multiset(SF_DIR, key, sql2) == fresh2
+    for p in _cache_files(key):
+        os.remove(p)
+
+
+def test_cache_key_rolls_over_when_normalization_changes(monkeypatch):
+    # ADVICE r8: cached values embed norm_cell/to_multiset behavior —
+    # editing either must roll the cache key over automatically.
+    from . import parity
+
+    key = "_test_oracle_cache_normroll"
+    for p in _cache_files(key):
+        os.remove(p)
+    oracle_multiset(SF_DIR, key, SQL)
+    first = _cache_files(key)
+    monkeypatch.setattr(
+        parity, "_norm_version", lambda: "simulated-new-normalization"
+    )
+    oracle_multiset(SF_DIR, key, SQL)
+    second = _cache_files(key)
+    assert second != first, "normalization change must invalidate the entry"
     for p in _cache_files(key):
         os.remove(p)
 

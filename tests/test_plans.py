@@ -509,3 +509,66 @@ def test_ivfpq_probe_join_is_cell_equi(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embed_ivfpq_topk")
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---- shared two-level cumulative (distcum.py, VERDICT r8 #2) ---------
+
+RANK_STAT_KEYS = [
+    "agg_gini_coefficient",
+    "agg_lorenz_curve",
+    "agg_hill_tail_index",
+    "agg_spearman_rank_corr",
+    "agg_mann_whitney_u",
+    "agg_ks_two_sample",
+    "agg_abc_classification",
+    "agg_trimmed_mean",
+]
+
+
+def test_rank_stats_have_no_data_sized_window_partitions(spark, sf_dir):
+    """The 8 rank-statistics keys must run their ordered cumulatives
+    through the shared two-level bucket path: every data-sized Window
+    node partitions by the __tlc_b bucket; unpartitioned (or
+    group-only) windows may exist ONLY over metadata-sized inputs —
+    the NB x groups offsets table (recognizable by __tlc_cnt /
+    __tlc_tot columns) or the 10-rows-per-group Lorenz decile curve
+    (decile_cents)."""
+    for key in RANK_STAT_KEYS:
+        plan = _plan(spark, sf_dir, key)
+        windows = [
+            ln
+            for ln in plan.splitlines()
+            if "windowspecdefinition(" in ln
+        ]
+        assert windows, (key, plan)
+        for ln in windows:
+            bucketed = "__tlc_b" in ln.split("windowspecdefinition(")[1]
+            offsets_side = "__tlc_cnt" in ln or "__tlc_tot" in ln
+            lorenz_curve = "decile_cents" in ln
+            assert bucketed or offsets_side or lorenz_curve, (key, ln)
+
+
+def test_hill_topk_prune_reaches_window_group_limit(spark, sf_dir):
+    """agg_hill_tail_index's rank_limit must surface as a
+    WindowGroupLimit (partial + final) so the top-100 cut prunes
+    map-side BEFORE the bucket shuffle, not after the full rank."""
+    plan = _plan(spark, sf_dir, "agg_hill_tail_index")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_hits_topk_cut_is_take_ordered_before_rank(spark, sf_dir):
+    """graph_hits_topk (VERDICT r8 #3): both top-20 cuts must be
+    orderBy().limit(K) -> TakeOrderedAndProject BEFORE the rank
+    window, so the unpartitioned row_number only ever sees K rows,
+    never the vertex-aggregate tables."""
+    plan = _plan(spark, sf_dir, "graph_hits_topk")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_join_skew_profile_cut_is_take_ordered_before_rank(spark, sf_dir):
+    """profile_join_skew (VERDICT r8 #4): the top-10 heavy-hitter cut
+    must be TakeOrderedAndProject before the rank window — key
+    cardinality is user-sized at 100 TB."""
+    plan = _plan(spark, sf_dir, "profile_join_skew")
+    assert "TakeOrderedAndProject" in plan, plan
