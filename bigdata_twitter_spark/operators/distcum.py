@@ -58,6 +58,7 @@ def two_level_cumulative(
     bucket_key: str,
     group_cols: Sequence[str] = (),
     sum_cols: Sequence[str] = (),
+    prevmax_cols: Sequence[str] = (),
     rank_col: str | None = None,
     rank_limit: int | None = None,
     descending: bool = False,
@@ -71,9 +72,12 @@ def two_level_cumulative(
     ``order_by`` descends in it (buckets are then cumulated high→low).
 
     Returns ``df``'s columns plus ``rank_col`` (1-based row_number
-    along ``order_by`` within each ``group_cols`` group, or globally)
-    and ``cum_<c>`` (inclusive running sum) for each ``c`` in
-    ``sum_cols``.
+    along ``order_by`` within each ``group_cols`` group, or globally),
+    ``cum_<c>`` (inclusive running sum) for each ``c`` in
+    ``sum_cols``, and ``prevmax_<c>`` (running max over STRICTLY
+    preceding rows; NULL on the first row — max is subtraction-free,
+    so the exclusive form is provided directly) for each ``c`` in
+    ``prevmax_cols`` (the skyline sort-sweep shape).
 
     ``rank_limit=K`` keeps only rows whose rank ≤ K *and* prunes them
     BEFORE the offset join: a global top-K row necessarily has local
@@ -111,9 +115,12 @@ def two_level_cumulative(
     # Level 1: local rank / running sums inside each (bucket, group).
     w_local = Window.partitionBy(_B, *gcols).orderBy(*order_exprs)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w_local.rowsBetween(Window.unboundedPreceding, -1)
     local = bucketed.withColumn(_LRN, F.row_number().over(w_local))
     for c in sum_cols:
         local = local.withColumn(f"__tlc_ls_{c}", F.sum(c).over(w_run))
+    for c in prevmax_cols:
+        local = local.withColumn(f"__tlc_lp_{c}", F.max(c).over(w_prev))
 
     # Level 2: per-(bucket, group) totals — NB × groups rows — and
     # their exclusive cumulative along the bucket axis.  Anchored on
@@ -122,12 +129,18 @@ def two_level_cumulative(
     sizes = local.groupBy(_B, *gcols).agg(
         F.max(_LRN).alias("__tlc_cnt"),
         *[F.sum(c).alias(f"__tlc_tot_{c}") for c in sum_cols],
+        *[F.max(c).alias(f"__tlc_bm_{c}") for c in prevmax_cols],
     )
     b_order = F.col(_B).desc() if descending else F.col(_B)
     w_off = (
         Window.partitionBy(*gcols)
         .orderBy(b_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_off_prev = (
+        Window.partitionBy(*gcols)
+        .orderBy(b_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = sizes.select(
         _B,
@@ -141,6 +154,10 @@ def two_level_cumulative(
             ).alias(f"__tlc_off_{c}")
             for c in sum_cols
         ],
+        *[
+            F.max(f"__tlc_bm_{c}").over(w_off_prev).alias(f"__tlc_pm_{c}")
+            for c in prevmax_cols
+        ],
     )
 
     if rank_limit is not None:
@@ -153,6 +170,14 @@ def two_level_cumulative(
     out_cols.extend(
         (F.col(f"__tlc_off_{c}") + F.col(f"__tlc_ls_{c}")).alias(f"cum_{c}")
         for c in sum_cols
+    )
+    # greatest() ignores NULLs, so the first row of the first non-empty
+    # bucket correctly yields NULL (no strictly-preceding row exists).
+    out_cols.extend(
+        F.greatest(F.col(f"__tlc_pm_{c}"), F.col(f"__tlc_lp_{c}")).alias(
+            f"prevmax_{c}"
+        )
+        for c in prevmax_cols
     )
     out = joined.select(*out_cols)
     if rank_limit is not None:

@@ -135,22 +135,30 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full table's per-bucket histogram (the balance audit)."""
     from pyspark.sql import Window
 
+    from .distcum import two_level_cumulative
+
     o = load(spark, sf_dir, "orders")
-    s = (
-        o.select(
-            "o_totalprice",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.md5(F.col("o_orderkey").cast("string")),
-                    F.col("o_orderkey"),
-                )
-            )
-            .alias("rn"),
-        )
-        .filter(F.col("rn") <= RANGE_SAMPLE)
-        .select("o_totalprice")
+    # md5-rank the table on the two-level path (round-9 window audit:
+    # the naive rank window got NO WindowGroupLimit — RANGE_SAMPLE
+    # exceeds Spark's 1000-row rewrite threshold — so the whole table
+    # sorted in one partition).  Bucket on the first-8-hex-digit
+    # numeric prefix: monotone in the md5 string, so the bucket cut
+    # preserves the sample order; rank_limit prunes each bucket to
+    # its local top-1600 before the offset join.
+    hashed = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    ).withColumn(
+        "hb", F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")
     )
+    s = two_level_cumulative(
+        hashed,
+        order_by=["h", "o_orderkey"],
+        bucket_key="hb",
+        rank_col="rn",
+        rank_limit=RANGE_SAMPLE,
+    ).select("o_totalprice")
     ranked = s.select(
         "o_totalprice",
         F.row_number().over(Window.orderBy("o_totalprice")).alias("sr"),
@@ -230,7 +238,7 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto front of parts under (min retail price, max size), via a
     domain-sized sort-sweep + semi-join back to rows."""
-    from pyspark.sql import Window
+    from .distcum import two_level_cumulative
 
     p = load(spark, sf_dir, "part")
     cents = F.floor(F.col("p_retailprice") * 100).cast("bigint")
@@ -243,13 +251,19 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # price level -> best size at that level (same-price domination)
     lvl = rows.groupBy("price_cents").agg(F.max("p_size").alias("ms"))
-    w = Window.orderBy("price_cents").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # Running max over strictly-cheaper levels via the shared
+    # two-level path (distcum.py) — the distinct-price table is
+    # domain-sized today but grows with the price domain at real
+    # scale; no unpartitioned window at any size.
     front_lvls = (
-        lvl.withColumn("prev_best", F.max("ms").over(w))
+        two_level_cumulative(
+            lvl,
+            order_by=["price_cents"],
+            bucket_key="price_cents",
+            prevmax_cols=["ms"],
+        )
         .where(
-            F.col("prev_best").isNull() | (F.col("ms") > F.col("prev_best"))
+            F.col("prevmax_ms").isNull() | (F.col("ms") > F.col("prevmax_ms"))
         )
         .select("price_cents", F.col("ms").alias("p_size"))
     )
