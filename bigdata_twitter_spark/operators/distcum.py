@@ -67,7 +67,14 @@ def two_level_cumulative(
     """Add a distributed rank and/or inclusive running sums to ``df``.
 
     ``order_by`` must be a total order within each group (include a
-    tie-break key) when ``rank_col`` is requested.  ``bucket_key`` is
+    tie-break key) whenever ``rank_col``, ``sum_cols`` OR
+    ``prevmax_cols`` is requested — not just for ranks: an inclusive
+    ``F.sum().over(rowsBetween)`` running sum and a strictly-preceding
+    running max are both per-row order-dependent, so ties in
+    ``order_by`` make their per-row values depend on the
+    nondeterministic physical order Spark happens to evaluate tied
+    rows in.  (Per-GROUP totals would still be right; the row-level
+    cumulatives would not be reproducible.)  ``bucket_key`` is
     the numeric column leading that order; ``descending=True`` when
     ``order_by`` descends in it (buckets are then cumulated high→low).
 

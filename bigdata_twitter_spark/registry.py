@@ -68,14 +68,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     sample_hash_stratified, sample_exact_k_stratified,
 #     agg_mode_per_group).
 #
-#   r10 window (_R10_WINDOW below, pre-staged per VERDICT r8 #6): the
-#     remaining 8 r3-stale keys (trending_topk_terms,
+#   r10 window (_R10_WINDOW below — ACTIVE this round, first in the
+#     check order): the remaining 8 r3-stale keys (trending_topk_terms,
 #     tweet_hashtag_topk, win_session_paths, win_streak_longest,
 #     ts_ewma, ts_downsample_ohlc, text_bigram_familiarity,
 #     text_scrub_denylist), then the 42 oldest-r4 keys to fill 50.
 #
+#   r11 window (_R11_WINDOW below, pre-staged per VERDICT r9 #5):
+#     normal oldest-first freshness rotation — the 7 remaining
+#     r4-vintage keys, then the 43 oldest r5-vintage keys (load
+#     order within a vintage).  Computed from the latest driver row
+#     per key across CORRECTNESS_r01–r09 + the r10 window.
+#
 # After r10: every key's latest driver row is r4+ and the
-# never-checked backlog is 0; normal freshness rotation resumes.
+# never-checked backlog is 0.  After r11: every row is r5+.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --
@@ -144,6 +150,39 @@ _R10_WINDOW = (
 assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
 assert not set(_R9_WINDOW) & set(_R10_WINDOW)
 
+# Pre-staged r11 window (VERDICT r9 "Next round" #5): oldest-first
+# freshness rotation.  7 keys whose latest driver row is r4, then the
+# 43 oldest r5-vintage keys; derived from CORRECTNESS_r01–r09.
+_R11_WINDOW = (
+    # -- latest driver row r4 --
+    "embed_matryoshka_truncate", "graph_triangle_count",
+    "train_shuffle_shard", "data_mixture_sample", "ann_recall_eval",
+    "table_time_travel", "train_pipeline_e2e",
+    # -- latest driver row r5 (load order) --
+    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
+    "win_range_frame", "win_ntile_pctrank_dist",
+    "ts_seasonal_decompose", "agg_kmv_distinct", "scan_csv_quarantine",
+    "stream_static_join", "stream_upsert_versioned",
+    "stream_stream_join_outer", "profile_join_skew", "graph_pagerank",
+    "graph_degree_distribution", "dedup_fuzzy_jaccard", "dedup_simhash",
+    "dedup_minhash_md5", "dedup_simhash_md5", "text_span_dedup",
+    "multimodal_audio_chunk", "scan_binary_files",
+    "sample_temperature_mixture", "table_compact_versioned",
+    "table_change_feed", "table_vacuum_versioned",
+    "sim_pairs_sharded_jobs", "join_bloom_prefilter",
+    "embed_pipeline_e2e",
+    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
+    "fn_map", "fn_url", "fn_bitwise",
+    "udf_python_scalar", "udf_pandas_vectorized", "udaf_grouped_agg",
+    "udtf_table_fn",
+    "multimodal_bytes", "multimodal_decode_stub",
+    "multimodal_image_resize",
+)
+
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+assert not set(_R10_WINDOW) & set(_R11_WINDOW)
+assert not set(_R9_WINDOW) & set(_R11_WINDOW)
+
 def query(
     name: str,
     sql: str | None = None,
@@ -171,10 +210,10 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R9_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R10_WINDOW``
     tuple above defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round),
-    with the pre-staged ``_R10_WINDOW`` queued directly behind it.
+    with the pre-staged ``_R11_WINDOW`` queued directly behind it.
     Keys outside both windows follow in registration order.
     """
     from .operators import windows  # noqa: F401
@@ -241,11 +280,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key r9 window first (what the
-    # driver certifies this round), the pre-staged r10 window second,
-    # then every remaining key in registration order.
+    # Final check order: the explicit 50-key r10 window first (what
+    # the driver certifies this round), the pre-staged r11 window
+    # second, then every remaining key in registration order.
     missing = [
-        k for k in (*_R9_WINDOW, *_R10_WINDOW) if k not in REGISTRY
+        k for k in (*_R10_WINDOW, *_R11_WINDOW) if k not in REGISTRY
     ]
     if missing:
         raise RuntimeError(
@@ -253,7 +292,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R9_WINDOW, *_R10_WINDOW):
+    for key in (*_R10_WINDOW, *_R11_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

@@ -41,6 +41,12 @@ _CACHE_DIR = os.path.join(
 )
 
 
+# Sibling cache entries younger than this survive eviction — long
+# enough to cover any concurrent pytest/parity run's lifetime, short
+# enough that superseded revisions still age out the next day.
+_EVICT_MIN_AGE_S = 6 * 3600
+
+
 def _stable_fixture_root() -> str:
     """Root under which fixtures are immutable (⇒ cacheable).
 
@@ -106,15 +112,22 @@ def oracle_multiset(sf_dir: str, key: str, sql: str):
         os.makedirs(_CACHE_DIR, exist_ok=True)
         # One entry per key: evict siblings from older SQL/fixture/
         # normalization revisions so the cache dir stays bounded
-        # (ADVICE r8).
+        # (ADVICE r8).  Only entries older than _EVICT_MIN_AGE_S are
+        # removed (ADVICE r9): a sibling written seconds ago is likely
+        # a CONCURRENT test process on a different revision — deleting
+        # it would just thrash both caches (correctness unaffected
+        # either way; a miss recomputes from the oracle).
         import glob as _glob
+        import time as _time
 
         for stale in _glob.glob(os.path.join(_CACHE_DIR, f"{key}.*.pkl")):
-            if stale != cache_path:
-                try:
+            if stale == cache_path:
+                continue
+            try:
+                if _time.time() - os.path.getmtime(stale) > _EVICT_MIN_AGE_S:
                     os.remove(stale)
-                except OSError:
-                    pass  # concurrent sweep already removed it
+            except OSError:
+                pass  # concurrent sweep already removed it
         tmp = f"{cache_path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as fh:
             pickle.dump(result, fh)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 from .parity import _CACHE_DIR, _cache_enabled, oracle_multiset
 
@@ -37,9 +38,13 @@ def test_cached_multiset_is_bitwise_equal_to_fresh(monkeypatch):
 
 
 def test_cache_key_rolls_over_when_sql_changes():
-    # Distinct SQL must not reuse the old entry, AND the old entry is
-    # evicted on write so the dir holds exactly one file per key
-    # (ADVICE r8: unbounded growth across rounds).
+    # Distinct SQL must not reuse the old entry, AND an AGED-OUT old
+    # entry is evicted on write so the dir stays bounded (ADVICE r8);
+    # a YOUNG sibling survives — it is likely a concurrent test
+    # process on a different revision, and deleting it would thrash
+    # both caches (ADVICE r9).
+    from . import parity
+
     key = "_test_oracle_cache_roll"
     for p in _cache_files(key):
         os.remove(p)
@@ -49,9 +54,17 @@ def test_cache_key_rolls_over_when_sql_changes():
     sql2 = SQL + " HAVING COUNT(*) > 0"
     fresh2 = oracle_multiset(SF_DIR, key, sql2)
     second = _cache_files(key)
-    assert len(second) == 1, "stale sibling entries must be evicted"
-    assert second != first, "distinct SQL must not share an entry"
+    assert len(second) == 2, "young sibling must survive (concurrency)"
+    assert first[0] in second, "young sibling must survive (concurrency)"
+    # Age the first entry past the eviction horizon; the next write
+    # of the sql2 revision must then sweep it.
+    old = time.time() - parity._EVICT_MIN_AGE_S - 60
+    os.utime(first[0], (old, old))
+    os.remove([p for p in second if p != first[0]][0])
     assert oracle_multiset(SF_DIR, key, sql2) == fresh2
+    third = _cache_files(key)
+    assert len(third) == 1, "aged-out sibling entries must be evicted"
+    assert first[0] not in third
     for p in _cache_files(key):
         os.remove(p)
 

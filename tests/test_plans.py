@@ -7,6 +7,8 @@ result correctness (test_parity.py) and wall-clock (bench.py).
 
 from __future__ import annotations
 
+import re
+
 from bigdata_twitter_spark.registry import load_all_operators
 
 SPECS = load_all_operators()
@@ -553,8 +555,11 @@ def test_hill_topk_prune_reaches_window_group_limit(spark, sf_dir):
     WindowGroupLimit (partial + final) so the top-100 cut prunes
     map-side BEFORE the bucket shuffle, not after the full rank."""
     plan = _plan(spark, sf_dir, "agg_hill_tail_index")
-    assert "WindowGroupLimit" in plan, plan
-    assert "Partial" in plan, plan
+    # Two WindowGroupLimit nodes = the partial (pre-shuffle) and final
+    # (post-shuffle) group-limit pair; a bare 'Partial' substring match
+    # would be satisfied by any partial HashAggregate (ADVICE r9).
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert re.search(r"WindowGroupLimit.*Partial", plan), plan
 
 
 def test_hits_topk_cut_is_take_ordered_before_rank(spark, sf_dir):

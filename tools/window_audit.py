@@ -36,12 +36,20 @@ from bigdata_twitter_spark.session import get_session  # noqa: E402
 SKIP_PREFIXES = ("stream_", "source_stream", "sink_stream")
 
 
+class TruncatedSpec(Exception):
+    """windowspecdefinition() rendered with a '...' ellipsis — the
+    toString cut the argument list (spark.sql.debug.maxToStringFields),
+    so partitioned-vs-not CANNOT be classified from this line."""
+
+
 def unpartitioned_windows(plan: str) -> list[str]:
     hits = []
     for ln in plan.splitlines():
         if "windowspecdefinition(" not in ln:
             continue
         spec = ln.split("windowspecdefinition(", 1)[1]
+        if "..." in spec:
+            raise TruncatedSpec(ln.strip()[:240])
         # partition columns (if any) precede the first "<col> ASC/DESC"
         # sort token inside the spec argument list.
         first_sort = re.search(r"[A-Za-z0-9_#]+ (ASC|DESC) NULLS", spec)
@@ -56,6 +64,11 @@ def main() -> None:
     spark = get_session(
         app_name="bdt-window-audit", master="local[8]", shuffle_partitions=8
     )
+    # Long windowspecdefinition argument lists truncate to '...' at the
+    # default maxToStringFields=25, which would hide partition columns
+    # from the classifier; raise the cap AND (belt-and-braces) treat
+    # any surviving '...' inside a spec as CAPTURE_FAIL below.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     specs = load_all_operators()
     n_keys = n_hits = 0
     for key, spec in specs.items():
@@ -72,7 +85,12 @@ def main() -> None:
         except Exception as e:  # capture failure is itself a finding
             print(f"CAPTURE_FAIL {key}: {str(e)[:120]}")
             continue
-        for ln in unpartitioned_windows(plan):
+        try:
+            lns = unpartitioned_windows(plan)
+        except TruncatedSpec as e:  # unclassifiable ≠ clean
+            print(f"CAPTURE_FAIL {key}: truncated windowspec: {e}")
+            continue
+        for ln in lns:
             n_hits += 1
             print(f"UNPART {key}: {ln}")
     print(f"SUMMARY keys_audited={n_keys} unpartitioned_window_lines={n_hits}")
