@@ -118,11 +118,21 @@ def main() -> None:
     if stream_keys:
         materialize(specs[stream_keys[-1]].fn(spark, sf_dir))
 
+    # Streaming was single-run through BENCH_r09 — which is exactly why
+    # the r8→r9 "drift" (5.95→7.37 s on untouched code) could not be
+    # told apart from host noise without a manual median-of-5.  Same
+    # 3-run best/median discipline as the batch and LLM sections now;
+    # pre-r10 streaming numbers are single-run and read ≥ best-of-3.
     stream_timings: dict[str, float] = {}
+    stream_medians: dict[str, float] = {}
     for key in stream_keys:
-        t0 = time.perf_counter()
-        materialize(specs[key].fn(spark, sf_dir))
-        stream_timings[key] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(specs[key].fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        stream_timings[key] = round(min(runs), 4)
+        stream_medians[key] = round(sorted(runs)[1], 4)
 
     llm_timings: dict[str, float] = {}
     llm_medians: dict[str, float] = {}
@@ -147,6 +157,10 @@ def main() -> None:
                 "queries_median_of_3": medians,
                 "queries_streaming": stream_timings,
                 "value_streaming": round(sum(stream_timings.values()), 4),
+                "queries_streaming_median_of_3": stream_medians,
+                "value_streaming_median_of_3": round(
+                    sum(stream_medians.values()), 4
+                ),
                 "queries_llm": llm_timings,
                 "value_llm": round(sum(llm_timings.values()), 4),
                 "queries_llm_median_of_3": llm_medians,
