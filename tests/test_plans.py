@@ -7,6 +7,7 @@ result correctness (test_parity.py) and wall-clock (bench.py).
 
 from __future__ import annotations
 
+import os
 import re
 
 from bigdata_twitter_spark.registry import load_all_operators
@@ -577,3 +578,28 @@ def test_join_skew_profile_cut_is_take_ordered_before_rank(spark, sf_dir):
     cardinality is user-sized at 100 TB."""
     plan = _plan(spark, sf_dir, "profile_join_skew")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_registry_wide_window_audit_is_clean(spark, sf_dir):
+    """The systematic version of the check that caught the r8
+    rank-statistics family (VERDICT r9 #3): every BATCH key's executed
+    plan is scanned for unpartitioned Window operators; each hit must
+    be at a key whose unpartitioned windows are hand-audited
+    input-bounded (tools/window_audit.py ALLOWED — offsets tables,
+    top-K cuts, calendar/sketch-sized inputs, or the one declared
+    contract key).  A hit anywhere else, or an uncapturable plan, is a
+    new data-sized-window regression and fails here."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from window_audit import ALLOWED, audit
+
+    allowed, findings, capture_fails = audit(spark, sf_dir, SPECS)
+    assert capture_fails == [], capture_fails
+    assert findings == [], findings
+    # The allowlist must not rot: every entry still corresponds to at
+    # least one live hit (a key that stops producing unpartitioned
+    # windows should leave the table so it can't mask a future one).
+    live = {k for k, _ in allowed}
+    stale = set(ALLOWED) - live
+    assert stale == set(), f"ALLOWED entries with no live hit: {stale}"
