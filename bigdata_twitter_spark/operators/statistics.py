@@ -2644,7 +2644,8 @@ HILL_K = 100  # top-k order statistics per group
     )
     SELECT g AS o_orderpriority, k_minus_1,
            st / CAST(k_minus_1 AS DOUBLE) AS hill_mean_log_excess,
-           CAST(k_minus_1 AS DOUBLE) / st AS hill_alpha
+           CASE WHEN st = 0.0 THEN NULL
+                ELSE CAST(k_minus_1 AS DOUBLE) / st END AS hill_alpha
     FROM s
     """,
     tables=("orders",),
@@ -2711,11 +2712,18 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("st"),
     )
     km = F.col("k_minus_1").cast("double")
+    # A degenerate tail — every top-K value equal (price-capped
+    # domain, or heavy replication) — folds st to exactly 0.0; alpha
+    # is undefined there and under ANSI mode the bare division is a
+    # runtime DIVIDE_BY_ZERO that kills the whole job (found by the
+    # r10 ×100 probe).  NULL, guarded identically in the oracle.
     return s.select(
         F.col("g").alias("o_orderpriority"),
         "k_minus_1",
         (F.col("st") / km).alias("hill_mean_log_excess"),
-        (km / F.col("st")).alias("hill_alpha"),
+        F.when(F.col("st") == 0.0, F.lit(None).cast("double"))
+        .otherwise(km / F.col("st"))
+        .alias("hill_alpha"),
     )
 
 

@@ -3474,6 +3474,32 @@ def test_hill_tail_index_matches_python(specs, spark, sf_dir):
         assert r["hill_alpha"] > 0
 
 
+def test_hill_tail_index_degenerate_tail_is_null_not_crash(
+    specs, spark, tmp_path
+):
+    """A group whose entire top-K is ONE value (price-capped domain;
+    the r10 ×100 replication probe hit it) folds st to exactly 0.0 —
+    hill_alpha must come back NULL, not raise ANSI DIVIDE_BY_ZERO and
+    kill the job."""
+    import datetime as dt
+
+    rows = [
+        (i, "1-URGENT", "O", 5000.0, dt.datetime(2024, 1, 1), "x")
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = specs["agg_hill_tail_index"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["k_minus_1"] == 99
+    assert r["hill_mean_log_excess"] == 0.0
+    assert r["hill_alpha"] is None
+
+
 def test_jsd_langs_matches_python(specs, spark, sf_dir):
     """text_js_divergence_langs == Python shared-support replay."""
     import math
