@@ -73,3 +73,16 @@ def test_fixture_keys_are_the_known_set():
             or "jfif" in (SPECS[k].doc + SPECS[k].scale_note).lower()
             or "image" in (SPECS[k].doc + SPECS[k].scale_note).lower()
         ), k
+
+
+def test_driver_check_order_leads_with_active_window():
+    """The driver certifies exactly the FIRST 50 queries() keys per
+    round; the active window tuple must lead the registry order with
+    the pre-staged next window immediately behind it — a refactor
+    that reorders imports must not silently change what gets
+    certified."""
+    from bigdata_twitter_spark.registry import _R10_WINDOW, _R11_WINDOW
+
+    keys = list(SPECS)
+    assert keys[:50] == list(_R10_WINDOW)
+    assert keys[50:100] == list(_R11_WINDOW)
