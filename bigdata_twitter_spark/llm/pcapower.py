@@ -104,6 +104,12 @@ def power_iterate(n: int, s: list, g: list) -> list:
         for i in range(DIM):
             acc = acc + w[i] * w[i]
         norm = acc ** 0.5
+        if norm == 0.0:
+            # Zero covariance (all vectors identical): no principal
+            # direction exists — keep the current iterate instead of
+            # dividing by zero (r10 degenerate-domain sweep; the
+            # recursive-CTE oracle carries the same CASE).
+            continue
         v = [_r6(w[i] / norm) for i in range(DIM)]
     # Sign canonicalization: largest |loading| (lowest index on ties)
     # must be positive.
@@ -171,9 +177,12 @@ def _oracle_sql() -> str:
         -- the recursive table in DuckDB's binder)
         SELECT it.k + 1,
                list_transform([{matvec}], w ->
-                   list_transform(w, x ->
-                       round(x / sqrt(list_sum(
-                           list_transform(w, y -> y * y))), 6)))[1]
+                   CASE WHEN list_sum(list_transform(w, y -> y * y)) = 0.0
+                        THEN it.v
+                        ELSE list_transform(w, x ->
+                            round(x / sqrt(list_sum(
+                                list_transform(w, y -> y * y))), 6))
+                   END)[1]
         FROM it, m
         WHERE it.k < {POWER_ITERS}
     ),

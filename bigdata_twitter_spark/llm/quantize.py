@@ -43,8 +43,10 @@ Q_LEVELS = 255  # int8 range: codes -128..127
     SELECT vec_id, label, mn, scale,
            array_to_string(
                list_transform(
-                   v, x -> CAST(CAST(floor((x - mn) / scale + 0.5) AS BIGINT)
-                                - 128 AS VARCHAR)),
+                   v, x -> CASE WHEN scale = 0.0 THEN '-128'
+                           ELSE CAST(CAST(floor((x - mn) / scale + 0.5)
+                                          AS BIGINT)
+                                     - 128 AS VARCHAR) END),
                ',') AS q_codes
     FROM s
     """,
@@ -69,10 +71,19 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("v").alias("mn"),
         ((F.array_max("v") - F.array_min("v")) / Q_LEVELS).alias("scale"),
     )
-    code = lambda x: (  # noqa: E731
-        F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5)).cast("bigint")
-        - 128
-    ).cast("string")
+    # A constant vector has range 0 → scale 0; the affine map sends
+    # every element (= mn) to code -128 rather than raising an ANSI
+    # DIVIDE_BY_ZERO (r10 degenerate-domain sweep; oracle identical).
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") == 0.0, F.lit("-128")
+    ).otherwise(
+        (
+            F.floor(
+                (x - F.col("mn")) / F.col("scale") + F.lit(0.5)
+            ).cast("bigint")
+            - 128
+        ).cast("string")
+    )
     return s.select(
         "vec_id",
         "label",

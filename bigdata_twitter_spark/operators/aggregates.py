@@ -308,8 +308,11 @@ _STATS_SQL = """
            (sqq - sq * sq / n) / (n - 1) AS var_qty,
            sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
            (spp - sp * sp / n) / (n - 1) AS var_price,
-           (sqp - sq * sp / n)
-             / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS corr_qty_price
+           CASE WHEN sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n) = 0.0
+                THEN NULL
+                ELSE (sqp - sq * sp / n)
+                     / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))
+           END AS corr_qty_price
     FROM s
 """
 
@@ -353,10 +356,19 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sqq - sq * sq / n) / (n - 1)).alias("var_qty"),
         F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("stddev_qty"),
         ((spp - sp * sp / n) / (n - 1)).alias("var_price"),
-        (
+        # corr is undefined when either variable is constant (zero
+        # variance): NULL, not an ANSI DIVIDE_BY_ZERO job kill —
+        # guarded identically in the oracle (r10 degenerate-domain
+        # sweep).
+        F.when(
+            F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n) == 0.0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
             (sqp - sq * sp / n)
             / (F.sqrt(sqq - sq * sq / n) * F.sqrt(spp - sp * sp / n))
-        ).alias("corr_qty_price"),
+        )
+        .alias("corr_qty_price"),
     )
 
 

@@ -148,8 +148,11 @@ N_HIST_BINS = 10
     sql=f"""
     WITH m AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
     b AS (
-        SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / {N_HIST_BINS})) AS BIGINT),
-                     {N_HIST_BINS - 1}) AS bin,
+        SELECT CASE WHEN vmax = vmin THEN 0
+                    ELSE least(CAST(floor((value - vmin)
+                                          / ((vmax - vmin) / {N_HIST_BINS}))
+                               AS BIGINT),
+                               {N_HIST_BINS - 1}) END AS bin,
                vmin, vmax
         FROM events, m
     )
@@ -175,11 +178,22 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     m = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
     width = (F.col("vmax") - F.col("vmin")) / F.lit(N_HIST_BINS)
+    # A constant domain (vmax == vmin) makes the bin width 0 — under
+    # ANSI the bin division is a runtime DIVIDE_BY_ZERO job kill; the
+    # graceful histogram is one bin 0 holding everything (bin_lo =
+    # bin_hi = vmin), guarded identically in the oracle (r10
+    # degenerate-domain sweep).
     binned = e.join(F.broadcast(m)).select(
-        F.least(
-            F.floor((F.col("value") - F.col("vmin")) / width).cast("bigint"),
-            F.lit(N_HIST_BINS - 1),
-        ).alias("bin"),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin")) / width
+                ).cast("bigint"),
+                F.lit(N_HIST_BINS - 1),
+            )
+        )
+        .alias("bin"),
         "vmin",
         "vmax",
     )

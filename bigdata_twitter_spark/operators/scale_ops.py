@@ -778,7 +778,9 @@ _TP = "CAST(o_totalprice AS DECIMAL(12,2))"
     tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM s),
     alloc AS (
         SELECT s.o_orderpriority, s.n_pop, s.sigma,
-               (2 * {NEYMAN_N} * s.wq + t.wtot) // (2 * t.wtot) AS n_alloc
+               CASE WHEN t.wtot = 0 THEN 0
+                    ELSE (2 * {NEYMAN_N} * s.wq + t.wtot) // (2 * t.wtot)
+               END AS n_alloc
         FROM s, tot t
     ),
     ranked AS (
@@ -844,15 +846,21 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(n * sigma * 100 + 0.5).cast("bigint").alias("wq"),
     )
     tot = s.agg(F.sum("wq").cast("bigint").alias("wtot"))
+    # All-zero-variance strata (a constant price domain) zero the
+    # weight total; Neyman allocation then needs no samples at all —
+    # n_alloc 0 everywhere rather than an ANSI DIVIDE_BY_ZERO job
+    # kill (r10 degenerate-domain sweep; oracle guarded identically).
     alloc = s.crossJoin(F.broadcast(tot)).select(
         "o_orderpriority",
         "n_pop",
         "sigma",
-        (
-            (2 * NEYMAN_N * F.col("wq") + F.col("wtot"))
-            / (2 * F.col("wtot"))
+        F.when(F.col("wtot") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            (
+                (2 * NEYMAN_N * F.col("wq") + F.col("wtot"))
+                / (2 * F.col("wtot"))
+            ).cast("bigint")
         )
-        .cast("bigint")
         .alias("n_alloc"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy(

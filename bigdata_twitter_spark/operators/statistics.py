@@ -50,11 +50,16 @@ _P = "CAST(l_extendedprice AS DECIMAL(12,2))"
         GROUP BY 1, 2
     )
     SELECT l_returnflag, l_linestatus, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+                ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           CASE WHEN n * sxx - sx * sx = 0.0 THEN NULL
+                ELSE (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0
+                THEN NULL
+                ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           END AS r2
     FROM m
     """,
     tables=("lineitem",),
@@ -92,17 +97,28 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx, sy, syy, sxy = (
         F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy")
     )
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # Zero-variance guards (r10 degenerate-domain sweep): a constant x
+    # makes slope/intercept undefined and a constant x or y makes r²
+    # undefined — NULL, not an ANSI DIVIDE_BY_ZERO job kill; guarded
+    # identically in the oracle.
+    varx = n * sxx - sx * sx
+    slope = F.when(varx == 0.0, F.lit(None).cast("double")).otherwise(
+        (n * sxy - sx * sy) / varx
+    )
+    r2den = varx * (n * syy - sy * sy)
     return m.select(
         "l_returnflag",
         "l_linestatus",
         "n",
         slope.alias("slope"),
-        ((sy - slope * sx) / n).alias("intercept"),
-        (
-            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-        ).alias("r2"),
+        F.when(varx == 0.0, F.lit(None).cast("double"))
+        .otherwise((sy - ((n * sxy - sx * sy) / varx) * sx) / n)
+        .alias("intercept"),
+        F.when(r2den == 0.0, F.lit(None).cast("double"))
+        .otherwise(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / r2den
+        )
+        .alias("r2"),
     )
 
 
@@ -1291,7 +1307,9 @@ def _cov_sql() -> str:
             pair_rows.append(
                 f"SELECT l_returnflag, '{_COV_MEASURES[i]}' AS var_a, "
                 f"'{_COV_MEASURES[j]}' AS var_b, n, {cov} AS cov, "
-                f"{cov} / (sqrt({vi}) * sqrt({vj})) AS corr FROM m"
+                f"CASE WHEN sqrt({vi}) * sqrt({vj}) = 0.0 THEN NULL "
+                f"ELSE {cov} / (sqrt({vi}) * sqrt({vj})) END AS corr "
+                f"FROM m"
             )
     return (
         "WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
@@ -1344,6 +1362,9 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             vj = F.col(f"s_{j}_{j}") / n - (F.col(f"s_{j}") / n) * (
                 F.col(f"s_{j}") / n
             )
+            # corr is undefined for a zero-variance variable: NULL,
+            # not an ANSI DIVIDE_BY_ZERO (r10 degenerate-domain
+            # sweep; oracle guarded identically).
             outs.append(
                 m.select(
                     "l_returnflag",
@@ -1351,7 +1372,12 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(ms[j]).alias("var_b"),
                     "n",
                     cov.alias("cov"),
-                    (cov / (F.sqrt(vi) * F.sqrt(vj))).alias("corr"),
+                    F.when(
+                        F.sqrt(vi) * F.sqrt(vj) == 0.0,
+                        F.lit(None).cast("double"),
+                    )
+                    .otherwise(cov / (F.sqrt(vi) * F.sqrt(vj)))
+                    .alias("corr"),
                 )
             )
     out = outs[0]
@@ -1888,15 +1914,22 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            r1x2 - n1 * (n1 + 1) AS u1_x2,
            tie AS tie_term,
-           ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
-            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
-           / sqrt(
+           CASE WHEN sqrt(
                (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
                   - CAST(tie AS DOUBLE)
                     / (CAST(n1 + n2 AS DOUBLE)
-                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))
-           ) AS z_stat
+                       * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) = 0.0
+                THEN NULL
+                ELSE ((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+                      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                     / sqrt(
+                         (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                         * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                            - CAST(tie AS DOUBLE)
+                              / (CAST(n1 + n2 AS DOUBLE)
+                                 * (CAST(n1 + n2 AS DOUBLE) - 1.0))))
+           END AS z_stat
     FROM s
     """,
     tables=("orders",),
@@ -1951,15 +1984,22 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = (n1 + n2).cast("double")
     u1x2 = r1x2 - n1 * (n1 + 1)
-    z = (
-        (u1x2.cast("double") / F.lit(2.0))
-        - n1.cast("double") * n2.cast("double") / F.lit(2.0)
-    ) / F.sqrt(
+    # All-tied samples zero the tie-corrected variance — z is
+    # undefined there; NULL rather than an ANSI DIVIDE_BY_ZERO (r10
+    # degenerate-domain sweep; oracle guarded identically).
+    sd = F.sqrt(
         (n1.cast("double") * n2.cast("double") / F.lit(12.0))
         * (
             (nd + F.lit(1.0))
             - tie.cast("double") / (nd * (nd - F.lit(1.0)))
         )
+    )
+    z = F.when(sd == 0.0, F.lit(None).cast("double")).otherwise(
+        (
+            (u1x2.cast("double") / F.lit(2.0))
+            - n1.cast("double") * n2.cast("double") / F.lit(2.0)
+        )
+        / sd
     )
     return s.select(
         "n1",
@@ -2096,6 +2136,16 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1_cents,
            CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2_cents,
+           CASE WHEN
+               ((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+               / CAST(n1 AS DOUBLE)
+               + ((CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                 / CAST(n2 AS DOUBLE) = 0.0
+           THEN NULL ELSE
            (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
             - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
            / sqrt(
@@ -2107,7 +2157,17 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
                  / CAST(n2 AS DOUBLE)
-           ) AS t_stat,
+           ) END AS t_stat,
+           CASE WHEN
+               ((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+               / CAST(n1 AS DOUBLE)
+               + ((CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                 / CAST(n2 AS DOUBLE) = 0.0
+           THEN NULL ELSE
            (((CAST(ss1 AS DOUBLE)
               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
                 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
@@ -2143,7 +2203,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
                   / CAST(n2 AS DOUBLE))
                / (CAST(n2 AS DOUBLE) - 1.0)
-           ) AS welch_dof
+           ) END AS welch_dof
     FROM g
     """,
     tables=("customer",),
@@ -2210,8 +2270,15 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
     se1 = _v(ss1, s1, n1) / n1.cast("double")
     se2 = _v(ss2, s2, n2) / n2.cast("double")
-    t = (_m(s1, n1) - _m(s2, n2)) / F.sqrt(se1 + se2)
-    dof = (
+    # Two constant samples zero both squared standard errors — t and
+    # the Welch-Satterthwaite dof are undefined; NULL rather than an
+    # ANSI DIVIDE_BY_ZERO job kill (r10 degenerate-domain sweep;
+    # oracle guarded on the same se1+se2 = 0 predicate).
+    degen = se1 + se2 == 0.0
+    t = F.when(degen, F.lit(None).cast("double")).otherwise(
+        (_m(s1, n1) - _m(s2, n2)) / F.sqrt(se1 + se2)
+    )
+    dof = F.when(degen, F.lit(None).cast("double")).otherwise(
         (se1 + se2)
         * (se1 + se2)
         / (
@@ -2514,13 +2581,19 @@ def _limb_dbl(c: "F.Column") -> "F.Column":
         FROM j GROUP BY g
     )
     SELECT g AS l_returnflag, n,
-           (CAST(n AS DOUBLE) * {_limb_dbl_sql('sxy')}
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('sxx')}
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('syy')}
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-               AS spearman_rho
+           CASE WHEN sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('sxx')}
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('syy')}
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                     = 0.0
+                THEN NULL
+                ELSE (CAST(n AS DOUBLE) * {_limb_dbl_sql('sxy')}
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('sxx')}
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * {_limb_dbl_sql('syy')}
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS spearman_rho
     FROM s
     """,
     tables=("lineitem",),
@@ -2592,9 +2665,15 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    rho = (nd * _limb_dbl(F.col("sxy")) - sx * sy) / (
-        F.sqrt(nd * _limb_dbl(F.col("sxx")) - sx * sx)
-        * F.sqrt(nd * _limb_dbl(F.col("syy")) - sy * sy)
+    # A constant variable (one distinct rank) zeroes its rank
+    # variance — rho is undefined; NULL rather than an ANSI
+    # DIVIDE_BY_ZERO job kill (r10 degenerate-domain sweep; oracle
+    # guarded identically).
+    rho_den = F.sqrt(nd * _limb_dbl(F.col("sxx")) - sx * sx) * F.sqrt(
+        nd * _limb_dbl(F.col("syy")) - sy * sy
+    )
+    rho = F.when(rho_den == 0.0, F.lit(None).cast("double")).otherwise(
+        (nd * _limb_dbl(F.col("sxy")) - sx * sy) / rho_den
     )
     return s.select(
         F.col("g").alias("l_returnflag"), "n", rho.alias("spearman_rho")
