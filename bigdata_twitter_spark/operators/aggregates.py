@@ -305,9 +305,12 @@ _STATS_SQL = """
     )
     SELECT n,
            sq / n AS mean_qty,
-           (sqq - sq * sq / n) / (n - 1) AS var_qty,
-           sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
-           (spp - sp * sp / n) / (n - 1) AS var_price,
+           CASE WHEN n < 2 THEN NULL
+                ELSE (sqq - sq * sq / n) / (n - 1) END AS var_qty,
+           CASE WHEN n < 2 THEN NULL
+                ELSE sqrt((sqq - sq * sq / n) / (n - 1)) END AS stddev_qty,
+           CASE WHEN n < 2 THEN NULL
+                ELSE (spp - sp * sp / n) / (n - 1) END AS var_price,
            CASE WHEN sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n) = 0.0
                 THEN NULL
                 ELSE (sqp - sq * sp / n)
@@ -350,12 +353,22 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sqp"),
     )
     n, sq, sqq, sp, spp, sqp = (F.col(c) for c in ["n", "sq", "sqq", "sp", "spp", "sqp"])
+    # n < 2 zeroes the Bessel denominator — sample variance is
+    # undefined on a single row; NULL, not an ANSI DIVIDE_BY_ZERO
+    # (r10 one-row sweep; oracle guarded identically).
+    one_row = n < 2
     return s.select(
         n.alias("n"),
         (sq / n).alias("mean_qty"),
-        ((sqq - sq * sq / n) / (n - 1)).alias("var_qty"),
-        F.sqrt((sqq - sq * sq / n) / (n - 1)).alias("stddev_qty"),
-        ((spp - sp * sp / n) / (n - 1)).alias("var_price"),
+        F.when(one_row, F.lit(None).cast("double"))
+        .otherwise((sqq - sq * sq / n) / (n - 1))
+        .alias("var_qty"),
+        F.when(one_row, F.lit(None).cast("double"))
+        .otherwise(F.sqrt((sqq - sq * sq / n) / (n - 1)))
+        .alias("stddev_qty"),
+        F.when(one_row, F.lit(None).cast("double"))
+        .otherwise((spp - sp * sp / n) / (n - 1))
+        .alias("var_price"),
         # corr is undefined when either variable is constant (zero
         # variance): NULL, not an ANSI DIVIDE_BY_ZERO job kill —
         # guarded identically in the oracle (r10 degenerate-domain

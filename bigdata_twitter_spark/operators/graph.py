@@ -128,7 +128,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = vertices.count()  # scalar (vertex count), not data
     adj = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
+    # An edgeless graph (a 1-row order slice builds no co-purchase
+    # pairs) has n = 0: the result is correctly EMPTY via the empty
+    # `vertices` frame, but the seed literal 1/n must not raise a
+    # driver-side ZeroDivisionError first (r10 one-row sweep).
+    ranks = vertices.select("v", F.lit(1.0 / max(n, 1)).alias("rank"))
     for _ in range(ITERATIONS):
         contribs = (
             adj.join(ranks, adj["src"] == ranks["v"])
@@ -141,7 +145,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "v",
             (
-                F.lit((1.0 - DAMPING) / n)
+                F.lit((1.0 - DAMPING) / max(n, 1))
                 + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))
             ).alias("rank"),
         )

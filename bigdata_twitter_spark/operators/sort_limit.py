@@ -100,7 +100,8 @@ RANGE_SAMPLE = 1600  # sample size: 100 per boundary
                    row_number() OVER (ORDER BY o_totalprice) AS sr,
                    COUNT(*) OVER () AS sn
             FROM s
-        ) WHERE sr % (sn // {RANGE_BUCKETS}) = 0
+        ) WHERE (sn // {RANGE_BUCKETS}) > 0
+          AND sr % (sn // {RANGE_BUCKETS}) = 0
           AND sr // (sn // {RANGE_BUCKETS}) < {RANGE_BUCKETS}
     ),
     assigned AS (
@@ -168,9 +169,14 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sn"),
     )
+    # A sample smaller than the bucket count has step 0: no boundary
+    # can be cut (everything lands in bucket 0) — the step > 0 guard
+    # keeps the modulo from raising ANSI REMAINDER_BY_ZERO (r10
+    # one-row sweep; oracle guarded identically).
     step = (F.col("sn") / RANGE_BUCKETS).cast("bigint")
     bounds = ranked.filter(
-        (F.col("sr") % step == 0)
+        (step > 0)
+        & (F.col("sr") % step == 0)
         & ((F.col("sr") / step).cast("bigint") < RANGE_BUCKETS)
     ).select(F.col("o_totalprice").alias("bound"))
     blist = bounds.agg(

@@ -135,10 +135,12 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS nh,
                CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mu,
-               sqrt((CAST(SUM(cnt * cnt) AS DOUBLE)
-                     - CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)
-                       / COUNT(*))
-                    / (COUNT(*) - 1)) AS sigma
+               CASE WHEN COUNT(*) < 2 THEN NULL
+                    ELSE sqrt((CAST(SUM(cnt * cnt) AS DOUBLE)
+                               - CAST(SUM(cnt) AS DOUBLE)
+                                 * CAST(SUM(cnt) AS DOUBLE)
+                                 / COUNT(*))
+                              / (COUNT(*) - 1)) END AS sigma
         FROM hourly GROUP BY 1
     ),
     walk AS (
@@ -152,8 +154,10 @@ def agg_regression_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
         SELECT event_type, hr, cnt,
-               (CAST(run_cnt AS DOUBLE) - CAST(t AS DOUBLE) * mu) / sigma
-                   AS cusum
+               CASE WHEN sigma IS NULL OR sigma = 0.0 THEN NULL
+                    ELSE (CAST(run_cnt AS DOUBLE)
+                          - CAST(t AS DOUBLE) * mu) / sigma
+               END AS cusum
         FROM walk
     ),
     f AS (
@@ -197,10 +201,20 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         (F.col("scnt") / F.col("nh")).alias("mu"),
-        F.sqrt(
-            (F.col("scnt2") - F.col("scnt") * F.col("scnt") / F.col("nh"))
-            / (F.col("nh") - 1)
-        ).alias("sigma"),
+        # One hour of history (nh < 2) zeroes the Bessel denominator:
+        # sigma is undefined — NULL, not an ANSI DIVIDE_BY_ZERO (r10
+        # one-row sweep; oracle guarded identically).
+        F.when(F.col("nh") < 2, F.lit(None).cast("double"))
+        .otherwise(
+            F.sqrt(
+                (
+                    F.col("scnt2")
+                    - F.col("scnt") * F.col("scnt") / F.col("nh")
+                )
+                / (F.col("nh") - 1)
+            )
+        )
+        .alias("sigma"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -216,11 +230,18 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hr",
         "cnt",
-        (
-            (F.col("run_cnt").cast("double")
-             - F.col("t").cast("double") * F.col("mu"))
+        F.when(
+            F.col("sigma").isNull() | (F.col("sigma") == 0.0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (
+                F.col("run_cnt").cast("double")
+                - F.col("t").cast("double") * F.col("mu")
+            )
             / F.col("sigma")
-        ).alias("cusum"),
+        )
+        .alias("cusum"),
     )
     wt = Window.partitionBy("event_type")
     peak = F.abs(F.col("cusum")) == F.max(F.abs(F.col("cusum"))).over(wt)
@@ -1597,9 +1618,13 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
            cellsq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
                     / CAST(nn AS DOUBLE) AS ss_between,
            CAST(sst AS DOUBLE) - cellsq AS ss_within,
-           ((cellsq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-                      / CAST(nn AS DOUBLE)) / (k - 1))
-           / ((CAST(sst AS DOUBLE) - cellsq) / (nn - k)) AS f_stat
+           CASE WHEN k < 2 THEN NULL
+                WHEN nn - k = 0 THEN NULL
+                WHEN CAST(sst AS DOUBLE) - cellsq = 0.0 THEN NULL
+                ELSE ((cellsq - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+                               / CAST(nn AS DOUBLE)) / (k - 1))
+                     / ((CAST(sst AS DOUBLE) - cellsq) / (nn - k))
+           END AS f_stat
     FROM tot
     """,
     tables=("events",),
@@ -1649,13 +1674,21 @@ def ts_anova_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, cellsq = F.col("k"), F.col("cellsq")
     ssb = cellsq - st.cast("double") * st.cast("double") / nn.cast("double")
     ssw = sst.cast("double") - cellsq
+    # F is undefined with one group (k < 2), zero within-group df
+    # (nn = k) or zero within-group variance (ssw = 0): NULL, not an
+    # ANSI DIVIDE_BY_ZERO job kill (r10 one-row sweep; oracle guarded
+    # identically, same lazy CASE order).
     return tot.select(
         "event_type",
         nn.alias("n_hours"),
         k.cast("int").alias("k_groups"),
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        ((ssb / (k - 1)) / (ssw / (nn - k))).alias("f_stat"),
+        F.when(k < 2, F.lit(None).cast("double"))
+        .when(nn - k == 0, F.lit(None).cast("double"))
+        .when(ssw == 0.0, F.lit(None).cast("double"))
+        .otherwise((ssb / (k - 1)) / (ssw / (nn - k)))
+        .alias("f_stat"),
     )
 
 
@@ -1914,7 +1947,8 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n1, n2,
            r1x2 - n1 * (n1 + 1) AS u1_x2,
            tie AS tie_term,
-           CASE WHEN sqrt(
+           CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+                WHEN sqrt(
                (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
                * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
                   - CAST(tie AS DOUBLE)
@@ -1986,7 +2020,11 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1x2 = r1x2 - n1 * (n1 + 1)
     # All-tied samples zero the tie-corrected variance — z is
     # undefined there; NULL rather than an ANSI DIVIDE_BY_ZERO (r10
-    # degenerate-domain sweep; oracle guarded identically).
+    # degenerate-domain sweep).  An empty group (n1 or n2 = 0, which
+    # also covers a 1-row input where nd(nd-1) = 0) must be tested
+    # FIRST: CASE evaluates lazily, so the tie division inside sd
+    # never runs there (r10 one-row sweep; oracle guarded
+    # identically, same branch order).
     sd = F.sqrt(
         (n1.cast("double") * n2.cast("double") / F.lit(12.0))
         * (
@@ -1994,12 +2032,16 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             - tie.cast("double") / (nd * (nd - F.lit(1.0)))
         )
     )
-    z = F.when(sd == 0.0, F.lit(None).cast("double")).otherwise(
-        (
-            (u1x2.cast("double") / F.lit(2.0))
-            - n1.cast("double") * n2.cast("double") / F.lit(2.0)
+    z = (
+        F.when((n1 == 0) | (n2 == 0), F.lit(None).cast("double"))
+        .when(sd == 0.0, F.lit(None).cast("double"))
+        .otherwise(
+            (
+                (u1x2.cast("double") / F.lit(2.0))
+                - n1.cast("double") * n2.cast("double") / F.lit(2.0)
+            )
+            / sd
         )
-        / sd
     )
     return s.select(
         "n1",

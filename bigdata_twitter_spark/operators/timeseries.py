@@ -357,14 +357,22 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM h GROUP BY event_type
     )
     SELECT h.window_start, h.event_type, h.n,
-           (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
-             / sqrt((CAST(s.s2 AS DOUBLE)
-                     - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
-                    / (s.cnt - 1)) AS zscore,
-           abs((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
-               / sqrt((CAST(s.s2 AS DOUBLE)
-                       - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
-                      / (s.cnt - 1))) >= 2.0 AS is_anomaly
+           CASE WHEN s.cnt < 2 THEN NULL
+                WHEN (CAST(s.s2 AS DOUBLE)
+                      - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                     / (s.cnt - 1) = 0.0 THEN NULL
+                ELSE (CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
+                     / sqrt((CAST(s.s2 AS DOUBLE)
+                             - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                            / (s.cnt - 1)) END AS zscore,
+           CASE WHEN s.cnt < 2 THEN NULL
+                WHEN (CAST(s.s2 AS DOUBLE)
+                      - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                     / (s.cnt - 1) = 0.0 THEN NULL
+                ELSE abs((CAST(h.n AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.cnt)
+                         / sqrt((CAST(s.s2 AS DOUBLE)
+                                 - (CAST(s.s1 AS DOUBLE) / s.cnt) * s.s1)
+                                / (s.cnt - 1))) >= 2.0 END AS is_anomaly
     FROM h JOIN s USING (event_type)
     """,
     tables=("events",),
@@ -392,7 +400,16 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (F.col("s2").cast("double") - mean * F.col("s1")) / (
         F.col("cnt") - 1
     )
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # A 1-hour series (cnt < 2: Bessel /0) or an all-equal series
+    # (var = 0) has no defined z — NULL, not an ANSI DIVIDE_BY_ZERO
+    # job kill (r10 one-row sweep; oracle guarded identically).  The
+    # cnt test MUST precede the var test: CASE evaluates lazily, so
+    # var's (cnt-1) division never runs at cnt = 1.
+    z = (
+        F.when(F.col("cnt") < 2, F.lit(None).cast("double"))
+        .when(var == 0.0, F.lit(None).cast("double"))
+        .otherwise((F.col("n").cast("double") - mean) / F.sqrt(var))
+    )
     return h.join(F.broadcast(s), "event_type").select(
         "window_start",
         "event_type",

@@ -273,10 +273,15 @@ def win_ntile_pctrank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
         decile.cast("int").alias("decile"),
-        (
+        # SQL percent_rank of a single row is 0.0 by definition; the
+        # naive (rank-1)/(n-1) is 0/0 there and under ANSI kills the
+        # job (r10 one-row sweep) — match the native semantics.
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
             (F.col("rank") - 1).cast("double")
             / (F.col("n") - 1).cast("double")
-        ).alias("pct_rank"),
+        )
+        .alias("pct_rank"),
         (F.col("max_rn").cast("double") / F.col("n").cast("double")).alias(
             "cume"
         ),

@@ -691,17 +691,22 @@ def scan_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     sel = F.col("value").isNotNull()  # no-op guard for empty unions
+    # Empty-version fallback: e.limit(0), NOT a read of the version
+    # dir — a version that received zero rows has no parquet footer
+    # to infer a schema from (one-row inputs put ALL history in one
+    # version), so reading it raises UNABLE_TO_INFER_SCHEMA (r10
+    # one-row sweep); the source frame carries the schema directly.
     v1 = (
         spark.read.option("basePath", v1_dir)
         .parquet(*[os.path.join(v1_dir, d) for d in v1_keep])
         if v1_keep
-        else spark.read.option("basePath", v1_dir).parquet(v1_dir).limit(0)
+        else e.limit(0)
     )
     v2 = (
         spark.read.option("basePath", v2_dir)
         .parquet(*[os.path.join(v2_dir, d, h) for d, h in v2_keep])
         if v2_keep
-        else spark.read.option("basePath", v2_dir).parquet(v2_dir).limit(0)
+        else e.limit(0)
     )
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
     # v1's spec can't prune hours — residual ROW filter; v2 already

@@ -1013,10 +1013,13 @@ BURST_TOPK = 20
         QUALIFY row_number() OVER (ORDER BY s DESC, tk) <= {BURST_TOPK}
     )
     SELECT tk AS term, s AS total_count, n_docs_containing,
-           (CAST(ss AS DOUBLE)
-            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-           / (CAST(n AS DOUBLE) - 1.0)
-           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS vmr
+           CASE WHEN n < 2 THEN NULL
+                ELSE (CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)
+                     / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           END AS vmr
     FROM top
     """,
     tables=("documents",),
@@ -1059,11 +1062,16 @@ def text_burstiness_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ss").cast("double"),
         F.col("n").cast("double"),
     )
+    # A single-document corpus (n < 2) zeroes the Bessel denominator:
+    # dispersion is undefined — NULL, not an ANSI DIVIDE_BY_ZERO job
+    # kill (r10 one-row sweep; oracle guarded identically).
     return top.select(
         F.col("tk").alias("term"),
         F.col("s").alias("total_count"),
         "n_docs_containing",
-        (((ss - s * s / n) / (n - F.lit(1.0))) / (s / n)).alias("vmr"),
+        F.when(n < 2, F.lit(None).cast("double"))
+        .otherwise(((ss - s * s / n) / (n - F.lit(1.0))) / (s / n))
+        .alias("vmr"),
     )
 
 

@@ -40,12 +40,37 @@ FIXED_KEYS = [
 ]
 
 
+# The n=1 boundary (the other edge next to test_empty_inputs' n=0):
+# Bessel (n-1) denominators hit zero, derived structures (co-purchase
+# edges, partition-spec versions, range samples) come out empty.
+ONEROW_FIXED_KEYS = [
+    "agg_stats",
+    "win_ntile_pctrank_dist",
+    "graph_pagerank",
+    "sort_range_boundaries",
+    "ts_anomaly_zscore",
+    "text_burstiness_dispersion",
+    "scan_partition_evolution",
+    "ts_changepoint_cusum",
+    "ts_anova_hour_of_day",
+    "agg_mann_whitney_u",
+]
+
+
 @pytest.fixture(scope="module")
 def degen_dir(spark, sf_dir):
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/tools")
     from degen_audit import build_degen_fixture
 
     return build_degen_fixture(spark, sf_dir, "/tmp/bdt_degen_sf_test")
+
+
+@pytest.fixture(scope="module")
+def onerow_dir(spark, sf_dir):
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/tools")
+    from degen_audit import build_onerow_fixture
+
+    return build_onerow_fixture(spark, sf_dir, "/tmp/bdt_onerow_sf_test")
 
 
 @pytest.mark.parametrize("key", FIXED_KEYS)
@@ -88,3 +113,44 @@ def test_constant_domain_null_semantics(spark, degen_dir):
     # Neyman: zero variance everywhere -> zero allocation, empty draw
     ney = SPECS["sample_stratified_neyman"].fn(spark, degen_dir).collect()
     assert ney == []
+
+
+@pytest.mark.parametrize("key", ONEROW_FIXED_KEYS)
+def test_one_row_executes(spark, onerow_dir, key):
+    rows = SPECS[key].fn(spark, onerow_dir).collect()
+    assert isinstance(rows, list)  # executed; no (n-1)=0 job kill
+
+
+def test_one_row_null_semantics(spark, onerow_dir):
+    stats = SPECS["agg_stats"].fn(spark, onerow_dir).collect()[0]
+    assert stats["n"] == 1 and stats["mean_qty"] is not None
+    assert stats["var_qty"] is None and stats["stddev_qty"] is None
+
+    # single row -> percent_rank 0.0 by SQL definition, decile 1
+    nt = SPECS["win_ntile_pctrank_dist"].fn(spark, onerow_dir).collect()
+    assert len(nt) == 1
+    assert nt[0]["pct_rank"] == 0.0 and nt[0]["decile"] == 1
+
+    # one order -> no co-purchase edges -> empty rank table, no crash
+    assert SPECS["graph_pagerank"].fn(spark, onerow_dir).collect() == []
+
+    # sample smaller than the bucket count -> everything in bucket 0
+    rb = SPECS["sort_range_boundaries"].fn(spark, onerow_dir).collect()
+    assert len(rb) == 1 and rb[0]["bucket"] == 0 and rb[0]["n_rows"] == 1
+
+    z = SPECS["ts_anomaly_zscore"].fn(spark, onerow_dir).collect()
+    assert all(r["zscore"] is None for r in z)
+
+    cc = SPECS["ts_changepoint_cusum"].fn(spark, onerow_dir).collect()
+    assert all(r["cusum"] is None for r in cc)
+
+    av = SPECS["ts_anova_hour_of_day"].fn(spark, onerow_dir).collect()
+    assert all(r["f_stat"] is None for r in av)
+
+    bd = SPECS["text_burstiness_dispersion"].fn(
+        spark, onerow_dir
+    ).collect()
+    assert bd and all(r["vmr"] is None for r in bd)
+
+    mw = SPECS["agg_mann_whitney_u"].fn(spark, onerow_dir).collect()[0]
+    assert mw["z_stat"] is None
