@@ -782,7 +782,14 @@ JACCARD_NEIGH_K = 3
         "bigints, so the (jaccard, n_common, other) ranking is "
         "deterministic on both engines; one part-keyed window for "
         "top-k.  All shuffles keyed and linear in true co-occurrence "
-        "volume at 100 TB."
+        "volume at 100 TB.  The pair-count aggregation is explicitly "
+        "pre-partitioned on the pair key at 8x parallelism width: "
+        "distinct-pair cardinality grows with the corpus while the "
+        "default shuffle width stays fixed, so the per-task hash map "
+        "in the final agg otherwise grows UNBOUNDED with data (the "
+        "r10 x100 probe OOM-killed it at 32 partitions); groupBy on "
+        "the same keys reuses the partitioning, so this adds no "
+        "extra exchange."
     ),
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,9 +811,18 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = persist_fresh("jaccard_neigh_cp", sf_dir, cp.join(ok, "c"))
     deg = capped.groupBy("p").agg(F.count("*").cast("bigint").alias("d"))
     a, b = capped.alias("a"), capped.alias("b")
+    # Pre-partition the raw pair stream on the PAIR key before the
+    # count: distinct-pair cardinality scales with the corpus, so at a
+    # fixed shuffle width the final agg's per-task hash map grows
+    # without bound (the r10 ×100 probe OOM-killed it at width 32).
+    # groupBy on the same keys reuses this hash partitioning — no
+    # second exchange — and each task's map is pairs/width-sized.
+    width = max(64, spark.sparkContext.defaultParallelism * 8)
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .repartition(width, "p1", "p2")
+        .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sym = pairs.select(
