@@ -401,3 +401,47 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("event_id").cast("int").alias("nbits"),
         F.expr("~(event_id & 1023)").cast("bigint").alias("bnot"),
     )
+
+
+@query(
+    "fn_variant",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 3 AS k_tripled,
+           CAST(json_extract(props, '$.missing') AS INT) AS k_missing,
+           json_extract(props, '$')::VARCHAR AS props_roundtrip,
+           CAST(json_extract(props, '$.k') AS INT) IS NULL AS k_is_null
+    FROM events
+    """,
+    tables=("events",),
+    scale_note=(
+        "Spark 4 VariantType path for semi-structured attr bags "
+        "(SURVEY §1.2's raw-tweet JSON mapping): parse_json once per "
+        "row into a binary variant, then variant_get per path — "
+        "O(paths) binary probes instead of O(paths) string re-parses "
+        "that get_json_object costs.  At 100 TB the variant parse is a "
+        "pure codegen map stage (no shuffle); storing the variant "
+        "column in parquet amortizes the parse across every downstream "
+        "query.  Oracle: DuckDB json_extract casts; both engines "
+        "minify the JSON round-trip so the text compare is exact."
+    ),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over the events.props attr bag.
+
+    ``try_parse_json`` (not ``parse_json``) so malformed bags degrade
+    to NULL instead of failing a 100-TB scan; ``variant_get`` with a
+    typed path does the binary extraction; ``to_json`` round-trips the
+    variant for the oracle's minified-JSON compare.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        (F.variant_get(v, "$.k", "bigint") * 3).alias("k_tripled"),
+        F.variant_get(v, "$.missing", "int").alias("k_missing"),
+        F.to_json(v).alias("props_roundtrip"),
+        F.variant_get(v, "$.k", "int").isNull().alias("k_is_null"),
+    )

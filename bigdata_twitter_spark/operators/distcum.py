@@ -41,6 +41,7 @@ sort; nothing anywhere holds more than a bucket-sized slice.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -50,6 +51,16 @@ __all__ = ["two_level_cumulative"]
 
 _B = "__tlc_b"
 _LRN = "__tlc_lrn"
+_PEERS = "__tlc_peers"
+
+# Opt-in runtime total-order guard (VERDICT r10 carried item): when
+# set, every two_level_cumulative call verifies IN-PLAN that order_by
+# is tie-free within each (bucket, group) — the hazard class behind
+# the distcum incident (tied rows make inclusive running sums and
+# prevmax nondeterministic per row).  The test suite enables it
+# (tests/conftest.py), so every house caller's order spec is swept on
+# real data each run; production paths skip the extra window agg.
+VALIDATE_ENV = "BDT_DISTCUM_VALIDATE"
 
 
 def two_level_cumulative(
@@ -63,6 +74,7 @@ def two_level_cumulative(
     rank_limit: int | None = None,
     descending: bool = False,
     num_buckets: int | None = None,
+    validate_total_order: bool | None = None,
 ) -> DataFrame:
     """Add a distributed rank and/or inclusive running sums to ``df``.
 
@@ -90,9 +102,18 @@ def two_level_cumulative(
     BEFORE the offset join: a global top-K row necessarily has local
     rank ≤ K inside its own bucket, so the post-window filter caps the
     join input at NB × K × groups rows (the Hill top-k path).
+
+    ``validate_total_order`` (default: the ``BDT_DISTCUM_VALIDATE``
+    env var, which the test suite sets) adds an in-plan tie detector:
+    a ``RANGE BETWEEN CURRENT ROW AND CURRENT ROW`` frame counts
+    order-key PEERS — works for arbitrary order expressions including
+    ``desc()`` — and any peer group larger than one raises at runtime
+    instead of silently producing layout-dependent cumulatives.
     """
     if rank_limit is not None and rank_col is None:
         raise ValueError("rank_limit requires rank_col")
+    if validate_total_order is None:
+        validate_total_order = os.environ.get(VALIDATE_ENV, "0") == "1"
     spark = df.sparkSession
     nb = num_buckets or max(32, spark.sparkContext.defaultParallelism * 2)
     order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_by]
@@ -123,11 +144,40 @@ def two_level_cumulative(
     w_local = Window.partitionBy(_B, *gcols).orderBy(*order_exprs)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_prev = w_local.rowsBetween(Window.unboundedPreceding, -1)
-    local = bucketed.withColumn(_LRN, F.row_number().over(w_local))
+    if validate_total_order and (rank_col or sum_cols or prevmax_cols):
+        # Peers frame: counts rows TIED with the current row under the
+        # full order_by (works with desc()/expression orders, unlike a
+        # partitionBy on the keys).  The check wraps EVERY local
+        # cumulative column — Catalyst prunes unused ones (e.g. _LRN
+        # when only sum_cols is requested), so the guard must ride on
+        # whichever column actually feeds the output.  Same sorted run
+        # as w_local — no extra shuffle, one extra window agg.
+        peers = F.count(F.lit(1)).over(
+            w_local.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+
+        def _chk(col: Column) -> Column:
+            return F.when(peers == 1, col).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "two_level_cumulative: order_by is not a total "
+                        "order within (bucket, group) — tied rows make "
+                        "running sums/prevmax nondeterministic; add a "
+                        "tie-break key"
+                    )
+                )
+            )
+
+    else:
+
+        def _chk(col: Column) -> Column:
+            return col
+
+    local = bucketed.withColumn(_LRN, _chk(F.row_number().over(w_local)))
     for c in sum_cols:
-        local = local.withColumn(f"__tlc_ls_{c}", F.sum(c).over(w_run))
+        local = local.withColumn(f"__tlc_ls_{c}", _chk(F.sum(c).over(w_run)))
     for c in prevmax_cols:
-        local = local.withColumn(f"__tlc_lp_{c}", F.max(c).over(w_prev))
+        local = local.withColumn(f"__tlc_lp_{c}", _chk(F.max(c).over(w_prev)))
 
     # Level 2: per-(bucket, group) totals — NB × groups rows — and
     # their exclusive cumulative along the bucket axis.  Anchored on

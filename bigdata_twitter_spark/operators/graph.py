@@ -728,6 +728,11 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (score desc, common desc, other asc) is engine-deterministic.
 JACCARD_NEIGH_K = 3
 
+# Target distinct pair keys per final-agg task in the jaccard pair
+# count — bounds each task's aggregation hash map (~100 B/entry →
+# ~100 MB/task) independently of corpus size.
+_PAIR_KEYS_PER_TASK = 1_000_000
+
 
 @query(
     "graph_jaccard_neighbors",
@@ -817,7 +822,34 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without bound (the r10 ×100 probe OOM-killed it at width 32).
     # groupBy on the same keys reuses this hash partitioning — no
     # second exchange — and each task's map is pairs/width-sized.
-    width = max(64, spark.sparkContext.defaultParallelism * 8)
+    #
+    # Tradeoff (ADVICE r10, documented): planning the repartition
+    # UNDER the aggregation puts both partial and final agg above the
+    # exchange, so the shuffle carries raw per-co-occurrence pair
+    # rows, not map-side-combined (pair, count) rows — roughly
+    # avg(n_common)x more volume.  Accepted deliberately: same-pair
+    # rows come from DIFFERENT customers and so almost never co-reside
+    # in one map task of the customer-joined stream, meaning map-side
+    # combine buys ~nothing here, while the key-partitioned exchange
+    # bounds the agg hash map — the thing that actually OOMs.
+    #
+    # Width scales with the capped co-occurrence volume (not just
+    # cluster parallelism — data-independent width was the residual
+    # r10 gap): each capped (c, p) row emits at most (cap - 1) pairs,
+    # so pairs_upper / _PAIR_KEYS_PER_TASK tasks bound every task's
+    # hash map at ~_PAIR_KEYS_PER_TASK keys at any corpus size.  The
+    # count is one cheap job on the already-persisted capped table.
+    pairs_upper = capped.count() * (ALSO_BOUGHT_DEGREE_CAP - 1)
+    width = int(
+        min(
+            32768,
+            max(
+                64,
+                spark.sparkContext.defaultParallelism * 8,
+                pairs_upper // _PAIR_KEYS_PER_TASK,
+            ),
+        )
+    )
     pairs = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))

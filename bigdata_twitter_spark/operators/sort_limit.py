@@ -172,13 +172,18 @@ def sort_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A sample smaller than the bucket count has step 0: no boundary
     # can be cut (everything lands in bucket 0) — the step > 0 guard
     # keeps the modulo from raising ANSI REMAINDER_BY_ZERO (r10
-    # one-row sweep; oracle guarded identically).
+    # one-row sweep; oracle guarded identically).  The guard is a
+    # lazy CASE arm, not a leading conjunct: Catalyst does not
+    # guarantee left-to-right conjunct evaluation inside one Filter
+    # after optimization, so `(step > 0) & (sr % step == 0)` could be
+    # reordered into the very raise it guards against (ADVICE r10).
     step = (F.col("sn") / RANGE_BUCKETS).cast("bigint")
-    bounds = ranked.filter(
-        (step > 0)
-        & (F.col("sr") % step == 0)
-        & ((F.col("sr") / step).cast("bigint") < RANGE_BUCKETS)
-    ).select(F.col("o_totalprice").alias("bound"))
+    keep = F.when(
+        step > 0,
+        (F.col("sr") % step == 0)
+        & ((F.col("sr") / step).cast("bigint") < RANGE_BUCKETS),
+    ).otherwise(F.lit(False))
+    bounds = ranked.filter(keep).select(F.col("o_totalprice").alias("bound"))
     blist = bounds.agg(
         F.sort_array(F.collect_list("bound")).alias("bs")
     )

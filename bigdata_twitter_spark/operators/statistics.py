@@ -2174,79 +2174,41 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
                  AS HUGEINT) AS BIGINT) AS ss2
         FROM x
+    ),
+    se AS (
+        SELECT n1, n2, s1, s2,
+               CASE WHEN n1 >= 2 THEN
+                   ((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                   / CAST(n1 AS DOUBLE)
+               END AS se1,
+               CASE WHEN n2 >= 2 THEN
+                   ((CAST(ss2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                   / CAST(n2 AS DOUBLE)
+               END AS se2
+        FROM g
     )
     SELECT n1, n2,
-           CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean1_cents,
-           CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean2_cents,
-           CASE WHEN
-               ((CAST(ss1 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-               / CAST(n1 AS DOUBLE)
-               + ((CAST(ss2 AS DOUBLE)
-                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                 / CAST(n2 AS DOUBLE) = 0.0
-           THEN NULL ELSE
-           (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-            - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-           / sqrt(
-               ((CAST(ss1 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-               / CAST(n1 AS DOUBLE)
-               + ((CAST(ss2 AS DOUBLE)
-                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                 / CAST(n2 AS DOUBLE)
-           ) END AS t_stat,
-           CASE WHEN
-               ((CAST(ss1 AS DOUBLE)
-                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                   / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-               / CAST(n1 AS DOUBLE)
-               + ((CAST(ss2 AS DOUBLE)
-                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                     / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                 / CAST(n2 AS DOUBLE) = 0.0
-           THEN NULL ELSE
-           (((CAST(ss1 AS DOUBLE)
-              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-            / CAST(n1 AS DOUBLE)
-            + ((CAST(ss2 AS DOUBLE)
-                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                  / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-              / CAST(n2 AS DOUBLE))
-           * (((CAST(ss1 AS DOUBLE)
-                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                  / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-              / CAST(n1 AS DOUBLE)
-              + ((CAST(ss2 AS DOUBLE)
-                  - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                    / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                / CAST(n2 AS DOUBLE))
-           / (
-               (((CAST(ss1 AS DOUBLE)
-                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                    / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-                / CAST(n1 AS DOUBLE))
-               * (((CAST(ss1 AS DOUBLE)
-                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
-                  / CAST(n1 AS DOUBLE))
-               / (CAST(n1 AS DOUBLE) - 1.0)
-               + (((CAST(ss2 AS DOUBLE)
-                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                  / CAST(n2 AS DOUBLE))
-               * (((CAST(ss2 AS DOUBLE)
-                    - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
-                  / CAST(n2 AS DOUBLE))
-               / (CAST(n2 AS DOUBLE) - 1.0)
-           ) END AS welch_dof
-    FROM g
+           CASE WHEN n1 > 0 THEN
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END AS mean1_cents,
+           CASE WHEN n2 > 0 THEN
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END AS mean2_cents,
+           CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+                WHEN se1 + se2 = 0.0 THEN NULL
+                ELSE (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt(se1 + se2)
+           END AS t_stat,
+           CASE WHEN n1 < 2 OR n2 < 2 THEN NULL
+                WHEN se1 + se2 = 0.0 THEN NULL
+                ELSE (se1 + se2) * (se1 + se2)
+                     / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                        + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0))
+           END AS welch_dof
+    FROM se
     """,
     tables=("customer",),
     scale_note=(
@@ -2312,27 +2274,39 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
     se1 = _v(ss1, s1, n1) / n1.cast("double")
     se2 = _v(ss2, s2, n2) / n2.cast("double")
-    # Two constant samples zero both squared standard errors — t and
-    # the Welch-Satterthwaite dof are undefined; NULL rather than an
-    # ANSI DIVIDE_BY_ZERO job kill (r10 degenerate-domain sweep;
-    # oracle guarded on the same se1+se2 = 0 predicate).
-    degen = se1 + se2 == 0.0
-    t = F.when(degen, F.lit(None).cast("double")).otherwise(
-        (_m(s1, n1) - _m(s2, n2)) / F.sqrt(se1 + se2)
+    null_d = F.lit(None).cast("double")
+    # Guard ORDER matters under ANSI (the r10 degenerate-domain
+    # lesson, hardened per ADVICE r10): the n<2 branch must come
+    # FIRST and be a lazy CASE arm, because evaluating se1/se2 at
+    # all divides by (n-1) and n — a slice where one segment has 0
+    # or 1 customers would otherwise raise DIVIDE_BY_ZERO while
+    # computing the guard itself.  Second branch: two constant
+    # samples zero both squared standard errors — t and the
+    # Welch-Satterthwaite dof are undefined → NULL.  Oracle mirrors
+    # the same CASE order.
+    small = (n1 < F.lit(2)) | (n2 < F.lit(2))
+    t = (
+        F.when(small, null_d)
+        .when(se1 + se2 == 0.0, null_d)
+        .otherwise((_m(s1, n1) - _m(s2, n2)) / F.sqrt(se1 + se2))
     )
-    dof = F.when(degen, F.lit(None).cast("double")).otherwise(
-        (se1 + se2)
-        * (se1 + se2)
-        / (
-            se1 * se1 / (n1.cast("double") - F.lit(1.0))
-            + se2 * se2 / (n2.cast("double") - F.lit(1.0))
+    dof = (
+        F.when(small, null_d)
+        .when(se1 + se2 == 0.0, null_d)
+        .otherwise(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (n1.cast("double") - F.lit(1.0))
+                + se2 * se2 / (n2.cast("double") - F.lit(1.0))
+            )
         )
     )
     return g.select(
         "n1",
         "n2",
-        _m(s1, n1).alias("mean1_cents"),
-        _m(s2, n2).alias("mean2_cents"),
+        F.when(n1 > 0, _m(s1, n1)).otherwise(null_d).alias("mean1_cents"),
+        F.when(n2 > 0, _m(s2, n2)).otherwise(null_d).alias("mean2_cents"),
         t.alias("t_stat"),
         dof.alias("welch_dof"),
     )

@@ -183,6 +183,40 @@ assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 assert not set(_R10_WINDOW) & set(_R11_WINDOW)
 assert not set(_R9_WINDOW) & set(_R11_WINDOW)
 
+# Pre-staged r12 window (VERDICT r10 "Next round" #8 — unfreeze scope
+# decided in r11): the 2 keys added this round (never-checked, so they
+# lead and the backlog never re-grows), the 7 remaining r5-vintage
+# keys, then the 41 oldest r6-vintage keys in registration order.
+# Derived from CORRECTNESS_r01–r10 + the r11 window.
+_R12_WINDOW = (
+    # -- new this round (no driver row yet) --
+    "fn_variant", "geo_grid_hotspots",
+    # -- latest driver row r5 (registration order) --
+    "multimodal_decode_errors", "sim_pairs_threshold",
+    "embed_centroid_per_label", "sim_knn_join",
+    "agg_approx_count_distinct", "agg_weighted_median",
+    "join_asof_nearest",
+    # -- oldest 41 r6-vintage keys (registration order) --
+    "win_ntile_pctrank", "win_dedup_latest", "sort_multikey",
+    "limit_topk_global", "set_intersect", "set_except",
+    "join_skew_salted", "ts_tumbling_counts", "ts_sliding_counts",
+    "ts_sessionize_batch", "top_active_users", "error_rate_per_day",
+    "ts_gap_fill", "funnel_conversion", "ts_anomaly_zscore",
+    "ts_retention_cohort", "ts_interpolate", "text_tokenize",
+    "text_ngrams", "text_sentiment_lexicon", "text_lang_stats",
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_token_count_bpe", "text_keywords_topk",
+    "agg_bitmap_distinct", "agg_kmv_union_intersect",
+    "ts_sliding_distinct_kmv", "scan_parquet", "scan_json_lines",
+    "sink_parquet", "scan_csv", "sink_json_lines",
+    "source_stream_file", "source_stream_rate",
+    "sink_stream_foreachbatch", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_session_window", "stream_dedup",
+)
+
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+assert not set(_R12_WINDOW) & (set(_R11_WINDOW) | set(_R10_WINDOW))
+
 def query(
     name: str,
     sql: str | None = None,
@@ -210,10 +244,10 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R10_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R11_WINDOW``
     tuple above defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round),
-    with the pre-staged ``_R11_WINDOW`` queued directly behind it.
+    with the pre-staged ``_R12_WINDOW`` queued directly behind it.
     Keys outside both windows follow in registration order.
     """
     from .operators import windows  # noqa: F401
@@ -265,6 +299,10 @@ def load_all_operators() -> dict[str, QuerySpec]:
 
     # Round-7 additions (chunking pair is window-listed; the rest
     # queue behind the window for their first driver rows in round 8).
+    # Round-11 additions (window-listed in _R12_WINDOW for their first
+    # driver rows): Spark 4 Variant path + geo grid binning.
+    from .operators import geo  # noqa: F401  (round 11)
+
     from .text import chunking  # noqa: F401  (round 7)
     from .llm import phash  # noqa: F401  (round 7)
     from .llm import mmr  # noqa: F401  (round 7)
@@ -280,11 +318,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key r10 window first (what
-    # the driver certifies this round), the pre-staged r11 window
+    # Final check order: the explicit 50-key r11 window first (what
+    # the driver certifies this round), the pre-staged r12 window
     # second, then every remaining key in registration order.
     missing = [
-        k for k in (*_R10_WINDOW, *_R11_WINDOW) if k not in REGISTRY
+        k for k in (*_R11_WINDOW, *_R12_WINDOW) if k not in REGISTRY
     ]
     if missing:
         raise RuntimeError(
@@ -292,7 +330,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R10_WINDOW, *_R11_WINDOW):
+    for key in (*_R11_WINDOW, *_R12_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

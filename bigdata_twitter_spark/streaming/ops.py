@@ -423,23 +423,26 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _parts() -> set[str]:
         return {f for f in os.listdir(path) if f.endswith(".parquet")}
 
-    seen = _parts()
-    batches = [seen]
-    # TWO sentinel batches (30/60 days out, user_id = -1): batch A's
-    # max event time only becomes the applied watermark while batch B
-    # runs, and availableNow has no watermark-only finalize batch — so
-    # closing every real session takes both (see the outer join's
-    # sentinel note for the measured failure without B).
+    # TWO sentinels, TWO micro-batches (r11 trim — was three): the
+    # base file and sentinel A share batch 1 (the watermark during
+    # batch 1 is still the initial one, so A cannot late-drop base
+    # rows), and batch 2 (sentinel B) applies the A-inclusive
+    # watermark, which closes and emits every REAL session in one
+    # pass.  Sentinel A's own session never evicts (no third batch) —
+    # harmless, it is filtered from the read-back.  Identical outputs
+    # to the old base → A → B plan, one fewer stateful micro-batch.
     for days, eid in ((30, -1), (60, -2)):
         sent = spark.createDataFrame(
             [(eid, max_ts + dt.timedelta(days=days), -1, "click", 0.0, "{}")],
             EVENTS_US_SCHEMA,
         )
-        sent.coalesce(1).write.mode("append").parquet(path)
-        now = _parts()
-        batches.append(now - seen)
-        seen = now
-    # Pin batch order base → A → B with strictly increasing PAST
+        if eid == -1:
+            sent.coalesce(1).write.mode("append").parquet(path)
+            grp0 = _parts()
+        else:
+            sent.coalesce(1).write.mode("append").parquet(path)
+    batches = [grp0, _parts() - grp0]
+    # Pin batch order (base+A) → B with strictly increasing PAST
     # mtimes (the file source skips future-dated files and orders by
     # (mtime, path) — see stream_stream_join_outer).
     t0 = time.time() - 300
@@ -449,7 +452,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_state_store_conf(spark)
     stream = (
         spark.readStream.schema(EVENTS_US_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(path)
     )
     agg = (
@@ -1235,21 +1238,23 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).coalesce(1).write.mode("append").parquet(path)
-    # TWO sentinel files (30 and 60 days out), landing with later
-    # mtimes so the file source processes them as separate later
-    # batches.  Two are needed, not one: the watermark computed from
-    # batch N's max event time only APPLIES while processing batch
-    # N+1, and the availableNow replay does not run a watermark-only
-    # finalize batch after the last file — so sentinel A's watermark
-    # must be exercised by a real batch (sentinel B) for the final
-    # unmatched clicks (e.g. the max-ts click) to evict and emit.
+    # TWO sentinel files (30 and 60 days out) across TWO micro-batches
+    # (r11 trim — was three): base and sentinel A share batch 1 — the
+    # watermark during batch 1 is still the initial one, so A cannot
+    # late-drop base rows — and batch 2 (sentinel B) applies the
+    # A-inclusive watermark, evicting and emitting every REAL
+    # unmatched click in one pass.  Two sentinels are still needed,
+    # not one: the watermark computed from batch N's max event time
+    # only APPLIES while processing batch N+1, and the availableNow
+    # replay does not run a watermark-only finalize batch after the
+    # last file.  Sentinel A's own rows never evict (no third batch) —
+    # harmless, they are filtered from the read-back.
     def _parts() -> set[str]:
         return {
             f for f in os.listdir(path) if f.endswith(".parquet")
         }
 
-    seen = _parts()
-    batches = [seen]
+    grp0: set[str] = set()
     for days, eid in ((30, -1), (60, -3)):
         sent = spark.createDataFrame(
             [
@@ -1261,24 +1266,24 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             EVENTS_US_SCHEMA,
         )
         sent.coalesce(1).write.mode("append").parquet(path)
-        now = _parts()
-        batches.append(now - seen)
-        seen = now
+        if eid == -1:
+            grp0 = _parts()
+    batches = [grp0, _parts() - grp0]
     # The file source orders files by (mtime, path); all three writes
     # can land within mtime granularity, which would randomize batch
-    # order and break the sentinel protocol (a sentinel processed
-    # BEFORE base late-drops the whole base batch; both sentinels in
-    # ambiguous order cost the final eviction batch).  Stamp strictly
-    # increasing mtimes per write group to pin base → A → B — in the
-    # PAST: the source skips future-dated files (measured: a file
-    # stamped now+100 triggered an empty batch, its rows never read).
+    # order and break the sentinel protocol (a sentinel processed in
+    # the wrong batch costs the final eviction batch or late-drops
+    # base).  Stamp strictly increasing mtimes per write group to pin
+    # (base+A) → B — in the PAST: the source skips future-dated files
+    # (measured: a file stamped now+100 triggered an empty batch, its
+    # rows never read).
     t0 = time.time() - 300
     for i, group in enumerate(batches):
         for f in group:
             os.utime(os.path.join(path, f), (t0 + 100 * i, t0 + 100 * i))
     apply_state_store_conf(spark)
     stream = spark.readStream.schema(EVENTS_US_SCHEMA).option(
-        "maxFilesPerTrigger", "1"
+        "maxFilesPerTrigger", "2"
     ).parquet(path)
     clicks = (
         stream.filter(F.col("event_type") == "click")

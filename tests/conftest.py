@@ -10,6 +10,11 @@ import pytest
 os.environ["TZ"] = "UTC"
 time.tzset()
 
+# Run every two_level_cumulative call with the in-plan total-order
+# guard so each house caller's order spec is tie-swept on real data
+# every test run (VERDICT r10 carried item; production paths skip it).
+os.environ.setdefault("BDT_DISTCUM_VALIDATE", "1")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

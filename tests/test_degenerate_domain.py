@@ -58,19 +58,26 @@ ONEROW_FIXED_KEYS = [
 
 
 @pytest.fixture(scope="module")
-def degen_dir(spark, sf_dir):
+def degen_dir(spark, sf_dir, tmp_path_factory):
+    # tmp_path_factory (not a fixed /tmp path) so two concurrent
+    # pytest sessions can't overwrite each other's fixture parquet
+    # mid-read (ADVICE r10).
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/tools")
     from degen_audit import build_degen_fixture
 
-    return build_degen_fixture(spark, sf_dir, "/tmp/bdt_degen_sf_test")
+    return build_degen_fixture(
+        spark, sf_dir, str(tmp_path_factory.mktemp("bdt_degen_sf"))
+    )
 
 
 @pytest.fixture(scope="module")
-def onerow_dir(spark, sf_dir):
+def onerow_dir(spark, sf_dir, tmp_path_factory):
     sys.path.insert(0, __file__.rsplit("/tests/", 1)[0] + "/tools")
     from degen_audit import build_onerow_fixture
 
-    return build_onerow_fixture(spark, sf_dir, "/tmp/bdt_onerow_sf_test")
+    return build_onerow_fixture(
+        spark, sf_dir, str(tmp_path_factory.mktemp("bdt_onerow_sf"))
+    )
 
 
 @pytest.mark.parametrize("key", FIXED_KEYS)
@@ -154,3 +161,71 @@ def test_one_row_null_semantics(spark, onerow_dir):
 
     mw = SPECS["agg_mann_whitney_u"].fn(spark, onerow_dir).collect()[0]
     assert mw["z_stat"] is None
+
+
+# ---- Welch segment-skew boundary (ADVICE r10, medium) ----------------
+# The constant-domain and one-row sweeps both missed the case where ONE
+# Welch segment has 0 or 1 customers while the other is populated: the
+# old guard evaluated se1/se2 (dividing by n-1 and n) while testing
+# se1+se2=0, so those slices raised ANSI DIVIDE_BY_ZERO *inside the
+# guard*.  These fixtures pin the lazy-CASE fix and its oracle mirror.
+
+
+def _welch_both_engines(spark, fixture_dir):
+    import duckdb
+
+    srow = SPECS["agg_welch_ttest"].fn(spark, fixture_dir).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{fixture_dir}/customer.parquet/*.parquet')"
+    )
+    ocols = [
+        d[0] for d in con.sql(SPECS["agg_welch_ttest"].sql).description
+    ]
+    orow = dict(zip(ocols, con.sql(SPECS["agg_welch_ttest"].sql).fetchall()[0]))
+    con.close()
+    return srow, orow
+
+
+@pytest.fixture(scope="module")
+def welch_skew_dirs(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from bigdata_twitter_spark.tables import load
+
+    c = load(spark, sf_dir, "customer")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING")
+
+    one = str(tmp_path_factory.mktemp("bdt_welch_one_auto"))
+    auto.limit(1).unionByName(bld).write.mode("overwrite").parquet(
+        one + "/customer.parquet"
+    )
+    zero = str(tmp_path_factory.mktemp("bdt_welch_zero_auto"))
+    bld.write.mode("overwrite").parquet(zero + "/customer.parquet")
+    return one, zero
+
+
+def test_welch_one_customer_segment(spark, welch_skew_dirs):
+    """n1=1: mean defined, t/dof NULL — and the oracle mirrors it."""
+    srow, orow = _welch_both_engines(spark, welch_skew_dirs[0])
+    assert srow["n1"] == 1 and srow["n2"] > 1
+    assert srow["mean1_cents"] is not None
+    assert srow["t_stat"] is None and srow["welch_dof"] is None
+    for col in ("n1", "n2", "mean1_cents", "mean2_cents", "t_stat", "welch_dof"):
+        assert srow[col] == orow[col] or (
+            srow[col] is None and orow[col] is None
+        ), col
+
+
+def test_welch_empty_customer_segment(spark, welch_skew_dirs):
+    """n1=0: mean1 NULL (0-count, not 0/0), t/dof NULL, oracle mirrors."""
+    srow, orow = _welch_both_engines(spark, welch_skew_dirs[1])
+    assert srow["n1"] == 0
+    assert srow["mean1_cents"] is None
+    assert srow["t_stat"] is None and srow["welch_dof"] is None
+    for col in ("n1", "n2", "mean1_cents", "mean2_cents", "t_stat", "welch_dof"):
+        assert srow[col] == orow[col] or (
+            srow[col] is None and orow[col] is None
+        ), col

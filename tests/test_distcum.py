@@ -117,3 +117,39 @@ def test_single_value_domain_is_one_bucket(spark):
     )
     rows = {(r["k"], r["rnk"]) for r in got.collect()}
     assert rows == {(i, i + 1) for i in range(50)}
+
+
+def test_tied_order_raises_with_guard(spark):
+    """The total-order guard (VERDICT r10 carried item): an order_by
+    with ties inside a (bucket, group) must raise at runtime when
+    validation is on — not silently emit layout-dependent running
+    sums.  `v` alone is not a total order in _demo's output (one row
+    per (g, v), but globally-ungrouped v repeats across g)."""
+    import pytest
+
+    df = _demo(spark)
+    bad = two_level_cumulative(
+        df.select("v", "c"),  # v repeats across former groups -> ties
+        order_by=["v"],
+        bucket_key="v",
+        sum_cols=["c"],
+        num_buckets=5,
+        validate_total_order=True,
+    )
+    with pytest.raises(Exception, match="not a total order"):
+        bad.collect()
+
+
+def test_tied_order_passes_without_guard_flag(spark, monkeypatch):
+    """validate_total_order=False (explicit) skips the guard — the
+    production default when BDT_DISTCUM_VALIDATE is unset."""
+    df = _demo(spark)
+    out = two_level_cumulative(
+        df.select("v", "c"),
+        order_by=["v"],
+        bucket_key="v",
+        sum_cols=["c"],
+        num_buckets=5,
+        validate_total_order=False,
+    )
+    assert out.count() == df.count()

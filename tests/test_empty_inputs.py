@@ -74,6 +74,9 @@ ZERO_ROW_KEYS = [
     "table_deletion_vectors",
     "scan_manifest_pruned",
     "ts_forecast_backtest",
+    # round-11 additions
+    "fn_variant",
+    "geo_grid_hotspots",
 ]
 
 
