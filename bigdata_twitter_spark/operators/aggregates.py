@@ -897,3 +897,54 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_cents",
         "trimmed_mean_cents",
     )
+
+
+@query(
+    "agg_q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_micro,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * CAST(floor(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    tables=("lineitem",),
+    scale_note=(
+        "TPC-H Q6 analog — the canonical predicate-pushdown showcase: "
+        "ONE lineitem scan with all three predicates pushed into the "
+        "parquet reader (shipdate min/max prunes whole row groups at "
+        "100 TB when the table is ship-date-clustered — the "
+        "sink_sorted_clustered layout), then a partial+final agg of a "
+        "single BIGINT.  Zero joins, zero windows, shuffle carries "
+        "exactly one row per task.  Revenue accumulates as exact "
+        "cents×basis-points integers (< 2^63 at any plausible SF); "
+        "the only float is one final display division."
+    ),
+)
+def agg_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: potential revenue increase from discounted small
+    orders shipped in 1996."""
+    l = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.floor(F.col("l_discount") * 100).cast("bigint")
+    filt = l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filt.agg(
+        F.sum(cents * disc_bp).cast("bigint").alias("revenue_micro"),
+        (F.sum(cents * disc_bp).cast("double") / F.lit(10000.0)).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )

@@ -888,3 +888,55 @@ def agg_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(
         Q10_TOPK
     )
+
+
+@query(
+    "agg_q4_late_shipments",
+    sql="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tables=("orders", "lineitem"),
+    scale_note=(
+        "TPC-H Q4 analog (EXISTS decorrelated to a LEFT SEMI join — "
+        "the fixture has no commit/receipt dates, so 'late' is "
+        "shipped >60 days after order date; the residual comparison "
+        "rides the semi join as a non-equi condition).  The quarter "
+        "filter is pushed to the orders scan BEFORE the join, so the "
+        "semi join's build side is one quarter of orders; both sides "
+        "shuffle once on l_orderkey/o_orderkey (the exact-EXISTS "
+        "minimum at 100 TB — lineitem cannot broadcast), each order "
+        "emits at most once regardless of its lineitem fan-out (semi "
+        "short-circuit, no distinct needed), and the final agg is "
+        "priorities-sized."
+    ),
+)
+def agg_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders per priority with at least one late-shipped
+    line item, over one order-date quarter."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+        "leftsemi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
