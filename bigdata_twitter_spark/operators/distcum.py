@@ -109,6 +109,10 @@ def two_level_cumulative(
     order-key PEERS — works for arbitrary order expressions including
     ``desc()`` — and any peer group larger than one raises at runtime
     instead of silently producing layout-dependent cumulatives.
+    Validation-mode plans trade one optimization away: the CASE wrap
+    around ``row_number`` defeats ``InferWindowGroupLimit``, so a
+    ``rank_limit`` prunes after the local window instead of map-side —
+    tests/test_plans.py pins the production (guard-off) plan.
     """
     if rank_limit is not None and rank_col is None:
         raise ValueError("rank_limit requires rank_col")

@@ -1556,3 +1556,193 @@ def graph_modularity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_num").cast("double") / (F.lit(4.0) * md * md)
         ).alias("modularity"),
     )
+
+
+# ---- approximate neighbor-Jaccard via MinHash (round 11) --------------
+# The exact graph_jaccard_neighbors is probe-pinned sublinear but is
+# the graph family's most expensive key at ×100 (41.9× wall — true
+# pair-volume growth of the degree-capped inverted-index self-join).
+# This is the approximate twin VERDICT r10 called for: MinHash the
+# NEIGHBOR SETS so candidate pairs come from banded signatures (cost
+# ∝ parts × bands) instead of listing every co-occurrence pair
+# (cost ∝ Σ deg(c)²), and the similarity estimate is signature
+# agreement instead of an exact intersection count.  The md5 hash
+# family keeps it driver-hash-verifiable end to end (the
+# dedup_minhash_md5 discipline applied to graph neighborhoods).
+JACCMH_SEEDS = 16
+JACCMH_BANDS = 4
+JACCMH_ROWS = JACCMH_SEEDS // JACCMH_BANDS
+JACCMH_BUCKET_CAP = 200
+JACCMH_K = 3
+
+
+@query(
+    "graph_jaccard_minhash",
+    sql=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), ok AS (
+        SELECT c FROM cp GROUP BY c HAVING COUNT(*) <= {ALSO_BOUGHT_DEGREE_CAP}
+    ), capped AS (
+        SELECT cp.c, cp.p FROM cp JOIN ok ON cp.c = ok.c
+    ), hh AS (
+        SELECT p, u.seed AS seed,
+               min(md5(CAST(u.seed AS VARCHAR) || ':' || CAST(c AS VARCHAR)))
+                   AS mh
+        FROM capped, UNNEST(range(0, {JACCMH_SEEDS})) AS u(seed)
+        GROUP BY p, u.seed
+    ), sig AS (
+        SELECT p, list(mh ORDER BY seed) AS sig FROM hh GROUP BY p
+    ), bands AS (
+        SELECT p, u.band AS band,
+               md5(array_to_string(
+                   list_slice(sig, u.band * {JACCMH_ROWS} + 1,
+                              u.band * {JACCMH_ROWS} + {JACCMH_ROWS}),
+                   ',')) AS band_sig
+        FROM sig, UNNEST(range(0, {JACCMH_BANDS})) AS u(band)
+    ), keep AS (
+        SELECT p, band, band_sig FROM bands
+        QUALIFY COUNT(*) OVER (PARTITION BY band, band_sig)
+                <= {JACCMH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM keep a JOIN keep b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.p < b.p
+    ), scored AS (
+        SELECT c.p1, c.p2,
+               CAST(len(list_filter(range(1, {JACCMH_SEEDS} + 1),
+                        i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.p = c.p1
+        JOIN sig sb ON sb.p = c.p2
+    ), sym AS (
+        SELECT p1 AS part, p2 AS other, n_match FROM scored
+        UNION ALL
+        SELECT p2 AS part, p1 AS other, n_match FROM scored
+    ), ranked AS (
+        SELECT part, other, n_match,
+               CAST(n_match AS DOUBLE) / {JACCMH_SEEDS}.0 AS est_jaccard,
+               row_number() OVER (
+                   PARTITION BY part
+                   ORDER BY n_match DESC, other
+               ) AS rnk
+        FROM sym
+    )
+    SELECT part, CAST(rnk AS INT) AS rnk, other, n_match, est_jaccard
+    FROM ranked WHERE rnk <= {JACCMH_K}
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Approximate twin of graph_jaccard_neighbors (VERDICT r10 "
+        "watch item): ONE pass over the degree-capped (customer, "
+        "part) bipartite computes all 16 md5-minima per part inside "
+        "a single partial-aggregating groupBy (min is algebraic — "
+        "map-side combine collapses each task to parts × 16 cells, "
+        "NO 16× row explosion), signatures are parts-sized, banding "
+        "is parts × 4 rows, and candidates come from occupancy-"
+        "capped bucket equi-joins — shuffle never carries the "
+        "Σ deg(c)² co-occurrence pair stream that makes the exact "
+        "key 41.9× at ×100.  Signature agreement (n_match/16) "
+        "estimates Jaccard; two parts-keyed joins attach signatures "
+        "to candidates; one part-keyed top-k window.  md5 end to "
+        "end ⇒ the oracle replays the IDENTICAL algorithm, so "
+        "banding, capping, estimation and ranking are all "
+        "hash-verified."
+    ),
+)
+def graph_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 similar parts per part by ESTIMATED buyer-set Jaccard —
+    banded md5-MinHash over neighbor sets (the scale path beside the
+    exact graph_jaccard_neighbors)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ok = (
+        cp.groupBy("c")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= ALSO_BOUGHT_DEGREE_CAP)
+        .select("c")
+    )
+    capped = cp.join(ok, "c")
+    # All 16 minima in ONE aggregation pass (no seed explosion).
+    hashes = capped.withColumn(
+        "h",
+        F.expr(
+            f"transform(sequence(0, {JACCMH_SEEDS - 1}),"
+            " i -> md5(concat(cast(i as string), ':', cast(c as string))))"
+        ),
+    )
+    sig = hashes.groupBy("p").agg(
+        F.array(
+            *[F.min(F.col("h")[i]) for i in range(JACCMH_SEEDS)]
+        ).alias("sig")
+    )
+    sig = persist_fresh("jaccard_mh_sig", sf_dir, sig)
+    bands = sig.select(
+        "p",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {JACCMH_BANDS - 1}),"
+                f" b -> md5(concat_ws(',',"
+                f" slice(sig, b * {JACCMH_ROWS} + 1, {JACCMH_ROWS}))))"
+            )
+        ).alias("band", "band_sig"),
+    )
+    bands = persist_fresh("jaccard_mh_bands", sf_dir, bands)
+    occ = bands.groupBy("band", "band_sig").agg(F.count("*").alias("occ"))
+    keep = bands.join(
+        occ.filter(F.col("occ") <= JACCMH_BUCKET_CAP).select(
+            "band", "band_sig"
+        ),
+        ["band", "band_sig"],
+    )
+    a, b = keep.alias("a"), keep.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    sa = sig.select(F.col("p").alias("p1"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("p").alias("p2"), F.col("sig").alias("sig_b"))
+    scored = (
+        cand.join(sa, "p1")
+        .join(sb, "p2")
+        .select(
+            "p1",
+            "p2",
+            F.expr(
+                "cast(size(filter(arrays_zip(sig_a, sig_b),"
+                " x -> x.sig_a = x.sig_b)) as bigint)"
+            ).alias("n_match"),
+        )
+    )
+    sym = scored.select(
+        F.col("p1").alias("part"), F.col("p2").alias("other"), "n_match"
+    ).unionAll(
+        scored.select(
+            F.col("p2").alias("part"), F.col("p1").alias("other"), "n_match"
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("n_match").desc(), F.col("other")
+    )
+    return (
+        sym.withColumn(
+            "est_jaccard",
+            F.col("n_match").cast("double") / F.lit(float(JACCMH_SEEDS)),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= JACCMH_K)
+        .select("part", "rnk", "other", "n_match", "est_jaccard")
+    )

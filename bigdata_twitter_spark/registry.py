@@ -68,20 +68,27 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     sample_hash_stratified, sample_exact_k_stratified,
 #     agg_mode_per_group).
 #
-#   r10 window (_R10_WINDOW below — ACTIVE this round, first in the
-#     check order): the remaining 8 r3-stale keys (trending_topk_terms,
+#   r10 window (_R10_WINDOW below — DONE, CORRECTNESS_r10.json 50/50
+#     pass): the remaining 8 r3-stale keys (trending_topk_terms,
 #     tweet_hashtag_topk, win_session_paths, win_streak_longest,
 #     ts_ewma, ts_downsample_ohlc, text_bigram_familiarity,
 #     text_scrub_denylist), then the 42 oldest-r4 keys to fill 50.
 #
-#   r11 window (_R11_WINDOW below, pre-staged per VERDICT r9 #5):
-#     normal oldest-first freshness rotation — the 7 remaining
-#     r4-vintage keys, then the 43 oldest r5-vintage keys (load
-#     order within a vintage).  Computed from the latest driver row
-#     per key across CORRECTNESS_r01–r09 + the r10 window.
+#   r11 window (_R11_WINDOW below — ACTIVE this round, first in the
+#     check order): normal oldest-first freshness rotation — the 7
+#     remaining r4-vintage keys, then the 43 oldest r5-vintage keys
+#     (load order within a vintage).  Computed from the latest driver
+#     row per key across CORRECTNESS_r01–r09 + the r10 window.
+#
+#   r12 window (_R12_WINDOW below, pre-staged): the r11 unfreeze keys
+#     first (never-checked), then the 7 remaining r5-vintage keys and
+#     the 41 oldest r6-vintage keys.  The r11 additions registered
+#     AFTER the staged windows (agg_q6_forecast_revenue,
+#     agg_q4_late_shipments) queue for the r13 window.
 #
 # After r10: every key's latest driver row is r4+ and the
-# never-checked backlog is 0.  After r11: every row is r5+.
+# never-checked backlog is 0.  After r11: every row is r5+.  After
+# r12: every row is r6+ and the r11 additions are driver-certified.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --

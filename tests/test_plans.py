@@ -551,10 +551,19 @@ def test_rank_stats_have_no_data_sized_window_partitions(spark, sf_dir):
             assert bucketed or offsets_side or lorenz_curve, (key, ln)
 
 
-def test_hill_topk_prune_reaches_window_group_limit(spark, sf_dir):
+def test_hill_topk_prune_reaches_window_group_limit(
+    spark, sf_dir, monkeypatch
+):
     """agg_hill_tail_index's rank_limit must surface as a
     WindowGroupLimit (partial + final) so the top-100 cut prunes
-    map-side BEFORE the bucket shuffle, not after the full rank."""
+    map-side BEFORE the bucket shuffle, not after the full rank.
+
+    Captured with the distcum total-order guard OFF: this pins the
+    PRODUCTION plan (the guard defaults off outside the test env),
+    and the guard's CASE wrap around row_number intentionally defeats
+    the InferWindowGroupLimit pattern — in validation mode the tie
+    check outranks the map-side prune by design."""
+    monkeypatch.setenv("BDT_DISTCUM_VALIDATE", "0")
     plan = _plan(spark, sf_dir, "agg_hill_tail_index")
     # Two WindowGroupLimit nodes = the partial (pre-shuffle) and final
     # (post-shuffle) group-limit pair; a bare 'Partial' substring match
