@@ -31,6 +31,52 @@ from ..tables import load
 _LAT_MILLI = "(event_id * 2654435761 + user_id * 40503) % 180000"
 _LON_MILLI = "(event_id * 97 + user_id * 1009 + 7) % 360000"
 
+# Landmark (supplier) positions — same integer milli-degree space.
+_SLAT_MILLI = "(s_suppkey * 2654435761 + 12345) % 180000"
+_SLON_MILLI = "(s_suppkey * 97 + 31) % 360000"
+
+# Radius-join parameters: 10-degree cells, 5-degree radius.  Because
+# RADIUS_MILLI <= CELL_MILLI, every point within the radius of a
+# landmark lies in one of the landmark's 3x3 neighbouring cells, so a
+# +-1 cell expansion is a complete candidate set.  The distance metric
+# is squared Euclidean in integer milli-degrees (dlat^2 + dlon^2 —
+# exact BIGINT, so the oracle compare is hash-grade; a production
+# deployment would swap the fine filter to haversine, which changes
+# only this one codegen expression, not the candidate structure).  No
+# wraparound: positions live in [0,180000)x[0,360000) and the metric
+# is defined on that flat strip in both engines identically.
+_CELL_MILLI = 10000
+_RADIUS_MILLI = 5000
+_RADIUS_SQ = _RADIUS_MILLI * _RADIUS_MILLI
+
+
+def _landmarks9(sup: DataFrame) -> DataFrame:
+    """Supplier landmarks expanded to their 3x3 neighbour cells.
+
+    One exploded row per (landmark, lat offset, lon offset); the probe
+    cell ids are what the big side equi-joins on.  9x a small dim stays
+    broadcast-sized by construction.
+    """
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    return (
+        sup.select(
+            "s_suppkey",
+            F.expr(_SLAT_MILLI).alias("slat"),
+            F.expr(_SLON_MILLI).alias("slon"),
+        )
+        .withColumn("dlat_off", F.explode(off))
+        .withColumn("dlon_off", F.explode(off))
+        .select(
+            "s_suppkey", "slat", "slon",
+            (F.expr(f"slat div {_CELL_MILLI}") + F.col("dlat_off")).alias(
+                "probe_lat_cell"
+            ),
+            (F.expr(f"slon div {_CELL_MILLI}") + F.col("dlon_off")).alias(
+                "probe_lon_cell"
+            ),
+        )
+    )
+
 
 @query(
     "geo_grid_hotspots",
@@ -83,4 +129,180 @@ def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_events"), "cell_lat", "cell_lon")
         .limit(20)
+    )
+
+
+@query(
+    "geo_distance_join",
+    sql=f"""
+    WITH lm AS (
+        SELECT s_suppkey,
+               ({_SLAT_MILLI}) AS slat, ({_SLON_MILLI}) AS slon
+        FROM supplier
+    ),
+    pts AS (
+        SELECT ({_LAT_MILLI}) AS elat, ({_LON_MILLI}) AS elon, value
+        FROM events
+    ),
+    cand AS (
+        SELECT lm.s_suppkey, pts.value,
+               (pts.elat - lm.slat) AS dlat, (pts.elon - lm.slon) AS dlon
+        FROM lm JOIN pts
+          ON (pts.elat // {_CELL_MILLI})
+                 BETWEEN (lm.slat // {_CELL_MILLI}) - 1
+                     AND (lm.slat // {_CELL_MILLI}) + 1
+         AND (pts.elon // {_CELL_MILLI})
+                 BETWEEN (lm.slon // {_CELL_MILLI}) - 1
+                     AND (lm.slon // {_CELL_MILLI}) + 1
+    )
+    SELECT s_suppkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS sum_value
+    FROM cand
+    WHERE dlat * dlat + dlon * dlon <= {_RADIUS_SQ}
+    GROUP BY s_suppkey
+    ORDER BY n_events DESC, s_suppkey
+    """,
+    tables=("events", "supplier"),
+    scale_note=(
+        "Radius join via grid bucketing: the landmark side is expanded "
+        "9x (3x3 neighbour cells) and BROADCAST, so the event scan "
+        "never shuffles — candidates come from a broadcast hash join "
+        "on the cell id, the exact-distance fine filter runs in the "
+        "same codegen stage, and the final groupBy is bounded by "
+        "landmark cardinality.  At 100 TB with a landmark set too big "
+        "to broadcast, the identical plan runs as a shuffle join still "
+        "keyed on cells (salt hot cells); the candidate volume is "
+        "O(points x avg cell occupancy of landmarks), never points x "
+        "landmarks.  BIGINT dlat^2+dlon^2 keeps the filter exact."
+    ),
+)
+def geo_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-within-radius per landmark (grid-bucketed radius join).
+
+    Candidate generation is an equi-join on 10-degree cell ids after a
+    +-1 cell expansion of the (broadcast) landmark side; the +-1
+    expansion is complete because the radius does not exceed the cell
+    size.  The DuckDB oracle expresses the same candidate set as a
+    BETWEEN range join on the cell ids — identical semantics, since a
+    cell within +-1 of the landmark's matches exactly one expansion
+    offset.
+    """
+    lm9 = _landmarks9(load(spark, sf_dir, "supplier"))
+    pts = load(spark, sf_dir, "events").select(
+        F.expr(_LAT_MILLI).alias("elat"),
+        F.expr(_LON_MILLI).alias("elon"),
+        F.col("value").cast("decimal(18,2)").alias("value_dec"),
+    ).select(
+        "elat", "elon", "value_dec",
+        F.expr(f"elat div {_CELL_MILLI}").alias("e_lat_cell"),
+        F.expr(f"elon div {_CELL_MILLI}").alias("e_lon_cell"),
+    )
+
+    dlat = F.col("elat") - F.col("slat")
+    dlon = F.col("elon") - F.col("slon")
+    return (
+        pts.join(
+            F.broadcast(lm9),
+            (F.col("e_lat_cell") == F.col("probe_lat_cell"))
+            & (F.col("e_lon_cell") == F.col("probe_lon_cell")),
+        )
+        .where(dlat * dlat + dlon * dlon <= F.lit(_RADIUS_SQ))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), "s_suppkey")
+    )
+
+
+@query(
+    "geo_nearest_landmark",
+    sql=f"""
+    WITH lm AS (
+        SELECT s_suppkey,
+               ({_SLAT_MILLI}) AS slat, ({_SLON_MILLI}) AS slon
+        FROM supplier
+    ),
+    pts AS (
+        SELECT event_id,
+               ({_LAT_MILLI}) AS elat, ({_LON_MILLI}) AS elon
+        FROM events
+    ),
+    cand AS (
+        SELECT pts.event_id, lm.s_suppkey,
+               (pts.elat - lm.slat) * (pts.elat - lm.slat)
+             + (pts.elon - lm.slon) * (pts.elon - lm.slon) AS d2
+        FROM lm JOIN pts
+          ON (pts.elat // {_CELL_MILLI})
+                 BETWEEN (lm.slat // {_CELL_MILLI}) - 1
+                     AND (lm.slat // {_CELL_MILLI}) + 1
+         AND (pts.elon // {_CELL_MILLI})
+                 BETWEEN (lm.slon // {_CELL_MILLI}) - 1
+                     AND (lm.slon // {_CELL_MILLI}) + 1
+        WHERE (pts.elat - lm.slat) * (pts.elat - lm.slat)
+            + (pts.elon - lm.slon) * (pts.elon - lm.slon) <= {_RADIUS_SQ}
+    ),
+    best AS (
+        SELECT event_id, MIN(d2) AS nearest_d2 FROM cand GROUP BY event_id
+    )
+    SELECT c.event_id,
+           MIN(c.s_suppkey) AS nearest_suppkey,
+           b.nearest_d2
+    FROM cand c JOIN best b
+      ON c.event_id = b.event_id AND c.d2 = b.nearest_d2
+    GROUP BY c.event_id, b.nearest_d2
+    ORDER BY c.event_id
+    """,
+    tables=("events", "supplier"),
+    scale_note=(
+        "Nearest-neighbour over the same broadcast 3x3 cell candidate "
+        "structure as geo_distance_join, reduced with ONE partial-"
+        "aggregating groupBy(event_id) of min(struct(d2, suppkey)) — "
+        "no window, no self-join on the big side; the argmin rides the "
+        "struct ordering so ties break deterministically on the lower "
+        "suppkey.  The oracle spells the identical semantics as "
+        "min-then-rejoin (DuckDB has no struct min); results agree "
+        "exactly because both pick (min d2, then min suppkey).  Points "
+        "with no landmark within the radius drop out (inner "
+        "semantics), so output is bounded by the matched-point count."
+    ),
+)
+def geo_nearest_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest landmark within the radius for every event (argmin join)."""
+    lm9 = _landmarks9(load(spark, sf_dir, "supplier"))
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_LAT_MILLI).alias("elat"),
+        F.expr(_LON_MILLI).alias("elon"),
+    ).select(
+        "event_id", "elat", "elon",
+        F.expr(f"elat div {_CELL_MILLI}").alias("e_lat_cell"),
+        F.expr(f"elon div {_CELL_MILLI}").alias("e_lon_cell"),
+    )
+
+    dlat = F.col("elat") - F.col("slat")
+    dlon = F.col("elon") - F.col("slon")
+    cand = (
+        pts.join(
+            F.broadcast(lm9),
+            (F.col("e_lat_cell") == F.col("probe_lat_cell"))
+            & (F.col("e_lon_cell") == F.col("probe_lon_cell")),
+        )
+        .select(
+            "event_id", "s_suppkey",
+            (dlat * dlat + dlon * dlon).alias("d2"),
+        )
+        .where(F.col("d2") <= F.lit(_RADIUS_SQ))
+    )
+    return (
+        cand.groupBy("event_id")
+        .agg(F.min(F.struct("d2", "s_suppkey")).alias("best"))
+        .select(
+            "event_id",
+            F.col("best.s_suppkey").alias("nearest_suppkey"),
+            F.col("best.d2").alias("nearest_d2"),
+        )
+        .orderBy("event_id")
     )

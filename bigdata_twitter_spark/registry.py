@@ -84,7 +84,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #     first (never-checked), then the 7 remaining r5-vintage keys and
 #     the 41 oldest r6-vintage keys.  The r11 additions registered
 #     AFTER the staged windows (agg_q6_forecast_revenue,
-#     agg_q4_late_shipments) queue for the r13 window.
+#     agg_q4_late_shipments, graph_jaccard_minhash, geo_distance_join,
+#     geo_nearest_landmark) queue for the r13 window.
 #
 # After r10: every key's latest driver row is r4+ and the
 # never-checked backlog is 0.  After r11: every row is r5+.  After

@@ -77,6 +77,8 @@ ZERO_ROW_KEYS = [
     # round-11 additions
     "fn_variant",
     "geo_grid_hotspots",
+    "geo_distance_join",
+    "geo_nearest_landmark",
 ]
 
 
