@@ -28,12 +28,25 @@ from ..tables import load
 # Knuth multiplicative constants keep the derived positions uniform
 # across cells; all arithmetic stays in non-negative int64 so `%` and
 # `div` agree between Spark (truncating) and DuckDB (flooring).
-_LAT_MILLI = "(event_id * 2654435761 + user_id * 40503) % 180000"
-_LON_MILLI = "(event_id * 97 + user_id * 1009 + 7) % 360000"
+#
+# Ids are pre-reduced mod the cycle BEFORE the multiply:
+# (a·x + b·y) mod m == (a·(x mod m) + b·(y mod m)) mod m, so the
+# values are identical to the unreduced form — but the term bound
+# drops from a·max(id) (which overflows int64 under ANSI once ids
+# reach ~3.5e9, e.g. the ×30 probe's stride-offset ids or any
+# snowflake-style production id) to a·(m-1) < 5e14.  The ×30 probe
+# caught the unreduced form with ARITHMETIC_OVERFLOW.
+_LAT_MILLI = (
+    "((event_id % 180000) * 2654435761 + (user_id % 180000) * 40503)"
+    " % 180000"
+)
+_LON_MILLI = (
+    "((event_id % 360000) * 97 + (user_id % 360000) * 1009 + 7) % 360000"
+)
 
 # Landmark (supplier) positions — same integer milli-degree space.
-_SLAT_MILLI = "(s_suppkey * 2654435761 + 12345) % 180000"
-_SLON_MILLI = "(s_suppkey * 97 + 31) % 360000"
+_SLAT_MILLI = "((s_suppkey % 180000) * 2654435761 + 12345) % 180000"
+_SLON_MILLI = "((s_suppkey % 360000) * 97 + 31) % 360000"
 
 # Radius-join parameters: 10-degree cells, 5-degree radius.  Because
 # RADIUS_MILLI <= CELL_MILLI, every point within the radius of a

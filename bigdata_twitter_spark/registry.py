@@ -89,7 +89,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # After r10: every key's latest driver row is r4+ and the
 # never-checked backlog is 0.  After r11: every row is r5+.  After
-# r12: every row is r6+ and the r11 additions are driver-certified.
+# r12: every row is r6+ and fn_variant/geo_grid_hotspots are
+# driver-certified.  After r13 (_R13_WINDOW below): every row is r7+
+# and all 314 keys are driver-certified.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --
@@ -225,6 +227,41 @@ _R12_WINDOW = (
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 assert not set(_R12_WINDOW) & (set(_R11_WINDOW) | set(_R10_WINDOW))
 
+# Pre-staged r13 window: the 5 r11 additions registered after the
+# staged windows (never-checked — they lead so the backlog never
+# re-grows), the 9 remaining r6-vintage keys, then the 36 oldest
+# r7-vintage keys in registration order.  Derived from
+# CORRECTNESS_r01–r10 + the r11/r12 windows.  After r13 every key's
+# latest driver row is r7+ and all 314 keys are driver-certified.
+_R13_WINDOW = (
+    # -- new in r11 with no driver row yet --
+    "graph_jaccard_minhash", "geo_distance_join", "geo_nearest_landmark",
+    "agg_q6_forecast_revenue", "agg_q4_late_shipments",
+    # -- latest driver row r6 (registration order) --
+    "stream_late_data", "stream_stateful_running", "stream_stream_join",
+    "join_pit_scd2", "agg_percentiles", "agg_ratio_wilson_ci",
+    "join_bucketed_colocated", "graph_also_bought_topk",
+    "table_clone_shallow",
+    # -- oldest 36 r7-vintage keys (registration order) --
+    "ts_funnel_sequence", "sim_pairs_bucketed", "multimodal_frame_sample",
+    "dedup_components", "sim_ivf_topk", "dedup_embedding",
+    "agg_hll_sketch", "sample_weighted_pps", "agg_heavy_hitters_cms",
+    "scan_schema_evolution", "scan_text_lines", "stream_topk_per_window",
+    "stream_checkpoint_resume", "stream_transform_with_state",
+    "merge_upsert", "cdc_scd2_intervals", "agg_approx_percentile",
+    "agg_histogram", "agg_percentile_binned", "sink_partitioned_parquet",
+    "sink_compact_small_files", "sink_sorted_clustered",
+    "sink_zorder_clustered", "scan_manifest_pruned",
+    "embed_quantize_int8", "graph_khop_reach", "doc_pipeline_e2e",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_containment",
+    "embed_pca_project", "sim_pairs_bucket_jobs",
+    "agg_regression_per_group", "ts_changepoint_cusum",
+    "ts_autocorr_lag", "ts_holt_linear",
+)
+
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+assert not set(_R13_WINDOW) & (set(_R12_WINDOW) | set(_R11_WINDOW))
+
 def query(
     name: str,
     sql: str | None = None,
@@ -327,10 +364,12 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import aggregates, filters, joins  # noqa: F401
 
     # Final check order: the explicit 50-key r11 window first (what
-    # the driver certifies this round), the pre-staged r12 window
-    # second, then every remaining key in registration order.
+    # the driver certifies this round), the pre-staged r12 and r13
+    # windows next, then every remaining key in registration order.
     missing = [
-        k for k in (*_R11_WINDOW, *_R12_WINDOW) if k not in REGISTRY
+        k
+        for k in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW)
+        if k not in REGISTRY
     ]
     if missing:
         raise RuntimeError(
@@ -338,7 +377,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R11_WINDOW, *_R12_WINDOW):
+    for key in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()
