@@ -73,6 +73,35 @@ HEADLINE_LLM = [
     "train_pipeline_e2e",
 ]
 
+# TPC-H analog power run (added r11 when wave 2 completed the
+# 20-query suite): every TPC-H-shaped key, timed under its own JSON
+# section so the suite total is a recognizable cross-engine yardstick
+# without disturbing ``value``'s comparability with the r01 bar.
+# q1 also appears in HEADLINE; here it is re-timed inside the suite
+# so ``value_tpch`` is self-contained.
+HEADLINE_TPCH = [
+    "agg_q1_pricing",
+    "agg_q2_min_cost_supplier",
+    "agg_q3_shipping",
+    "agg_q4_late_shipments",
+    "agg_q5_local_supplier",
+    "agg_q6_forecast_revenue",
+    "agg_q7_nation_volume",
+    "agg_q8_market_share",
+    "agg_q9_product_profit",
+    "agg_q10_returned_topk",
+    "agg_q11_important_parts",
+    "agg_q12_priority_class",
+    "agg_q13_custdist",
+    "agg_q14_promo_share",
+    "agg_q15_top_supplier",
+    "agg_q17_small_qty_revenue",
+    "agg_q18_large_orders",
+    "agg_q19_disjunctive_revenue",
+    "agg_q21_waiting_supplier",
+    "agg_q22_dormant_customers",
+]
+
 
 def materialize(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -145,6 +174,17 @@ def main() -> None:
         llm_timings[key] = round(min(runs), 4)
         llm_medians[key] = round(sorted(runs)[1], 4)
 
+    tpch_timings: dict[str, float] = {}
+    tpch_medians: dict[str, float] = {}
+    for key in (k for k in HEADLINE_TPCH if k in specs):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(specs[key].fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        tpch_timings[key] = round(min(runs), 4)
+        tpch_medians[key] = round(sorted(runs)[1], 4)
+
     print(
         json.dumps(
             {
@@ -165,6 +205,12 @@ def main() -> None:
                 "value_llm": round(sum(llm_timings.values()), 4),
                 "queries_llm_median_of_3": llm_medians,
                 "value_llm_median_of_3": round(sum(llm_medians.values()), 4),
+                "queries_tpch": tpch_timings,
+                "value_tpch": round(sum(tpch_timings.values()), 4),
+                "queries_tpch_median_of_3": tpch_medians,
+                "value_tpch_median_of_3": round(
+                    sum(tpch_medians.values()), 4
+                ),
             }
         )
     )

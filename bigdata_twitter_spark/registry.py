@@ -91,7 +91,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # never-checked backlog is 0.  After r11: every row is r5+.  After
 # r12: every row is r6+ and fn_variant/geo_grid_hotspots are
 # driver-certified.  After r13 (_R13_WINDOW below): every row is r7+
-# and all 314 keys are driver-certified.
+# and all keys through the first 314 are driver-certified.  The 12
+# round-11 wave-2 TPC-H analogs (operators/tpch.py) lead the
+# pre-staged _R14_WINDOW (the standing new-keys-first rule) for
+# their first driver rows; after r14 every row is r8+.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --
@@ -232,7 +235,8 @@ assert not set(_R12_WINDOW) & (set(_R11_WINDOW) | set(_R10_WINDOW))
 # re-grows), the 9 remaining r6-vintage keys, then the 36 oldest
 # r7-vintage keys in registration order.  Derived from
 # CORRECTNESS_r01–r10 + the r11/r12 windows.  After r13 every key's
-# latest driver row is r7+ and all 314 keys are driver-certified.
+# latest driver row is r7+ and every key registered before round 11
+# wave 2 is driver-certified.
 _R13_WINDOW = (
     # -- new in r11 with no driver row yet --
     "graph_jaccard_minhash", "geo_distance_join", "geo_nearest_landmark",
@@ -261,6 +265,44 @@ _R13_WINDOW = (
 
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 assert not set(_R13_WINDOW) & (set(_R12_WINDOW) | set(_R11_WINDOW))
+
+# Pre-staged r14 window: the 12 round-11 wave-2 TPC-H analogs
+# (never-checked — new keys lead by the standing rule), the 8
+# remaining r7-vintage keys, then the 30 oldest r8-vintage keys in
+# registration order.  Derived from CORRECTNESS_r01–r10 + the
+# r11/r12/r13 windows.  After r14 every key's latest driver row is
+# r8+ and 126 keys remain for the r15/r16 rotation (fits two
+# windows, so no key ages past the 6-round freshness horizon).
+_R14_WINDOW = (
+    # -- new in r11 wave 2 (no driver row yet) --
+    "agg_q12_priority_class", "agg_q13_custdist", "agg_q14_promo_share",
+    "agg_q15_top_supplier", "agg_q17_small_qty_revenue",
+    "agg_q19_disjunctive_revenue", "agg_q2_min_cost_supplier",
+    "agg_q8_market_share", "agg_q9_product_profit",
+    "agg_q11_important_parts", "agg_q21_waiting_supplier",
+    "agg_q22_dormant_customers",
+    # -- latest driver row r7 (registration order) --
+    "ts_forecast_backtest", "embed_pca_power_exact",
+    "table_deletion_vectors", "text_chunk_sliding", "embed_chunk_pool",
+    "multimodal_jpeg_decode", "sim_cosine_topk", "sim_batch_queries_topk",
+    # -- oldest 30 r8-vintage keys (registration order) --
+    "agg_q1_pricing", "agg_stats", "join_broadcast", "join_asof",
+    "join_star_3way", "join_range_binned", "stream_quarantine_split",
+    "stream_backfill_union", "stream_distinct_users_window",
+    "cdc_debezium_apply", "scan_bloom_pruned", "scan_partition_evolution",
+    "embed_binary_quantize", "graph_label_propagation", "graph_kcore_peel",
+    "graph_jaccard_neighbors", "graph_random_walk_deterministic",
+    "graph_hits_topk", "graph_assoc_rules_lift", "graph_clustering_coeff",
+    "graph_powerlaw_slope", "graph_modularity_eval",
+    "dedup_lsh_recall_eval", "multimodal_audio_vad",
+    "multimodal_audio_zcr", "table_analyze_stats", "table_restore_version",
+    "table_schema_evolution_versioned", "ts_mann_kendall", "ts_theil_sen",
+)
+
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+assert not set(_R14_WINDOW) & (
+    set(_R13_WINDOW) | set(_R12_WINDOW) | set(_R11_WINDOW)
+)
 
 def query(
     name: str,
@@ -356,6 +398,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import tiles  # noqa: F401  (round 7)
     # (quantize/timeseries round-7 keys register via their family imports)
 
+    # Round-11 wave 2: the twelve remaining TPC-H analog shapes.
+    # Registered after every staged window so they queue for their
+    # first driver rows in the r14 window.
+    from .operators import tpch  # noqa: F401  (round 11)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401
@@ -364,11 +411,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .operators import aggregates, filters, joins  # noqa: F401
 
     # Final check order: the explicit 50-key r11 window first (what
-    # the driver certifies this round), the pre-staged r12 and r13
+    # the driver certifies this round), the pre-staged r12/r13/r14
     # windows next, then every remaining key in registration order.
     missing = [
         k
-        for k in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW)
+        for k in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW, *_R14_WINDOW)
         if k not in REGISTRY
     ]
     if missing:
@@ -377,7 +424,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW):
+    for key in (*_R11_WINDOW, *_R12_WINDOW, *_R13_WINDOW, *_R14_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()
