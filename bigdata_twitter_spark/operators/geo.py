@@ -319,3 +319,180 @@ def geo_nearest_landmark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---- geohash encode + leaderboard (round 11 wave 3) -------------------
+# The standard base-32 geohash (Niemeyer encoding: bit-interleaved
+# lon/lat, MSB first, lon leads) over the derived positions — the cell
+# id format every geo index/store in the genre speaks, next to the
+# ten-degree grid's integer cells.  5 characters = 25 bits (13 lon,
+# 12 lat).  The interleave is plain non-negative integer div/mod
+# arithmetic, generated ONCE in Python and rendered per engine (Spark
+# `div`, DuckDB `//`), so both engines evaluate the identical formula
+# — no float, no bit-op dialect differences, hash-grade by
+# construction.
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_TOPK = 20
+
+
+def _geohash_code_expr(div: str) -> str:
+    """25-bit interleaved code from (glon, glat) quantized ints.
+
+    ``div`` is the engine's integer-division token ('div' for Spark
+    SQL, '//' for DuckDB).  Bit i (MSB-first) of the code takes lon
+    bits at even i, lat bits at odd i.
+    """
+    terms = []
+    for i in range(13):  # lon bits: positions 0,2,..,24 (MSB first)
+        weight = 1 << (24 - 2 * i)
+        shift = 1 << (12 - i)
+        terms.append(f"(((glon {div} {shift}) % 2) * {weight})")
+    for i in range(12):  # lat bits: positions 1,3,..,23
+        weight = 1 << (23 - 2 * i)
+        shift = 1 << (11 - i)
+        terms.append(f"(((glat {div} {shift}) % 2) * {weight})")
+    return " + ".join(terms)
+
+
+def _geohash_char_expr(substr_fn: str) -> str:
+    """code → 5-char base32 string (both engines: 1-based substr)."""
+    chars = [
+        f"{substr_fn}('{_GEOHASH_ALPHABET}',"
+        f" CAST((code {{div}} {1 << (20 - 5 * j)}) % 32 AS INT) + 1, 1)"
+        for j in range(5)
+    ]
+    return " || ".join(chars)
+
+
+@query(
+    "geo_geohash_encode",
+    sql=f"""
+    WITH pos AS (
+        SELECT value,
+               (({_LAT_MILLI}) * 4096) // 180000 AS glat,
+               (({_LON_MILLI}) * 8192) // 360000 AS glon
+        FROM events
+    ), coded AS (
+        SELECT value, {_geohash_code_expr('//')} AS code FROM pos
+    ), named AS (
+        SELECT value,
+               {_geohash_char_expr('substr').format(div='//')} AS geohash5
+        FROM coded
+    )
+    SELECT geohash5,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM named GROUP BY 1
+    ORDER BY n_events DESC, geohash5 LIMIT {_GEOHASH_TOPK}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Geohash-5 leaderboard: the encode is a pure codegen map "
+        "stage (25 integer mul/div/mod terms + 5 substr lookups — no "
+        "UDF, no float), the rollup is a two-phase agg bounded by "
+        "DISTINCT-HASH cardinality (<= 2^25 cells regardless of row "
+        "count), and the top-20 is TakeOrdered with a total-order "
+        "tie-break.  At 100 TB this is the same shape as "
+        "geo_grid_hotspots with a finer, string-keyed cell id — the "
+        "format geo indexes and stores actually exchange.  Quantized "
+        "products stay < 3e9, far inside int64 under ANSI (the geo "
+        "big-id overflow lesson: positions are already mod-reduced)."
+    ),
+)
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 geohash-5 cells by event count (standard base-32
+    bit-interleaved encoding over the derived positions)."""
+    pos = load(spark, sf_dir, "events").select(
+        "value",
+        F.expr(f"(({_LAT_MILLI}) * 4096) div 180000").alias("glat"),
+        F.expr(f"(({_LON_MILLI}) * 8192) div 360000").alias("glon"),
+    )
+    coded = pos.select(
+        "value", F.expr(_geohash_code_expr("div")).alias("code")
+    )
+    named = coded.select(
+        "value",
+        F.expr(_geohash_char_expr("substring").format(div="div")).alias(
+            "geohash5"
+        ),
+    )
+    from ..numerics import dec
+
+    return (
+        named.groupBy("geohash5")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "geohash5")
+        .limit(_GEOHASH_TOPK)
+    )
+
+
+# ---- per-user path length (round 11 wave 3) ----------------------------
+# User mobility: total L1 distance travelled in integer milli-degrees
+# over the time-ordered event sequence — the genre's "how far does a
+# user move" analytic.  L1 keeps every step and sum EXACT BIGINT (the
+# Euclidean swap is one codegen expression on the same lag structure).
+_PATH_TOPK = 20
+
+
+@query(
+    "geo_user_pathlength",
+    sql=f"""
+    WITH pos AS (
+        SELECT user_id, ts, event_id,
+               {_LAT_MILLI} AS lat, {_LON_MILLI} AS lon
+        FROM events
+    ), steps AS (
+        SELECT user_id,
+               ABS(lat - lag(lat) OVER w) + ABS(lon - lag(lon) OVER w)
+                   AS step
+        FROM pos WINDOW w AS (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(step) AS BIGINT) AS path_milli,
+           CAST(COUNT(step) AS BIGINT) AS n_moves
+    FROM steps GROUP BY 1
+    ORDER BY path_milli DESC, user_id LIMIT {_PATH_TOPK}
+    """,
+    tables=("events",),
+    scale_note=(
+        "Per-user travel distance: ONE user-partitioned lag window "
+        "(ordered by (ts, event_id) — a total order, so ties cannot "
+        "reorder between engines or retries) over the derived "
+        "positions, then a users-sized two-phase agg and a "
+        "TakeOrdered top-20.  The window partitions by user_id — "
+        "state per task is one user's trace, never data-sized — and "
+        "every step/sum is exact BIGINT milli-degrees (L1), so the "
+        "compare is hash-grade with zero float discipline needed."
+    ),
+)
+def geo_user_pathlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by total L1 milli-degree path length over their
+    time-ordered events."""
+    from pyspark.sql import Window
+
+    pos = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr(_LAT_MILLI).alias("lat"),
+        F.expr(_LON_MILLI).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pos.select(
+        "user_id",
+        (
+            F.abs(F.col("lat") - F.lag("lat").over(w))
+            + F.abs(F.col("lon") - F.lag("lon").over(w))
+        ).alias("step"),
+    )
+    return (
+        steps.groupBy("user_id")
+        .agg(
+            F.sum("step").cast("bigint").alias("path_milli"),
+            F.count("step").cast("bigint").alias("n_moves"),
+        )
+        .orderBy(F.col("path_milli").desc(), "user_id")
+        .limit(_PATH_TOPK)
+    )

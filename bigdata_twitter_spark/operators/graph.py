@@ -734,6 +734,24 @@ JACCARD_NEIGH_K = 3
 _PAIR_KEYS_PER_TASK = 1_000_000
 
 
+def _capped_pair_rows(capped: DataFrame) -> int:
+    """Exact row count of the a<b co-occurrence pair stream,
+    Σ_c deg·(deg-1)/2 over the (already degree-capped, already
+    PERSISTED) bipartite rows — the width driver for the pair-key
+    pre-partitioning (an upper bound on DISTINCT pair keys, and the
+    true shuffled row volume).  One cheap two-agg job on the cached
+    frame."""
+    row = (
+        capped.groupBy("c")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n")
+        )
+        .collect()[0]
+    )
+    return int(row.n or 0)
+
+
 @query(
     "graph_jaccard_neighbors",
     sql=f"""
@@ -835,18 +853,20 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # Width scales with the capped co-occurrence volume (not just
     # cluster parallelism — data-independent width was the residual
-    # r10 gap): each capped (c, p) row emits at most (cap - 1) pairs,
-    # so pairs_upper / _PAIR_KEYS_PER_TASK tasks bound every task's
-    # hash map at ~_PAIR_KEYS_PER_TASK keys at any corpus size.  The
-    # count is one cheap job on the already-persisted capped table.
-    pairs_upper = capped.count() * (ALSO_BOUGHT_DEGREE_CAP - 1)
+    # r10 gap), computed from the EXACT pair-stream row count
+    # Σ_c deg·(deg-1)/2 — the r11 wave-3 ×30 probe showed the earlier
+    # rows×(cap-1) bound overestimating ~13× (avg degree ≪ cap),
+    # which over-partitioned the reduce side into thousands of tiny
+    # tasks whose scheduling overhead made the wall mildly
+    # SUPERLINEAR.  One cheap job on the already-persisted frame.
+    pair_rows = _capped_pair_rows(capped)
     width = int(
         min(
             32768,
             max(
                 64,
                 spark.sparkContext.defaultParallelism * 8,
-                pairs_upper // _PAIR_KEYS_PER_TASK,
+                pair_rows // _PAIR_KEYS_PER_TASK,
             ),
         )
     )
@@ -1745,4 +1765,153 @@ def graph_jaccard_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= JACCMH_K)
         .select("part", "rnk", "other", "n_match", "est_jaccard")
+    )
+
+
+# ---- Adamic-Adar link prediction (round 11 wave 3) ---------------------
+# The third classical link-prediction score beside raw co-occurrence
+# (graph_also_bought_topk) and neighborhood Jaccard: common neighbors
+# weighted INVERSELY by their degree — a shared niche buyer is stronger
+# evidence of part similarity than a shared mega-basket.
+# AA(p1,p2) = Σ_{c ∈ N(p1)∩N(p2)} 1/ln(deg(c)).
+#
+# Determinism: the per-customer weight is computed ONCE per customer as
+# an integer — floor(1e8 / round(ln(deg), 8)) — so the per-pair score
+# is a BIGINT sum (order-independent, retry-stable, identical on both
+# engines); deg ∈ [2, cap] is a tiny fixed domain, and the 8dp-rounded
+# ln (the house ln-ulp discipline) makes the two engines' weights
+# byte-identical before any accumulation.  deg >= 2 on every pair row
+# by construction (a customer contributing a pair has >= 2 parts), so
+# ln never sees 1 and the division never sees 0.
+AA_SCALE = 100_000_000
+AA_TOPK = 3
+
+
+@query(
+    "graph_adamic_adar",
+    sql=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), cdeg AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM cp GROUP BY c
+    ), wts AS (
+        SELECT c,
+               CAST(FLOOR({AA_SCALE}.0
+                          / round(ln(CAST(d AS DOUBLE)), 8)) AS BIGINT)
+                   AS w
+        FROM cdeg WHERE d >= 2 AND d <= {ALSO_BOUGHT_DEGREE_CAP}
+    ), capped AS (
+        SELECT cp.c, cp.p, wts.w FROM cp JOIN wts ON cp.c = wts.c
+    ), pairs AS (
+        SELECT a.p AS p1, b.p AS p2,
+               CAST(SUM(a.w) AS BIGINT) AS aa_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM capped a JOIN capped b ON a.c = b.c AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), sym AS (
+        SELECT p1 AS part, p2 AS other, aa_scaled, n_common FROM pairs
+        UNION ALL
+        SELECT p2, p1, aa_scaled, n_common FROM pairs
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY part
+                   ORDER BY aa_scaled DESC, n_common DESC, other
+               ) AS rnk
+        FROM sym
+    )
+    SELECT part, CAST(rnk AS INT) AS rnk, other, n_common, aa_scaled,
+           CAST(aa_scaled AS DOUBLE) / {AA_SCALE}.0 AS adamic_adar
+    FROM ranked WHERE rnk <= {AA_TOPK}
+    """,
+    tables=("lineitem", "orders"),
+    scale_note=(
+        "Adamic–Adar top-3 per part: the SAME degree-capped "
+        "inverted-index self-join as graph_jaccard_neighbors (cost "
+        "Σ deg(c)², never all part pairs — zero-common pairs score 0 "
+        "and are unrankable, so skipping them is exact), with the "
+        "1/ln(deg) weight attached to each customer row BEFORE the "
+        "pair listing — the pair aggregate is then a plain BIGINT "
+        "sum, order-independent at any parallelism.  The pair "
+        "aggregation pre-partitions on the pair key at "
+        "volume-scaled width (the jaccard r10 ×100 OOM fix — "
+        "per-task hash map bounded at any corpus size); one "
+        "part-keyed window ranks the top-3."
+    ),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 link-prediction candidates per part by Adamic-Adar score
+    (common buyers weighted by 1/ln of their basket breadth)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cdeg = cp.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+    wts = cdeg.where(
+        (F.col("d") >= 2) & (F.col("d") <= ALSO_BOUGHT_DEGREE_CAP)
+    ).select(
+        "c",
+        F.floor(
+            F.lit(float(AA_SCALE)) / F.round(F.log(F.col("d").cast("double")), 8)
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    capped = persist_fresh("adamic_adar_cp", sf_dir, cp.join(wts, "c"))
+    a, b = capped.alias("a"), capped.alias("b")
+    # Same pair-key pre-partitioning as graph_jaccard_neighbors: the
+    # distinct-pair cardinality scales with the corpus while shuffle
+    # width is fixed, so the final agg's hash map must be bounded by
+    # width ∝ capped co-occurrence volume (r10 ×100 OOM lesson) —
+    # sized from the EXACT pair-row count Σ deg·(deg-1)/2, not the
+    # rows×cap bound that over-partitioned ~13× (r11 ×30 probe).
+    pair_rows = _capped_pair_rows(capped)
+    width = int(
+        min(
+            32768,
+            max(
+                64,
+                spark.sparkContext.defaultParallelism * 8,
+                pair_rows // _PAIR_KEYS_PER_TASK,
+            ),
+        )
+    )
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("a.w").alias("w"),
+        )
+        .repartition(width, "p1", "p2")
+        .groupBy("p1", "p2")
+        .agg(
+            F.sum("w").cast("bigint").alias("aa_scaled"),
+            F.count("*").cast("bigint").alias("n_common"),
+        )
+    )
+    sym = pairs.select(
+        F.col("p1").alias("part"), F.col("p2").alias("other"),
+        "aa_scaled", "n_common",
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("part"), F.col("p1").alias("other"),
+            "aa_scaled", "n_common",
+        )
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("aa_scaled").desc(), F.col("n_common").desc(), F.col("other")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= AA_TOPK)
+        .select(
+            "part", "rnk", "other", "n_common", "aa_scaled",
+            (F.col("aa_scaled").cast("double") / F.lit(float(AA_SCALE))).alias(
+                "adamic_adar"
+            ),
+        )
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .session import configure
 
@@ -120,7 +121,18 @@ def persist_fresh(tag: str, sf_dir: str, df: DataFrame) -> DataFrame:
     prev = _PERSIST_REGISTRY.pop(key, None)
     if prev is not None:
         prev.unpersist()
-    df = df.persist()
+    # SERIALIZED storage, not the deserialized default: cached blocks
+    # live in the same unified pool the shuffle/agg tasks allocate
+    # from, and deserialized rows inflate 3-5x.  The r11 wave-3 ×30
+    # probe OOM-killed the adamic-adar pair shuffle
+    # (UNABLE_TO_ACQUIRE_MEMORY mid-spill) when two cache generations
+    # (the sf0.1 run's block kept alive beside the ×30 one — the
+    # registry frees same-(tag, sf_dir) only) squeezed the execution
+    # pool under 32 concurrent shuffle writers; serialized blocks cut
+    # the squeeze by the inflation factor and spill to disk losslessly.
+    # (PySpark 4: MEMORY_AND_DISK IS the serialized level; the
+    # deserialized default is MEMORY_AND_DISK_DESER.)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSIST_REGISTRY[key] = df
     return df
 

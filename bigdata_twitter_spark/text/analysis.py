@@ -1246,3 +1246,109 @@ def text_js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term.groupBy("lang_a", "lang_b").agg(
         (fold + F.lit(0.0)).alias("jsd_nats")
     )
+
+
+# ---- term co-occurrence PMI (round 11 wave 3) --------------------------
+# Pointwise mutual information between terms co-occurring in the same
+# document — the phrase-mining / collocation signal a training-data
+# pipeline uses to find multi-word expressions and topical term pairs.
+# PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) = ln( c_ab·N / (c_a·c_b) )
+# over document-level presence counts.  Restricted to the global
+# top-K-by-document-frequency vocabulary so the pair space is
+# K²-bounded (dimension-sized) at any corpus size.
+PMI_VOCAB_K = 32
+PMI_MIN_SUPPORT = 3
+
+
+@query(
+    "text_cooccurrence_pmi",
+    sql=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t != '')) AS tk
+        FROM documents
+    ), df AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk
+    ), top AS (
+        SELECT tk, c FROM df ORDER BY c DESC, tk LIMIT {PMI_VOCAB_K}
+    ), ft AS (
+        SELECT tok.doc_id, tok.tk, top.c FROM tok JOIN top USING (tk)
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), pairs AS (
+        SELECT a.tk AS term_a, b.tk AS term_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_both,
+               MIN(a.c) AS df_a, MIN(b.c) AS df_b
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tk < b.tk
+        GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_docs_both, df_a, df_b,
+           round(ln((CAST(n_docs_both AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                    / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 8)
+               AS pmi
+    FROM pairs, n
+    WHERE n_docs_both >= {PMI_MIN_SUPPORT}
+    """,
+    tables=("documents",),
+    scale_note=(
+        "Collocation mining with a hard dimension bound: document "
+        "frequency is the TF-IDF scan shape (one explode + two-phase "
+        "agg), the top-{K} vocabulary cut is TakeOrdered with a total "
+        "order (count, term) and BROADCASTS, so the per-doc pair "
+        "explosion fans out to at most K terms/doc → K² pair keys "
+        "TOTAL regardless of corpus size — never vocab² and never "
+        "docs-sized on the reduce side.  All counts exact BIGINT; "
+        "the single float is one 8dp-rounded ln per OUTPUT row "
+        "(<= K²/2 rows) — the house ln-ulp discipline."
+    ),
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over document-level co-occurrence of the global top-32
+    terms (support >= 3 docs)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tk"),
+    ).distinct()
+    df = tok.groupBy("tk").agg(F.count("*").cast("bigint").alias("c"))
+    top = df.orderBy(F.col("c").desc(), "tk").limit(PMI_VOCAB_K)
+    ft = tok.join(F.broadcast(top), "tk")
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    a = ft.select(
+        F.col("doc_id"), F.col("tk").alias("term_a"), F.col("c").alias("ca")
+    )
+    b = ft.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("tk").alias("term_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_both"),
+            F.min("ca").alias("df_a"),
+            F.min("cb").alias("df_b"),
+        )
+        .where(F.col("n_docs_both") >= PMI_MIN_SUPPORT)
+    )
+    return pairs.join(F.broadcast(n)).select(
+        "term_a", "term_b", "n_docs_both", "df_a", "df_b",
+        F.round(
+            F.log(
+                (
+                    F.col("n_docs_both").cast("double")
+                    * F.col("n_docs").cast("double")
+                )
+                / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+            ),
+            8,
+        ).alias("pmi"),
+    )
