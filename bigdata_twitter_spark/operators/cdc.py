@@ -402,3 +402,131 @@ def cdc_debezium_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# ---- multi-clause MERGE (round 11 wave 4) ------------------------------
+# The full Delta/Iceberg MERGE INTO surface beside merge_upsert's
+# keep-latest compaction:
+#   WHEN MATCHED AND src.op = 'D'  THEN DELETE
+#   WHEN MATCHED AND src.op = 'U'  THEN UPDATE
+#   WHEN NOT MATCHED AND op = 'I'  THEN INSERT
+# The source changelog is DERIVED deterministically from events so the
+# whole statement is DuckDB-oracle-checkable: deletes for id % 5 = 0,
+# updates for the remaining id % 3 = 0, and brand-new rows (id shifted
+# past the key space) from id % 11 = 0.  Source keys are unique per
+# target key BY CONSTRUCTION (D wins over U via the disjoint modulus
+# split), which is MERGE's own precondition.
+MERGE_INSERT_OFFSET = 1_000_000_000
+
+
+@query(
+    "cdc_merge_multi_clause",
+    sql=f"""
+    WITH src AS (
+        SELECT event_id AS k, 'D' AS op,
+               NULL::TIMESTAMP AS s_ts, NULL::DOUBLE AS s_value
+        FROM events WHERE event_id % 5 = 0
+        UNION ALL
+        SELECT event_id, 'U', ts + INTERVAL 1 HOUR,
+               round(value * 2, 2)
+        FROM events WHERE event_id % 5 <> 0 AND event_id % 3 = 0
+        UNION ALL
+        SELECT event_id + {MERGE_INSERT_OFFSET}, 'I',
+               ts + INTERVAL 1 DAY,
+               -- halve in exact integer cents: value*0.5 of a 2dp
+               -- value is a 3dp half the engines ROUND differently
+               CAST(CAST(floor(value * 100) AS BIGINT) // 2 AS DOUBLE)
+                   / 100.0
+        FROM events WHERE event_id % 11 = 0
+    )
+    SELECT COALESCE(t.event_id, s.k) AS event_id,
+           CASE WHEN s.op = 'U' THEN s.s_ts
+                WHEN s.op = 'I' THEN s.s_ts
+                ELSE t.ts END AS ts,
+           CASE WHEN s.op = 'U' THEN s.s_value
+                WHEN s.op = 'I' THEN s.s_value
+                ELSE t.value END AS value,
+           CASE WHEN t.event_id IS NULL THEN 'insert'
+                WHEN s.op = 'U' THEN 'update'
+                ELSE 'keep' END AS action
+    FROM events t FULL OUTER JOIN src s ON t.event_id = s.k
+    -- COALESCE: op is NULL for unmatched target rows, and a bare
+    -- NOT (NULL AND true) is NULL, which silently DROPS every
+    -- keep-row under three-valued logic (caught by the action-count
+    -- referee in tests/test_wave4_ops.py)
+    WHERE NOT (COALESCE(s.op, '') = 'D' AND t.event_id IS NOT NULL)
+      AND NOT (t.event_id IS NULL AND s.op <> 'I')
+    """,
+    tables=("events",),
+    scale_note=(
+        "MERGE INTO with three clauses as ONE full-outer join + "
+        "codegen CASE routing — a single key shuffle of target and "
+        "changelog, no window, no second pass (the changelog is "
+        "unique per key, MERGE's own precondition).  At 100 TB the "
+        "target side is partition-pruned to the changelog's touched "
+        "partitions (file-skipping on the join key's min/max) and "
+        "unmatched target partitions are carried forward untouched — "
+        "cost tracks the changelog.  Delete = routed-out row; "
+        "deletion-vector sinks (table_deletion_vectors) are the "
+        "storage-side twin."
+    ),
+)
+def cdc_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE: delete / update / insert clauses applied to the
+    events snapshot from a derived changelog, one full-outer join."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    dels = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").alias("k"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("timestamp").alias("s_ts"),
+            F.lit(None).cast("double").alias("s_value"),
+        )
+    )
+    upds = (
+        e.filter((F.col("event_id") % 5 != 0) & (F.col("event_id") % 3 == 0))
+        .select(
+            F.col("event_id").alias("k"),
+            F.lit("U").alias("op"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("s_ts"),
+            F.round(F.col("value") * 2, 2).alias("s_value"),
+        )
+    )
+    ins = (
+        e.filter(F.col("event_id") % 11 == 0)
+        .select(
+            (F.col("event_id") + MERGE_INSERT_OFFSET).alias("k"),
+            F.lit("I").alias("op"),
+            (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("s_ts"),
+            (
+                F.expr("CAST(floor(value * 100) AS BIGINT) div 2")
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("s_value"),
+        )
+    )
+    src = dels.unionByName(upds).unionByName(ins)
+    j = e.join(src, e["event_id"] == src["k"], "full_outer")
+    matched = F.col("event_id").isNotNull()
+    op = F.coalesce(F.col("op"), F.lit(""))  # NULL op = keep row;
+    # bare NOT(NULL AND x) is NULL and silently drops it (3VL)
+    return (
+        j.where(
+            ~((op == "D") & matched)
+            & ~(F.col("event_id").isNull() & (op != "I"))
+        )
+        .select(
+            F.coalesce("event_id", "k").alias("event_id"),
+            F.when(F.col("op").isin("U", "I"), F.col("s_ts"))
+            .otherwise(F.col("ts"))
+            .alias("ts"),
+            F.when(F.col("op").isin("U", "I"), F.col("s_value"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.when(F.col("event_id").isNull(), "insert")
+            .when(F.col("op") == "U", "update")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )

@@ -964,3 +964,137 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# ---- deterministic bootstrap confidence interval (round 11 wave 4) -----
+# The resampling workhorse of large-scale data quality reporting: a
+# bootstrap CI on a mean without any RNG state.  Each (row, replicate)
+# draw count is Poisson(1) — the standard Poisson-bootstrap
+# approximation of multinomial resampling, EXACT for streaming/
+# distributed execution because every row decides its own weight
+# independently — inverted from an md5-uniform by comparing the first
+# 8 hex chars AS A STRING against fixed hex thresholds (md5 hex is
+# monotone in the underlying 32-bit value, and string comparison is
+# byte-identical in both engines — no float CDF anywhere).
+BOOT_REPLICATES = 32
+# floor(CDF_Poisson(1)(k) * 2^32) in hex, k = 0..8 (generated offline;
+# u >= last threshold draws weight 9, P ≈ 1.1e-6).
+_BOOT_T = [
+    "5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+    "ffd90f3b", "fffa8b71", "ffff540c", "ffffed1f",
+]
+
+
+def _boot_weight_case(u: str) -> str:
+    """CASE expression mapping an 8-hex-char uniform to Poisson(1)."""
+    arms = " ".join(
+        f"WHEN {u} < '{t}' THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {arms} ELSE 9 END)"
+
+
+@query(
+    "sample_bootstrap_ci",
+    sql=f"""
+    WITH reps AS (SELECT unnest(range({BOOT_REPLICATES})) AS rep),
+    drawn AS (
+        SELECT o.o_orderpriority, reps.rep,
+               {_boot_weight_case(
+                   "substring(md5(CAST(o.o_orderkey AS VARCHAR) || ':' "
+                   "|| CAST(reps.rep AS VARCHAR)), 1, 8)"
+               )} AS w,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o, reps
+    ),
+    rep_means AS (
+        SELECT o_orderpriority, rep,
+               CAST(SUM(w * cents) AS DOUBLE) / (SUM(w) * 100.0)
+                   AS rep_mean
+        FROM drawn GROUP BY 1, 2
+        HAVING SUM(w) > 0
+    ),
+    sorted_means AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_reps,
+               list(rep_mean ORDER BY rep_mean) AS ms
+        FROM rep_means GROUP BY 1
+    ),
+    pt AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / (COUNT(*) * 100.0) AS point_mean
+        FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderpriority, pt.n_orders, pt.point_mean,
+           s.n_reps, s.ms[2] AS ci_lo, s.ms[{BOOT_REPLICATES - 1}] AS ci_hi
+    FROM sorted_means s JOIN pt USING (o_orderpriority)
+    """,
+    tables=("orders",),
+    scale_note=(
+        "Poisson bootstrap (the distributed-systems bootstrap: each "
+        "row draws its replicate weights independently, so resampling "
+        "is ONE stateless map — no sampling with replacement across "
+        "the cluster).  Explode ×R is map-side; the aggregate reduces "
+        "to (groups × R) cells — constant per group at any corpus "
+        "size; the CI is the 2nd/31st order statistic over EXACTLY R "
+        "per-replicate means, computed by sorting an R-length array "
+        "(order-pinned fold, never a data-sized sort).  All draw "
+        "weights integer via hex-string threshold compare (no float "
+        "CDF); replicate sums exact BIGINT cents; one IEEE division "
+        "per (group, rep)."
+    ),
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~94% bootstrap CI (2nd/31st of 32 Poisson-replicate means) for
+    the mean order value per priority."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    reps = F.explode(
+        F.array([F.lit(i) for i in range(BOOT_REPLICATES)])
+    ).alias("rep")
+    drawn = o.select("o_orderpriority", "o_orderkey", "o_totalprice", reps)
+    u = (
+        "substring(md5(concat(CAST(o_orderkey AS STRING), ':', "
+        "CAST(rep AS STRING))), 1, 8)"
+    )
+    drawn = drawn.select(
+        "o_orderpriority",
+        "rep",
+        F.expr(_boot_weight_case(u)).alias("w"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rep_means = (
+        drawn.groupBy("o_orderpriority", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("w"),
+        )
+        .where(F.col("w") > 0)
+        .select(
+            "o_orderpriority",
+            (
+                F.col("wsum").cast("double")
+                / (F.col("w") * F.lit(100.0))
+            ).alias("rep_mean"),
+        )
+    )
+    sorted_means = rep_means.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_reps"),
+        F.sort_array(F.collect_list("rep_mean")).alias("ms"),
+    )
+    pt = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / (F.count("*") * F.lit(100.0))
+        ).alias("point_mean"),
+    )
+    return sorted_means.join(pt, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "point_mean", "n_reps",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", BOOT_REPLICATES - 1).alias("ci_hi"),
+    )

@@ -271,10 +271,10 @@ assert not set(_R13_WINDOW) & (set(_R12_WINDOW) | set(_R11_WINDOW))
 # remaining r7-vintage keys, then the 30 oldest r8-vintage keys in
 # registration order.  Derived from CORRECTNESS_r01–r10 + the
 # r11/r12/r13 windows.  After r14 every key's latest driver row is
-# r8+ and 130 keys remain for the r15–r17 rotation (the 4 wave-3
-# keys — geohash/pathlength/adamic-adar/PMI — lead r15 by the
-# new-keys-first rule), so no key ages past the 6-round freshness
-# horizon.
+# r8+ and 132 keys remain for the r15–r17 rotation (the 6 wave-3/4
+# keys — geohash, pathlength, adamic-adar, PMI, multi-clause MERGE,
+# bootstrap CI — lead r15 by the new-keys-first rule), so no key
+# ages past the 6-round freshness horizon.
 _R14_WINDOW = (
     # -- new in r11 wave 2 (no driver row yet) --
     "agg_q12_priority_class", "agg_q13_custdist", "agg_q14_promo_share",

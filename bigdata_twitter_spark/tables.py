@@ -121,6 +121,15 @@ def persist_fresh(tag: str, sf_dir: str, df: DataFrame) -> DataFrame:
     prev = _PERSIST_REGISTRY.pop(key, None)
     if prev is not None:
         prev.unpersist()
+    # Evict cached generations that belong to a DIFFERENT dataset:
+    # every persist within one query execution shares its sf_dir, so
+    # cross-dir blocks are never mid-pipeline — they are dead weight
+    # from a previous scale's run (the ×100 probe stacked sf0.1 and
+    # ×100 generations until the shuffle writers could not acquire
+    # pages).  unpersist() is lazily CORRECT in Spark — a consumer
+    # that somehow re-executes just recomputes from source.
+    for other in [k for k in _PERSIST_REGISTRY if k[1] != sf_dir]:
+        _PERSIST_REGISTRY.pop(other).unpersist()
     # SERIALIZED storage, not the deserialized default: cached blocks
     # live in the same unified pool the shuffle/agg tasks allocate
     # from, and deserialized rows inflate 3-5x.  The r11 wave-3 ×30

@@ -19,7 +19,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import HEADLINE, HEADLINE_LLM, HEADLINE_STREAMING  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE,
+    HEADLINE_LLM,
+    HEADLINE_STREAMING,
+    HEADLINE_TPCH,
+)
 from bigdata_twitter_spark.registry import load_all_operators  # noqa: E402
 from bigdata_twitter_spark.session import get_session  # noqa: E402
 
@@ -113,9 +118,11 @@ def main() -> None:
         out.append("```")
         out.append("")
 
-    for key in HEADLINE + HEADLINE_LLM:
-        if key not in specs:
+    seen: set[str] = set()
+    for key in HEADLINE + HEADLINE_LLM + HEADLINE_TPCH:
+        if key not in specs or key in seen:
             continue
+        seen.add(key)
         emit(key, batch_plan(specs[key].fn(spark, sf_dir)))
 
     from bigdata_twitter_spark.streaming import ops as stream_ops

@@ -157,6 +157,15 @@ def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out = os.path.join(tempfile.gettempdir(), f"bdt_scale_x{copies}")
+    # Probe-JVM sizing: replication probes run 32 concurrent tasks
+    # over 30-100x data in ONE driver JVM; a production executor has
+    # >= 0.5 GB execution memory per core, so an 8g/32-core probe JVM
+    # (~144 MB/task) is TIGHTER than any real deployment and turns
+    # task-concurrency pressure into probe-only OOMs.  16g (~0.3
+    # GB/task) keeps the probe at the stingy end of production sizing
+    # without masking genuine per-task unboundedness (the hash-map
+    # and width defects this ladder caught were >> 2x effects).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_session(app_name="bdt-scale-probe")
     specs = load_all_operators()
 
