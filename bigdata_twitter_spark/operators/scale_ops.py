@@ -1026,8 +1026,13 @@ def _boot_weight_case(u: str) -> str:
                     AS DOUBLE) / (COUNT(*) * 100.0) AS point_mean
         FROM orders GROUP BY 1
     )
-    SELECT s.o_orderpriority, pt.n_orders, pt.point_mean,
-           s.n_reps, s.ms[2] AS ci_lo, s.ms[{BOOT_REPLICATES - 1}] AS ci_hi
+    SELECT s.o_orderpriority, pt.n_orders, pt.point_mean, s.n_reps,
+           -- order-statistic indices are COUNT-RELATIVE: a tiny
+           -- group can draw weight 0 in some replicates (dropped by
+           -- the HAVING), so fewer than R means exist — a fixed
+           -- ms[31] indexes past the array (one-row sweep, r11)
+           s.ms[least(2, CAST(s.n_reps AS INT))] AS ci_lo,
+           s.ms[greatest(CAST(s.n_reps AS INT) - 1, 1)] AS ci_hi
     FROM sorted_means s JOIN pt USING (o_orderpriority)
     """,
     tables=("orders",),
@@ -1093,8 +1098,12 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.lit(100.0))
         ).alias("point_mean"),
     )
+    # Count-relative order statistics: a tiny group can draw weight 0
+    # in some replicates (dropped above), so fewer than R means exist
+    # — a fixed index 31 walks off the array (one-row sweep, r11).
+    n = F.col("n_reps").cast("int")
     return sorted_means.join(pt, "o_orderpriority").select(
         "o_orderpriority", "n_orders", "point_mean", "n_reps",
-        F.element_at("ms", 2).alias("ci_lo"),
-        F.element_at("ms", BOOT_REPLICATES - 1).alias("ci_hi"),
+        F.element_at("ms", F.least(F.lit(2), n)).alias("ci_lo"),
+        F.element_at("ms", F.greatest(n - 1, F.lit(1))).alias("ci_hi"),
     )

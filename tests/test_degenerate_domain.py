@@ -54,6 +54,10 @@ ONEROW_FIXED_KEYS = [
     "ts_changepoint_cusum",
     "ts_anova_hour_of_day",
     "agg_mann_whitney_u",
+    # r11 one-row sweep: a 1-order group draws weight 0 in some
+    # replicates, so < R replicate means exist — the fixed ms[31]
+    # order-statistic index walked off the array.
+    "sample_bootstrap_ci",
 ]
 
 
