@@ -79,6 +79,26 @@ ZERO_ROW_KEYS = [
     "geo_grid_hotspots",
     "geo_distance_join",
     "geo_nearest_landmark",
+    # round-11 waves 2-4 (the global-agg analogs q6/q14/q17/q19
+    # return one NULL row on empty input by SQL semantics, so they
+    # are deliberately NOT in this zero-row list)
+    "agg_q12_priority_class",
+    "agg_q13_custdist",
+    "agg_q15_top_supplier",
+    "agg_q2_min_cost_supplier",
+    "agg_q8_market_share",
+    "agg_q9_product_profit",
+    "agg_q11_important_parts",
+    "agg_q21_waiting_supplier",
+    "agg_q22_dormant_customers",
+    "agg_q4_late_shipments",
+    "geo_geohash_encode",
+    "geo_user_pathlength",
+    "graph_adamic_adar",
+    "graph_jaccard_minhash",
+    "text_cooccurrence_pmi",
+    "cdc_merge_multi_clause",
+    "sample_bootstrap_ci",
 ]
 
 
