@@ -214,6 +214,34 @@ def main() -> None:
             }
         )
     )
+    # The driver archives only the LAST 2000 chars of stdout; the full
+    # JSON line above outgrew that in round 11 (BENCH_r11.json captured
+    # a mid-line tail, losing the headline totals — VERDICT r11 #2).
+    # Emit a compact totals-only line LAST so the tail capture always
+    # retains the headline numbers regardless of how many per-query
+    # sections the big line grows.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+                "value_median_of_3": total_median,
+                "value_streaming": round(sum(stream_timings.values()), 4),
+                "value_streaming_median_of_3": round(
+                    sum(stream_medians.values()), 4
+                ),
+                "value_llm": round(sum(llm_timings.values()), 4),
+                "value_llm_median_of_3": round(sum(llm_medians.values()), 4),
+                "value_tpch": round(sum(tpch_timings.values()), 4),
+                "value_tpch_median_of_3": round(
+                    sum(tpch_medians.values()), 4
+                ),
+            }
+        )
+    )
     spark.stop()
 
 

@@ -1007,9 +1007,13 @@ def _boot_weight_case(u: str) -> str:
         FROM orders o, reps
     ),
     rep_means AS (
+        -- DECIMAL(38,0) accumulation (house convention, ADVICE r11):
+        -- per-(priority, rep) SUM(w*cents) approaches 2^63 at 100-TB
+        -- group sizes, so int64 would abort under ANSI; 38 digits
+        -- gives ~10^19 headroom over the worst case.
         SELECT o_orderpriority, rep,
-               CAST(SUM(w * cents) AS DOUBLE) / (SUM(w) * 100.0)
-                   AS rep_mean
+               CAST(SUM(CAST(w * cents AS DECIMAL(38,0))) AS DOUBLE)
+                   / (SUM(w) * 100.0) AS rep_mean
         FROM drawn GROUP BY 1, 2
         HAVING SUM(w) > 0
     ),
@@ -1022,7 +1026,8 @@ def _boot_weight_case(u: str) -> str:
     pt AS (
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+               CAST(SUM(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                             AS DECIMAL(38,0)))
                     AS DOUBLE) / (COUNT(*) * 100.0) AS point_mean
         FROM orders GROUP BY 1
     )
@@ -1046,8 +1051,10 @@ def _boot_weight_case(u: str) -> str:
         "per-replicate means, computed by sorting an R-length array "
         "(order-pinned fold, never a data-sized sort).  All draw "
         "weights integer via hex-string threshold compare (no float "
-        "CDF); replicate sums exact BIGINT cents; one IEEE division "
-        "per (group, rep)."
+        "CDF); replicate sums accumulate exact DECIMAL(38,0) cents on "
+        "BOTH engines (int64 would saturate near 2^63 at 100-TB group "
+        "sizes under ANSI — ADVICE r11); one IEEE division per "
+        "(group, rep)."
     ),
 )
 def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,10 +1077,15 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_boot_weight_case(u)).alias("w"),
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # DECIMAL(38,0) accumulation on the Spark side too (ADVICE r11):
+    # the w*cents products are int64-safe per row, but their per-
+    # (priority, rep) SUM is not at 100-TB group sizes.
     rep_means = (
         drawn.groupBy("o_orderpriority", "rep")
         .agg(
-            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum(
+                (F.col("w") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("wsum"),
             F.sum("w").alias("w"),
         )
         .where(F.col("w") > 0)
@@ -1092,9 +1104,11 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = o.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         (
-            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ).cast("double")
             / (F.count("*") * F.lit(100.0))
         ).alias("point_mean"),
     )

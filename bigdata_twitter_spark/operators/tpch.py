@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..numerics import davg_sql, dec, dsum_sql, wide_dbl, wide_dbl_sql
 from ..registry import query
-from ..tables import load
+from ..tables import load, persist_fresh
 
 _REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))"
 
@@ -269,7 +269,9 @@ Q17_BRAND = "Brand#23"
         "~1/25 of parts, so everything downstream is brand-sized); the "
         "per-part average is one two-phase agg whose output is "
         "parts-sized and broadcasts back onto the same filtered rows — "
-        "no fact-fact shuffle anywhere.  The average uses the house "
+        "the filtered frame is persisted (persist_fresh) so its two "
+        "consumers share ONE fact scan; no fact-fact shuffle anywhere. "
+        "The average uses the house "
         "exact-sum convention (DECIMAL sum / count) so the 0.2x "
         "threshold compare is the identical IEEE sequence in both "
         "engines."
@@ -283,10 +285,17 @@ def agg_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_brand") == Q17_BRAND)
         .select("p_partkey")
     )
-    li = (
+    # Persisted because BOTH the avg-quantity aggregate and the final
+    # join consume it — Catalyst re-executes the fact scan + broadcast
+    # join once per consumer otherwise (ADVICE r11).  Brand-sized
+    # (~1/25 of the fact's rows, 3 narrow columns), so the cached
+    # block is small relative to the scan it saves.
+    li = persist_fresh(
+        "q17_li",
+        sf_dir,
         load(spark, sf_dir, "lineitem")
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .select("l_partkey", "l_quantity", "l_extendedprice"),
     )
     avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(

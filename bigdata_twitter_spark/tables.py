@@ -128,6 +128,12 @@ def persist_fresh(tag: str, sf_dir: str, df: DataFrame) -> DataFrame:
     # ×100 generations until the shuffle writers could not acquire
     # pages).  unpersist() is lazily CORRECT in Spark — a consumer
     # that somehow re-executes just recomputes from source.
+    # Decision (ADVICE r11, adjudicated): dir-inequality eviction can
+    # thrash if two fixture dirs interleave within one session, but
+    # the driver, bench, and parity sweep are all single-dataset-per-
+    # run, and pytest's interleavings are read-only re-loads — the
+    # cost is a recompute, never a wrong answer.  A size/age policy
+    # buys nothing here until a genuinely multi-dir consumer exists.
     for other in [k for k in _PERSIST_REGISTRY if k[1] != sf_dir]:
         _PERSIST_REGISTRY.pop(other).unpersist()
     # SERIALIZED storage, not the deserialized default: cached blocks
