@@ -835,3 +835,161 @@ def agg_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
     )
+
+
+# ---- Q16: supplier count by part attributes (round 12) -----------------
+Q16_EXCL_BRAND = "Brand#17"
+Q16_EXCL_TYPE = "PROMO"
+Q16_SIZES = (1, 9, 19, 29, 39, 49)
+
+
+@query(
+    "agg_q16_supplier_cnt",
+    sql=f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_type <> '{Q16_EXCL_TYPE}'
+      AND p.p_size IN {Q16_SIZES}
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    """,
+    tables=("lineitem", "part", "supplier"),
+    scale_note=(
+        "TPC-H Q16 analog (the supply relation is DERIVED from "
+        "lineitem — the fixture has no partsupp; 'complaint' "
+        "suppliers proxied by negative account balance — no "
+        "s_comment).  The brand/type/size exclusions prune the "
+        "BROADCAST part build side before the fact scan joins it, so "
+        "everything downstream is ~12%-of-parts-sized; the complaint "
+        "exclusion is a KB-sized broadcast ANTI join (never a "
+        "shuffle); the COUNT(DISTINCT supplier) is Spark's standard "
+        "two-level agg — partial distinct on (brand, type, size, "
+        "suppkey) map-side, exact count final — one exchange total.  "
+        "Output is bounded by |brands|x|types|x|sizes| (aggregate-"
+        "sized at any corpus size)."
+    ),
+)
+def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct non-complaint supplier count per
+    (brand, type, size) over the filtered part attribute space."""
+    p = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & (F.col("p_type") != Q16_EXCL_TYPE)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+    )
+    return li.groupBy(
+        "p_brand", "p_type", F.col("p_size").cast("int").alias("p_size")
+    ).agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+
+
+# ---- Q20: suppliers with excess stock of a part family (round 12) ------
+Q20_NAME_PREFIX = "red "
+Q20_Y0, Q20_Y1 = "1997-01-01", "1998-01-01"
+Q20_REGION_KEY = 1
+
+
+@query(
+    "agg_q20_excess_suppliers",
+    sql=f"""
+    WITH supply AS (
+        SELECT l.l_suppkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS all_qty,
+               SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '{Q20_Y0}'
+                         AND l.l_shipdate <  TIMESTAMP '{Q20_Y1}'
+                        THEN CAST(l.l_quantity AS DECIMAL(12,2))
+                        ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS yr_qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+        GROUP BY l.l_suppkey, l.l_partkey
+    )
+    SELECT DISTINCT s.s_name
+    FROM supply v
+    JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_regionkey = {Q20_REGION_KEY}
+      AND v.yr_qty > 0 AND v.all_qty > v.yr_qty * 2
+    """,
+    tables=("lineitem", "part", "supplier", "nation"),
+    scale_note=(
+        "TPC-H Q20 analog ('availqty' DERIVED from lineitem — no "
+        "partsupp: a supplier has excess stock of a part when its "
+        "all-time shipped quantity exceeds twice the target year's, "
+        "i.e. the year used under half the demonstrated supply).  "
+        "The name-prefix filter prunes the broadcast part side "
+        "BEFORE the fact scan joins it (the family is ~1/8 of "
+        "parts); both quantity legs come out of ONE two-phase "
+        "(suppkey, partkey) aggregate — a single exchange, no "
+        "self-join; the threshold compare stays exact DECIMAL end "
+        "to end; supplier/nation broadcast onto the suppliers-sized "
+        "survivor frame and the final DISTINCT name set is "
+        "suppliers-bounded."
+    ),
+)
+def agg_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20: suppliers in one region holding excess stock of
+    'red'-family parts relative to the 1997 ship year."""
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"{Q20_NAME_PREFIX}%"))
+        .select("p_partkey")
+    )
+    in_year = (
+        F.col("l_shipdate") >= F.lit(Q20_Y0).cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit(Q20_Y1).cast("timestamp"))
+    supply = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(dec("l_quantity")).alias("all_qty"),
+            F.sum(
+                F.when(in_year, dec("l_quantity")).otherwise(
+                    F.lit("0.00").cast("decimal(12,2)")
+                )
+            ).alias("yr_qty"),
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").where(
+                    F.col("n_regionkey") == Q20_REGION_KEY
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supply.where(
+            (F.col("yr_qty") > 0)
+            & (F.col("all_qty") > F.col("yr_qty") * 2)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name")
+        .distinct()
+    )

@@ -91,6 +91,8 @@ ZERO_ROW_KEYS = [
     "agg_q11_important_parts",
     "agg_q21_waiting_supplier",
     "agg_q22_dormant_customers",
+    "agg_q16_supplier_cnt",
+    "agg_q20_excess_suppliers",
     "agg_q4_late_shipments",
     "geo_geohash_encode",
     "geo_user_pathlength",
