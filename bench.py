@@ -95,9 +95,11 @@ HEADLINE_TPCH = [
     "agg_q13_custdist",
     "agg_q14_promo_share",
     "agg_q15_top_supplier",
+    "agg_q16_supplier_cnt",
     "agg_q17_small_qty_revenue",
     "agg_q18_large_orders",
     "agg_q19_disjunctive_revenue",
+    "agg_q20_excess_suppliers",
     "agg_q21_waiting_supplier",
     "agg_q22_dormant_customers",
 ]

@@ -1,7 +1,8 @@
-"""TPC-H analog wave 2 (round 11) — the twelve remaining classic query
-shapes, adapted to the fixture star schema (SURVEY.md §2 "aggregation"
-family; the fixture has no partsupp / shipmode / commit-receipt dates,
-so each analog states its adaptation inline).
+"""TPC-H analog waves 2 (round 11: twelve keys) and 3 (round 12:
+Q16/Q20, completing the full 22-query suite), adapted to the fixture
+star schema (SURVEY.md §2 "aggregation" family; the fixture has no
+partsupp / shipmode / commit-receipt dates, so each analog states its
+adaptation inline).
 
 Why these matter for a 100-TB engine: each query is the canonical
 stress test for ONE Catalyst capability — disjunctive predicate
