@@ -243,6 +243,7 @@ assert not set(_R12_WINDOW) & (set(_R11_WINDOW) | set(_R10_WINDOW))
 _R13_WINDOW = (
     # -- new in r12 (no driver row yet — new keys lead) --
     "agg_q16_supplier_cnt", "agg_q20_excess_suppliers",
+    "text_bpe_pair_topk",
     # -- new in r11 with no driver row yet --
     "graph_jaccard_minhash", "geo_distance_join", "geo_nearest_landmark",
     "agg_q6_forecast_revenue", "agg_q4_late_shipments",
@@ -264,9 +265,10 @@ _R13_WINDOW = (
     "embed_quantize_int8", "graph_khop_reach", "doc_pipeline_e2e",
     "dedup_exact", "dedup_minhash_lsh", "dedup_containment",
     "embed_pca_project", "sim_pairs_bucket_jobs",
-    "agg_regression_per_group", "ts_changepoint_cusum",
-    # (ts_autocorr_lag / ts_holt_linear displaced to _R14_WINDOW by
-    # the two r12 additions above — still r7-vintage-first there.)
+    "agg_regression_per_group",
+    # (ts_autocorr_lag / ts_holt_linear / ts_changepoint_cusum
+    # displaced to _R14_WINDOW by the three r12 additions above —
+    # still r7-vintage-first there.)
 )
 
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
@@ -302,7 +304,7 @@ _R14_WINDOW = (
     "ts_forecast_backtest", "embed_pca_power_exact",
     "table_deletion_vectors", "text_chunk_sliding", "embed_chunk_pool",
     "multimodal_jpeg_decode", "sim_cosine_topk", "sim_batch_queries_topk",
-    "ts_autocorr_lag", "ts_holt_linear",
+    "ts_autocorr_lag", "ts_holt_linear", "ts_changepoint_cusum",
     # -- oldest 30 r8-vintage keys (registration order) --
     "agg_q1_pricing", "agg_stats", "join_broadcast", "join_asof",
     "join_star_3way", "join_range_binned", "stream_quarantine_split",
@@ -311,10 +313,11 @@ _R14_WINDOW = (
     "embed_binary_quantize", "graph_label_propagation", "graph_kcore_peel",
     "graph_jaccard_neighbors", "graph_random_walk_deterministic",
     "graph_hits_topk", "graph_assoc_rules_lift", "graph_clustering_coeff",
-    "graph_powerlaw_slope", "graph_modularity_eval",
-    # (dedup_lsh_recall_eval / multimodal_audio_vad displaced to
-    # _R15_WINDOW by the r12 cascade — their r8 rows stay inside the
-    # freshness horizon either way.)
+    "graph_powerlaw_slope",
+    # (dedup_lsh_recall_eval / multimodal_audio_vad /
+    # graph_modularity_eval displaced to _R15_WINDOW by the r12
+    # cascade — their r8 rows stay inside the freshness horizon
+    # either way.)
 )
 
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
@@ -348,17 +351,18 @@ _R15_WINDOW = (
     "agg_q5_local_supplier", "agg_q18_large_orders",
     "agg_q7_nation_volume", "agg_q10_returned_topk",
     "dedup_lsh_recall_eval", "multimodal_audio_vad",
+    "graph_modularity_eval",
     # -- oldest 18 r9-vintage keys (registration order) --
     "win_running_distinct", "sort_range_boundaries",
     "agg_skyline_pareto", "ts_burst_hysteresis", "ts_rolling_median",
     "ts_attribution_last_touch", "ts_sequence_regex_match",
     "ts_markov_transitions", "trending_decayed_topk", "ts_anomaly_mad",
     "ts_weighted_moving_avg", "ts_bollinger_bands", "ts_rsi_wilder",
-    "ts_drawdown_max", "ts_entropy_daily", "ts_rolling_correlation",
-    # (ts_bounce_rate_daily / ts_new_vs_returning_daily displaced to
-    # the r16 rotation head by the r12 cascade: at r15 close their r9
-    # rows are exactly 6 rounds old — on the horizon, refreshed first
-    # thing in r16.)
+    "ts_drawdown_max", "ts_entropy_daily",
+    # (ts_rolling_correlation / ts_bounce_rate_daily /
+    # ts_new_vs_returning_daily displaced to the r16 rotation head by
+    # the r12 cascade: at r15 close their r9 rows are exactly 6
+    # rounds old — on the horizon, refreshed first thing in r16.)
 )
 
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)

@@ -1352,3 +1352,80 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("pmi"),
     )
+
+
+BPE_PAIR_TOPK = 20
+
+
+@query(
+    "text_bpe_pair_topk",
+    sql=f"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM words
+        WHERE length(w) >= 2 GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest([substring(w, i, 2)
+                       FOR i IN range(1, length(w))]) AS pg, wc
+        FROM vocab
+    )
+    SELECT substring(pg, 1, 1) AS left_sym,
+           substring(pg, 2, 1) AS right_sym,
+           CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT {BPE_PAIR_TOPK}
+    """,
+    tables=("documents",),
+    scale_note=(
+        "BPE tokenizer training's inner loop (the merge-candidate "
+        "count), in the shape every production trainer uses at "
+        "corpus scale: FIRST reduce the corpus to a word-frequency "
+        "vocabulary (two-phase agg; Zipf-bounded output, stopword "
+        "hot keys absorbed by the map-side combine), THEN explode "
+        "adjacent symbol pairs over the VOCAB weighted by word "
+        "count — pair volume is sum(len(w)) over DISTINCT words, "
+        "independent of corpus row count — and reduce to an "
+        "alphabet-squared-bounded pair table.  Top-K is TakeOrdered "
+        "(per-partition top-K + K-row merge) with a (count, left, "
+        "right) total order, so the winning merge is deterministic.  "
+        "At 100 TB only the vocab agg touches the corpus; the pair "
+        "stage is megabytes."
+    ),
+)
+def text_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates: adjacent character-pair counts
+    over the corpus, weighted by word frequency (training step 1)."""
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w")
+    )
+    vocab = (
+        words.where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pg"),
+        "wc",
+    )
+    return (
+        pairs.groupBy(
+            F.substring("pg", 1, 1).alias("left_sym"),
+            F.substring("pg", 2, 1).alias("right_sym"),
+        )
+        .agg(F.sum("wc").cast("bigint").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), "left_sym", "right_sym"
+        )
+        .limit(BPE_PAIR_TOPK)
+    )

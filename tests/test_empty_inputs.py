@@ -93,6 +93,7 @@ ZERO_ROW_KEYS = [
     "agg_q22_dormant_customers",
     "agg_q16_supplier_cnt",
     "agg_q20_excess_suppliers",
+    "text_bpe_pair_topk",
     "agg_q4_late_shipments",
     "geo_geohash_encode",
     "geo_user_pathlength",
