@@ -603,9 +603,15 @@ def test_registry_wide_window_audit_is_clean(spark, sf_dir):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from window_audit import ALLOWED, audit
 
-    allowed, findings, capture_fails = audit(spark, sf_dir, SPECS)
+    allowed, findings, capture_fails, expand_findings = audit(
+        spark, sf_dir, SPECS
+    )
     assert capture_fails == [], capture_fails
     assert findings == [], findings
+    # Expand classifier (r12, after the q21 probe finding): an Expand
+    # at a key outside EXPAND_ALLOWED is the multi-DISTINCT hazard
+    # class — it multiplies the rows entering the next exchange.
+    assert expand_findings == [], expand_findings
     # The allowlist must not rot: every entry still corresponds to at
     # least one live hit (a key that stops producing unpartitioned
     # windows should leave the table so it can't mask a future one).

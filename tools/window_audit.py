@@ -120,17 +120,48 @@ def unpartitioned_windows(plan: str) -> list[str]:
     return hits
 
 
-def audit(spark, sf_dir: str, specs) -> tuple[list, list, list]:
-    """Classify every batch key's unpartitioned windows.
+# Expand operators (round 12, after the q21 probe finding): Spark
+# plans several surfaces through Expand, which multiplies the rows
+# entering the next exchange by the expand arity.  That is the
+# OPERATOR ITSELF for rollup/cube/grouping-sets/unpivot, the window
+# duplication inherent to sliding windows, and the standard exact
+# multi-column-NDV plan for the profiling keys (whose scale_notes
+# declare the HLL/KMV sketch swap as the 100-TB path).  Anywhere
+# else it is the q21 hazard class — a multi-DISTINCT aggregate that
+# should be a pre-aggregate — and a finding.
+EXPAND_ALLOWED = {
+    "agg_rollup": "Expand IS the rollup operator (grouping-set copies)",
+    "agg_cube": "Expand IS the cube operator",
+    "agg_grouping_sets": "Expand IS the grouping-sets operator",
+    "agg_unpivot_melt": "Expand IS the unpivot (one copy per column)",
+    "ts_sliding_counts": (
+        "sliding-window semantics: each event belongs to "
+        "window/slide overlapping windows by definition"
+    ),
+    "table_analyze_stats": (
+        "exact multi-column NDV in one pass (declared; scale_note "
+        "names the HLL/KMV swap at 100 TB)"
+    ),
+    "profile_table": (
+        "exact multi-column NDV in one pass (declared; scale_note "
+        "names the HLL swap at 100 TB)"
+    ),
+}
 
-    Returns ``(allowed, findings, capture_fails)`` where each element
-    is a list of ``(key, detail)`` tuples; a clean repo has
-    ``findings == capture_fails == []``.
+
+def audit(spark, sf_dir: str, specs) -> tuple[list, list, list, list]:
+    """Classify every batch key's unpartitioned windows and Expand
+    operators.
+
+    Returns ``(allowed, findings, capture_fails, expand_findings)``
+    where each element is a list of ``(key, detail)`` tuples; a clean
+    repo has ``findings == capture_fails == expand_findings == []``.
     """
     spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     allowed: list[tuple[str, str]] = []
     findings: list[tuple[str, str]] = []
     capture_fails: list[tuple[str, str]] = []
+    expand_findings: list[tuple[str, str]] = []
     for key, spec in specs.items():
         if key.startswith(SKIP_PREFIXES):
             continue
@@ -154,7 +185,11 @@ def audit(spark, sf_dir: str, specs) -> tuple[list, list, list]:
                 allowed.append((key, ln))
             else:
                 findings.append((key, ln))
-    return allowed, findings, capture_fails
+        if key not in EXPAND_ALLOWED:
+            for ln in plan.splitlines():
+                if re.match(r"^[\s+:*-]*Expand\b", ln):
+                    expand_findings.append((key, ln.strip()[:240]))
+    return allowed, findings, capture_fails, expand_findings
 
 
 def main() -> None:
@@ -164,7 +199,9 @@ def main() -> None:
     )
     specs = load_all_operators()
     n_batch = sum(1 for k in specs if not k.startswith(SKIP_PREFIXES))
-    allowed, findings, capture_fails = audit(spark, sf_dir, specs)
+    allowed, findings, capture_fails, expand_findings = audit(
+        spark, sf_dir, specs
+    )
     for key, why in sorted(set((k, ALLOWED[k]) for k, _ in allowed)):
         print(f"ALLOWED {key}: {why}")
     for key, ln in allowed:
@@ -173,13 +210,16 @@ def main() -> None:
         print(f"CAPTURE_FAIL {key}: {msg}")
     for key, ln in findings:
         print(f"FINDING {key}: {ln}")
+    for key, ln in expand_findings:
+        print(f"EXPAND_FINDING {key}: {ln}")
     print(
         f"SUMMARY keys_audited={n_batch} "
         f"allowed_hits={len(allowed)} findings={len(findings)} "
-        f"capture_fails={len(capture_fails)}"
+        f"capture_fails={len(capture_fails)} "
+        f"expand_findings={len(expand_findings)}"
     )
     spark.stop()
-    sys.exit(1 if findings or capture_fails else 0)
+    sys.exit(1 if findings or capture_fails or expand_findings else 0)
 
 
 if __name__ == "__main__":
