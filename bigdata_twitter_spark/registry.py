@@ -268,7 +268,9 @@ _R13_WINDOW = (
     "agg_regression_per_group",
     # (ts_autocorr_lag / ts_holt_linear / ts_changepoint_cusum
     # displaced to _R14_WINDOW by the three r12 additions above —
-    # still r7-vintage-first there.)
+    # still r7-vintage-first there.  A fourth r12 key,
+    # dedup_jaccard_prefix, was built, probed, and REJECTED — see
+    # BASELINE.md "Round-12 negative result".)
 )
 
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
