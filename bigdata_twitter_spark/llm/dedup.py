@@ -184,8 +184,6 @@ def dedup_fuzzy_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
 # Band-bucket occupancy cap (round 5, found by the docs ×100 probe).
 # The pair-listing self-join is Σ c·(c−1)/2 over bucket occupancies c,
 # so one degenerate clique (boilerplate, empty docs, canonicalized

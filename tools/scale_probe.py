@@ -71,23 +71,28 @@ OFFSET_KEYS = {
 COPY_AS_IS = ["region", "nation", "supplier", "part"]
 
 
-def rotated_embedding(copy: int):
-    """Deterministic per-copy rotation of the embedding vector."""
-    shift = (copy * 7) % 64
-    if shift == 0:
-        return F.col("embedding")
+def rotated_embedding_expr():
+    """Deterministic per-copy rotation of the embedding vector,
+    driven by the ``__c`` copy column (copy 0 must be the identity —
+    shift = (7·__c) mod 64, and slice(v, 65, 0) is empty so the
+    concat degenerates correctly at shift 0)."""
     return F.expr(
-        f"concat(slice(embedding, {shift + 1}, {64 - shift}), "
-        f"slice(embedding, 1, {shift}))"
+        "CASE WHEN (__c * 7) % 64 = 0 THEN embedding ELSE "
+        "concat(slice(embedding, CAST((__c * 7) % 64 AS INT) + 1, "
+        "             64 - CAST((__c * 7) % 64 AS INT)), "
+        "       slice(embedding, 1, CAST((__c * 7) % 64 AS INT))) END"
     )
 
 
-def suffixed_text(copy: int):
-    """Per-copy token renaming: an isomorphism on the token sequence
-    (order untouched), so intra-copy similarity structure is exact and
-    cross-copy token/shingle universes are disjoint."""
+def suffixed_text_expr():
+    """Per-copy token renaming driven by the ``__c`` copy column: an
+    isomorphism on the token sequence (order untouched), so intra-copy
+    similarity structure is exact and cross-copy token/shingle
+    universes are disjoint.  Copy 0 keeps the original text."""
     return F.expr(
-        f"concat_ws(' ', transform(split(text, ' '), t -> concat(t, '_{copy}')))"
+        "CASE WHEN __c = 0 THEN text ELSE "
+        "concat_ws(' ', transform(split(text, ' '), "
+        "t -> concat(t, '_', CAST(__c AS STRING)))) END"
     )
 
 
@@ -111,15 +116,26 @@ def build(
         if replicate is not None and name not in replicate:
             base.write.mode("overwrite").parquet(out)
             continue
-        for i in range(copies):
-            df = base
-            for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
-            if name == "documents" and i > 0:
-                df = df.withColumn("text", suffixed_text(i))
-            if name == "embeddings" and i > 0:
-                df = df.withColumn("embedding", rotated_embedding(i))
-            df.write.mode("append").parquet(out)
+        # ONE job per table (round 12): repartition BEFORE exploding a
+        # copies column, then apply the per-copy stride/isomorphisms
+        # from that column.  The old per-copy append loop cost ~1.4 s
+        # per (table, copy) pair — 433 s at ×300 — and its parallelism
+        # was capped by the SOURCE's split count (a 3-split fixture
+        # exploded ×1000 in 3 tasks).  Measured: ×1000 lineitem+orders
+        # in 54 s.  Same stride and isomorphisms, same result modulo
+        # file layout.
+        df = base.repartition(64).withColumn(
+            "__c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        )
+        for k in keys:
+            df = df.withColumn(
+                k, F.col(k) + F.col("__c").cast("long") * F.lit(KEY_STRIDE)
+            )
+        if name == "documents":
+            df = df.withColumn("text", suffixed_text_expr())
+        if name == "embeddings":
+            df = df.withColumn("embedding", rotated_embedding_expr())
+        df.drop("__c").write.mode("overwrite").parquet(out)
 
 
 def probe_keys(specs) -> list[str]:
