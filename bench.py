@@ -221,15 +221,18 @@ def main() -> None:
     # a mid-line tail, losing the headline totals — VERDICT r11 #2).
     # Emit a compact totals-only line LAST so the tail capture always
     # retains the headline numbers regardless of how many per-query
-    # sections the big line grows.
+    # sections the big line grows.  Every `value*` total comes AFTER
+    # the per-query `queries` dict (ADVICE r12): if the headline set
+    # ever grows this line past 2000 chars, the tail capture truncates
+    # the line's FRONT, so the totals must occupy its final bytes.
     print(
         json.dumps(
             {
                 "metric": "bench_summary",
-                "value": total,
                 "unit": "sec",
                 "sf": sf,
                 "queries": timings,
+                "value": total,
                 "value_median_of_3": total_median,
                 "value_streaming": round(sum(stream_timings.values()), 4),
                 "value_streaming_median_of_3": round(

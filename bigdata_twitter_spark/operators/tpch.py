@@ -866,7 +866,8 @@ Q16_SIZES = (1, 9, 19, 29, 39, 49)
       AND p.p_type <> '{Q16_EXCL_TYPE}'
       AND p.p_size IN {Q16_SIZES}
       AND l.l_suppkey NOT IN (
-          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+          SELECT s_suppkey FROM supplier
+          WHERE s_acctbal < 0.0 AND s_suppkey IS NOT NULL)
     GROUP BY 1, 2, 3
     """,
     tables=("lineitem", "part", "supplier"),

@@ -89,9 +89,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #
 # After r10: every key's latest driver row is r4+ and the
 # never-checked backlog is 0.  After r11: every row is r5+.  After
-# r12 (_R12_WINDOW below — ACTIVE this round, first in the check
-# order): every row is r6+ and fn_variant/geo_grid_hotspots are
-# driver-certified.  After r13 (_R13_WINDOW below): every row is r7+
+# r12 (CORRECTNESS_r12.json: 49 full passes + 1 rows-only-by-design):
+# every row is r6+ and fn_variant/geo_grid_hotspots are
+# driver-certified.  After r13 (_R13_WINDOW below — ACTIVE this
+# round, first in the check order): every row is r7+
 # and 5 more r11 additions certify.  _R14_WINDOW was re-derived in
 # r12 (VERDICT r11 #3) so that ALL 25 round-11 additions certify by
 # r14: the 6 wave-3/4 keys join the 12 wave-2 TPC-H analogs at its
@@ -290,6 +291,13 @@ assert not set(_R13_WINDOW) & (set(_R12_WINDOW) | set(_R11_WINDOW))
 # "after r14 every row is r8+" promise still holds.  Derived from
 # CORRECTNESS_r01–r11 + the r12/r13 windows.
 _R14_WINDOW = (
+    # -- new in r13 (no driver row yet — new keys lead; the r13
+    #    cascade displaced graph_assoc_rules_lift /
+    #    graph_clustering_coeff / graph_powerlaw_slope to _R15_WINDOW,
+    #    whose own tail displaced ts_rsi_wilder / ts_drawdown_max /
+    #    ts_entropy_daily to the _R16_WINDOW head; every displaced
+    #    key's row stays inside the 6-round freshness horizon) --
+    "text_bpe_vocab_train", "ann_index_build", "ann_index_search",
     # -- new in r11 waves 3/4 (no driver row yet) --
     "geo_geohash_encode", "geo_user_pathlength", "graph_adamic_adar",
     "text_cooccurrence_pmi", "cdc_merge_multi_clause",
@@ -314,12 +322,12 @@ _R14_WINDOW = (
     "cdc_debezium_apply", "scan_bloom_pruned", "scan_partition_evolution",
     "embed_binary_quantize", "graph_label_propagation", "graph_kcore_peel",
     "graph_jaccard_neighbors", "graph_random_walk_deterministic",
-    "graph_hits_topk", "graph_assoc_rules_lift", "graph_clustering_coeff",
-    "graph_powerlaw_slope",
+    "graph_hits_topk",
     # (dedup_lsh_recall_eval / multimodal_audio_vad /
     # graph_modularity_eval displaced to _R15_WINDOW by the r12
-    # cascade — their r8 rows stay inside the freshness horizon
-    # either way.)
+    # cascade, graph_assoc_rules_lift / graph_clustering_coeff /
+    # graph_powerlaw_slope by the r13 cascade — their r8 rows stay
+    # inside the freshness horizon either way.)
 )
 
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
@@ -337,10 +345,13 @@ assert not set(_R14_WINDOW) & (
 # r9+ and 132 keys (32 r9-vintage + 50 r10 + 50 r11) remain for the
 # r16–r17 rotation — comfortably inside the 6-round horizon.
 _R15_WINDOW = (
-    # -- displaced from r14 (latest driver row r8) --
+    # -- displaced from r14 (latest driver row r8; the last three by
+    #    the r13 cascade) --
     "multimodal_audio_zcr", "table_analyze_stats",
     "table_restore_version", "table_schema_evolution_versioned",
     "ts_mann_kendall", "ts_theil_sen",
+    "graph_assoc_rules_lift", "graph_clustering_coeff",
+    "graph_powerlaw_slope",
     # -- remaining r8-vintage keys (registration order) --
     "ts_holt_winters", "ab_test_proportions", "ts_cross_correlation",
     "agg_covariance_matrix", "ts_survival_km", "ts_anova_hour_of_day",
@@ -359,17 +370,62 @@ _R15_WINDOW = (
     "agg_skyline_pareto", "ts_burst_hysteresis", "ts_rolling_median",
     "ts_attribution_last_touch", "ts_sequence_regex_match",
     "ts_markov_transitions", "trending_decayed_topk", "ts_anomaly_mad",
-    "ts_weighted_moving_avg", "ts_bollinger_bands", "ts_rsi_wilder",
-    "ts_drawdown_max", "ts_entropy_daily",
+    "ts_weighted_moving_avg", "ts_bollinger_bands",
     # (ts_rolling_correlation / ts_bounce_rate_daily /
     # ts_new_vs_returning_daily displaced to the r16 rotation head by
-    # the r12 cascade: at r15 close their r9 rows are exactly 6
-    # rounds old — on the horizon, refreshed first thing in r16.)
+    # the r12 cascade, ts_rsi_wilder / ts_drawdown_max /
+    # ts_entropy_daily by the r13 cascade: at r15 close their r9 rows
+    # are exactly 6 rounds old — on the horizon, refreshed first
+    # thing in r16.)
 )
 
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
 assert not set(_R15_WINDOW) & (
     set(_R14_WINDOW) | set(_R13_WINDOW) | set(_R12_WINDOW)
+)
+
+# Pre-staged r16 window (derived in r13 per VERDICT r12 "Next round"
+# #3): pure oldest-first rotation.  After r15 the oldest remaining
+# rows are r9-vintage — the 3 keys displaced to the r16 head by the
+# r12 cascade lead, then the remaining 32 r9-vintage keys and the 15
+# oldest r10-vintage keys, all in registration order.  Derived from
+# CORRECTNESS_r01–r12 + the r13/r14/r15 windows.  After r16 every
+# key's latest driver row is r10+ (35 r10 + 50 r11 + 50 r12 keys
+# remain for r17+ — inside the ~6.8-round full-refresh horizon).
+_R16_WINDOW = (
+    # -- displaced to the r16 head by the r12/r13 cascades (r9 rows) --
+    "ts_rolling_correlation", "ts_bounce_rate_daily",
+    "ts_new_vs_returning_daily",
+    "ts_rsi_wilder", "ts_drawdown_max", "ts_entropy_daily",
+    # -- remaining r9-vintage keys (registration order) --
+    "ts_cohort_ltv", "ts_dow_hod_heatmap", "text_tf_idf",
+    "text_lang_id_eval", "text_vocab_growth", "text_readability_flesch",
+    "text_zipf_fit", "text_burstiness_dispersion",
+    "text_js_divergence_langs", "sample_hash_stratified",
+    "sample_exact_k_stratified", "sample_stratified_neyman",
+    "sample_balanced_classes", "profile_table", "agg_mode_per_group",
+    "agg_gini_impurity", "agg_benford_digits", "agg_tukey_fences",
+    "inverted_index", "train_packing_efficiency", "train_dataset_card",
+    "train_curriculum_schedule", "embed_contamination_eval",
+    "embed_mmr_diverse", "fn_json", "fn_struct",
+    "embed_centroid_confusion", "embed_silhouette_centroid",
+    "agg_share_of_parent", "agg_abc_classification", "agg_trimmed_mean",
+    "join_fuzzy_levenshtein",
+    # -- oldest 12 r10-vintage keys (registration order) --
+    "set_union_all", "set_union_distinct", "trending_topk_terms",
+    "win_session_paths", "ts_ewma", "ts_downsample_ohlc",
+    "win_streak_longest", "text_bigram_familiarity",
+    "tweet_hashtag_topk", "scan_orc", "cdc_snapshot_diff",
+    "text_scrub_denylist",
+    # (pack_token_budget / text_contamination_overlap /
+    # text_boilerplate_ngrams fall to the r17 rotation head via the
+    # r13 cascade — their r10 rows are 6 rounds old at r16 close,
+    # refreshed first thing in r17.)
+)
+
+assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
+assert not set(_R16_WINDOW) & (
+    set(_R15_WINDOW) | set(_R14_WINDOW) | set(_R13_WINDOW)
 )
 
 def query(
@@ -399,13 +455,13 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R12_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R13_WINDOW``
     tuple above defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round),
-    with the pre-staged ``_R13_WINDOW``/``_R14_WINDOW``/``_R15_WINDOW``
+    with the pre-staged ``_R14_WINDOW``/``_R15_WINDOW``/``_R16_WINDOW``
     queued directly behind it.  Keys outside the staged windows
-    (including the r11 window, certified in CORRECTNESS_r11.json)
-    follow in registration order.
+    (including the r11/r12 windows, certified in
+    CORRECTNESS_r11/r12.json) follow in registration order.
     """
     from .operators import windows  # noqa: F401
     from .operators import sort_limit  # noqa: F401
@@ -473,6 +529,11 @@ def load_all_operators() -> dict[str, QuerySpec]:
     # first driver rows in the r14 window.
     from .operators import tpch  # noqa: F401  (round 11)
 
+    # Round-13 additions (window-listed at the head of _R14_WINDOW for
+    # their first driver rows): the ANN build/serve split.  The third
+    # r13 key, text_bpe_vocab_train, registers via text.analysis above.
+    from .llm import annindex  # noqa: F401  (round 13)
+
     # Families fully hash-verified by the round-1 driver run; scalars
     # lead because fn_map's oracle was strengthened this round.
     from .functions import scalars  # noqa: F401
@@ -480,13 +541,13 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key r12 window first (what
-    # the driver certifies this round), the pre-staged r13/r14/r15
-    # windows next, then every remaining key (including the
-    # r11-certified window) in registration order.
+    # Final check order: the explicit 50-key r13 window first (what
+    # the driver certifies this round), the pre-staged r14/r15/r16
+    # windows next, then every remaining key (including the r11- and
+    # r12-certified windows) in registration order.
     missing = [
         k
-        for k in (*_R12_WINDOW, *_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW)
+        for k in (*_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW)
         if k not in REGISTRY
     ]
     if missing:
@@ -495,7 +556,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R12_WINDOW, *_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW):
+    for key in (*_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

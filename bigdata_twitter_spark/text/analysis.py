@@ -1429,3 +1429,165 @@ def text_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BPE_PAIR_TOPK)
     )
+
+
+# ---- BPE vocab training: the full K-round merge loop (round 13) --------
+BPE_TRAIN_ROUNDS = 8
+# Tokenized words travel as a single string: every symbol wrapped in
+# U+001F unit separators ("\x1fab\x1f\x1fc\x1f" = [ab, c]), absent from
+# the corpus by charset.  Merging pair (l, r) is then ONE string
+# replace of "\x1f l \x1f\x1f r \x1f" with "\x1f lr \x1f" — and both
+# engines' replace() scans left-to-right non-overlapping, which is
+# exactly BPE's greedy in-word merge order, so the representation makes
+# the two engines agree BY CONSTRUCTION (each consumed occurrence keeps
+# its own wrapping separators, so back-to-back occurrences still match:
+# "\x1fa\x1f\x1fa\x1f\x1fa\x1f\x1fa\x1f" -> "\x1faa\x1f\x1faa\x1f").
+_BPE_SEP = "\x1f"
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled K-round replay of the identical merge loop (the
+    MMR/Holt/k-hop oracle discipline): each round k derives pair counts
+    from v{k-1}, picks the (count DESC, left, right) winner, and
+    rewrites the vocab with one replace()."""
+    sql = """WITH v0 AS (
+    SELECT regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS repr,
+           CAST(COUNT(*) AS BIGINT) AS wc
+    FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS w
+          FROM documents)
+    WHERE length(w) >= 2 GROUP BY 1
+)"""
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        sql += f""",
+p{k} AS (
+    SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest([[tk[i], tk[i+1]] FOR i IN range(1, len(tk))]) AS pr,
+               wc
+        FROM (SELECT string_split(trim(repr, chr(31)),
+                                  chr(31)||chr(31)) AS tk, wc
+              FROM v{k-1})
+    ) GROUP BY 1, 2
+),
+w{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+v{k} AS (
+    SELECT replace(repr, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+                   chr(31)||l||r||chr(31)) AS repr, wc
+    FROM v{k-1}, w{k}
+)"""
+    sql += (
+        "\n"
+        + " UNION ALL ".join(
+            f"SELECT {k} AS merge_step, l AS left_sym, r AS right_sym,"
+            f" l||r AS merged, cnt AS pair_count FROM w{k}"
+            for k in range(1, BPE_TRAIN_ROUNDS + 1)
+        )
+        + "\nORDER BY merge_step"
+    )
+    return sql
+
+
+@query(
+    "text_bpe_vocab_train",
+    sql=_bpe_train_oracle(),
+    tables=("documents",),
+    scale_note=(
+        f"Full BPE tokenizer training ({BPE_TRAIN_ROUNDS} merge "
+        "rounds), completing the text_bpe_pair_topk step-1 plan into "
+        "the production trainer shape: the corpus is scanned ONCE to "
+        "build the word-frequency vocabulary (two-phase agg, "
+        "Zipf-bounded output, stopword hot keys absorbed map-side); "
+        "every merge round thereafter runs over the VOCAB only — "
+        "pair-count volume is sum(len(w)) over DISTINCT words, "
+        "independent of corpus row count — so at 100 TB the loop "
+        "costs K vocab-sized jobs after one corpus scan.  Each "
+        "round's winner is TakeOrdered(1) with a (count, left, "
+        "right) total order (deterministic ties) and the merge "
+        "itself is ONE JVM-side string replace over the persisted "
+        "vocab (left-to-right non-overlapping = BPE's greedy in-word "
+        "order in both engines by construction).  The K winners "
+        "collected to the driver are the merge TABLE — the "
+        "aggregate-sized model artifact (like kmeans centroids), "
+        "never corpus data."
+    ),
+)
+def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table: K rounds of (count adjacent symbol
+    pairs over the word-frequency vocab, merge the argmax pair).
+    Returns one row per learned merge: (merge_step, left_sym,
+    right_sym, merged, pair_count-at-merge-time)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    s = _BPE_SEP
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w")
+    )
+    vocab = (
+        words.where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .select(
+            F.regexp_replace("w", "(.)", s + "$1" + s).alias("repr"),
+            "wc",
+        )
+        .persist()
+    )
+    try:
+        vocab.count()  # materialize once; the loop never rescans the corpus
+        cur = vocab
+        merges: list[tuple] = []
+        for step in range(1, BPE_TRAIN_ROUNDS + 1):
+            top = (
+                cur.withColumn(
+                    "tk",
+                    F.split(
+                        F.expr(f"trim(BOTH '{s}' FROM repr)"), s + s
+                    ),
+                )
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(tk) - 1),"
+                            " i -> struct(element_at(tk, i) AS l,"
+                            " element_at(tk, i + 1) AS r))"
+                        )
+                    ).alias("pr"),
+                    "wc",
+                )
+                .groupBy("pr.l", "pr.r")
+                .agg(F.sum("wc").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:  # vocab exhausted (or empty corpus): stop early
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+            merges.append((step, l, r, l + r, cnt))
+            cur = cur.withColumn(
+                "repr",
+                F.replace(
+                    "repr",
+                    F.lit(s + l + s + s + r + s),
+                    F.lit(s + l + r + s),
+                ),
+            )
+        schema = StructType(
+            [
+                StructField("merge_step", IntegerType(), False),
+                StructField("left_sym", StringType(), False),
+                StructField("right_sym", StringType(), False),
+                StructField("merged", StringType(), False),
+                StructField("pair_count", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(merges, schema)
+    finally:
+        vocab.unpersist()

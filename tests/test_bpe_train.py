@@ -1,0 +1,101 @@
+"""text_bpe_vocab_train first-principles referee: replay the full
+K-round BPE training loop with a plain-Python trainer (dict vocab,
+greedy left-to-right in-word merges — the textbook Sennrich et al.
+algorithm) over the raw parquet, and pin the learned merge table
+bitwise.  A defect in the separator-string representation or the
+vocab-factorized pair count that somehow mirrored into the oracle SQL
+would still fail here."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from bigdata_twitter_spark.registry import load_all_operators
+from bigdata_twitter_spark.text import analysis
+
+SPECS = load_all_operators()
+
+
+def _referee_merges(sf_dir: str, rounds: int) -> list[tuple]:
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet").text
+    vocab: dict[tuple, int] = {}
+    for text in texts:
+        for w in text.lower().split(" "):
+            if len(w) >= 2:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    merges: list[tuple] = []
+    for step in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pair = (toks[i], toks[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, left, right, left + right, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for toks, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == left
+                    and toks[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_python_trainer(spark, sf_dir):
+    """The learned merge table (pair, merged token, count at merge
+    time, in merge order) must equal the textbook trainer's."""
+    expected = _referee_merges(sf_dir, analysis.BPE_TRAIN_ROUNDS)
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in SPECS["text_bpe_vocab_train"]
+        .fn(spark, sf_dir)
+        .orderBy("merge_step")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_counts_monotone_nonincreasing_is_not_assumed(
+    spark, sf_dir
+):
+    """Sanity on the loop mechanics rather than a (false) monotonicity
+    claim: every merged token is the concatenation of its pair, steps
+    are 1..K with no gaps, and every count is positive."""
+    rows = (
+        SPECS["text_bpe_vocab_train"]
+        .fn(spark, sf_dir)
+        .orderBy("merge_step")
+        .collect()
+    )
+    assert [r.merge_step for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.merged == r.left_sym + r.right_sym
+        assert r.pair_count > 0
+    assert len(rows) <= analysis.BPE_TRAIN_ROUNDS
+
+
+def test_bpe_train_later_merges_can_use_earlier_tokens(spark, sf_dir):
+    """The loop must feed merged symbols back into later rounds (the
+    whole point of training vs one pair count): on this corpus at
+    least one learned pair has a multi-char side."""
+    rows = SPECS["text_bpe_vocab_train"].fn(spark, sf_dir).collect()
+    assert any(
+        len(r.left_sym) > 1 or len(r.right_sym) > 1 for r in rows
+    ), [tuple(r) for r in rows]

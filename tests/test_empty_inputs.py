@@ -102,6 +102,10 @@ ZERO_ROW_KEYS = [
     "text_cooccurrence_pmi",
     "cdc_merge_multi_clause",
     "sample_bootstrap_ci",
+    # round-13 additions
+    "text_bpe_vocab_train",
+    "ann_index_build",
+    "ann_index_search",
 ]
 
 

@@ -601,10 +601,10 @@ def test_registry_wide_window_audit_is_clean(spark, sf_dir):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from window_audit import ALLOWED, audit
+    from window_audit import ALLOWED, EXPAND_ALLOWED, audit
 
-    allowed, findings, capture_fails, expand_findings = audit(
-        spark, sf_dir, SPECS
+    allowed, findings, capture_fails, expand_findings, expand_allowed = (
+        audit(spark, sf_dir, SPECS)
     )
     assert capture_fails == [], capture_fails
     assert findings == [], findings
@@ -618,3 +618,11 @@ def test_registry_wide_window_audit_is_clean(spark, sf_dir):
     live = {k for k, _ in allowed}
     stale = set(ALLOWED) - live
     assert stale == set(), f"ALLOWED entries with no live hit: {stale}"
+    # Same rot check for the Expand allowlist (ADVICE r12): an
+    # EXPAND_ALLOWED key that stops producing Expand must leave the
+    # table so it can't mask a future Expand regression there.
+    expand_live = {k for k, _ in expand_allowed}
+    expand_stale = set(EXPAND_ALLOWED) - expand_live
+    assert expand_stale == set(), (
+        f"EXPAND_ALLOWED entries with no live hit: {expand_stale}"
+    )

@@ -149,19 +149,25 @@ EXPAND_ALLOWED = {
 }
 
 
-def audit(spark, sf_dir: str, specs) -> tuple[list, list, list, list]:
+def audit(spark, sf_dir: str, specs) -> tuple[list, list, list, list, list]:
     """Classify every batch key's unpartitioned windows and Expand
     operators.
 
-    Returns ``(allowed, findings, capture_fails, expand_findings)``
-    where each element is a list of ``(key, detail)`` tuples; a clean
-    repo has ``findings == capture_fails == expand_findings == []``.
+    Returns ``(allowed, findings, capture_fails, expand_findings,
+    expand_allowed)`` where each element is a list of ``(key, detail)``
+    tuples; a clean repo has ``findings == capture_fails ==
+    expand_findings == []``.  ``expand_allowed`` carries the live
+    Expand hits at EXPAND_ALLOWED keys so the allowlist can be
+    rot-checked exactly like ALLOWED (ADVICE r12): an allowlisted key
+    that stops producing Expand must leave the table, or it would
+    silently mask a future Expand regression at that key.
     """
     spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
     allowed: list[tuple[str, str]] = []
     findings: list[tuple[str, str]] = []
     capture_fails: list[tuple[str, str]] = []
     expand_findings: list[tuple[str, str]] = []
+    expand_allowed: list[tuple[str, str]] = []
     for key, spec in specs.items():
         if key.startswith(SKIP_PREFIXES):
             continue
@@ -185,11 +191,13 @@ def audit(spark, sf_dir: str, specs) -> tuple[list, list, list, list]:
                 allowed.append((key, ln))
             else:
                 findings.append((key, ln))
-        if key not in EXPAND_ALLOWED:
-            for ln in plan.splitlines():
-                if re.match(r"^[\s+:*-]*Expand\b", ln):
+        for ln in plan.splitlines():
+            if re.match(r"^[\s+:*-]*Expand\b", ln):
+                if key in EXPAND_ALLOWED:
+                    expand_allowed.append((key, ln.strip()[:240]))
+                else:
                     expand_findings.append((key, ln.strip()[:240]))
-    return allowed, findings, capture_fails, expand_findings
+    return allowed, findings, capture_fails, expand_findings, expand_allowed
 
 
 def main() -> None:
@@ -199,13 +207,19 @@ def main() -> None:
     )
     specs = load_all_operators()
     n_batch = sum(1 for k in specs if not k.startswith(SKIP_PREFIXES))
-    allowed, findings, capture_fails, expand_findings = audit(
-        spark, sf_dir, specs
+    allowed, findings, capture_fails, expand_findings, expand_allowed = (
+        audit(spark, sf_dir, specs)
     )
     for key, why in sorted(set((k, ALLOWED[k]) for k, _ in allowed)):
         print(f"ALLOWED {key}: {why}")
     for key, ln in allowed:
         print(f"  hit {key}: {ln}")
+    for key, why in sorted(
+        set((k, EXPAND_ALLOWED[k]) for k, _ in expand_allowed)
+    ):
+        print(f"EXPAND_ALLOWED {key}: {why}")
+    for key, ln in expand_allowed:
+        print(f"  expand-hit {key}: {ln}")
     for key, msg in capture_fails:
         print(f"CAPTURE_FAIL {key}: {msg}")
     for key, ln in findings:
@@ -216,7 +230,8 @@ def main() -> None:
         f"SUMMARY keys_audited={n_batch} "
         f"allowed_hits={len(allowed)} findings={len(findings)} "
         f"capture_fails={len(capture_fails)} "
-        f"expand_findings={len(expand_findings)}"
+        f"expand_findings={len(expand_findings)} "
+        f"expand_allowed_hits={len(expand_allowed)}"
     )
     spark.stop()
     sys.exit(1 if findings or capture_fails or expand_findings else 0)
