@@ -690,6 +690,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = persist_fresh(
         "kcore_edges", sf_dir, copurchase_edges(spark, sf_dir)
     )
+    # Early fixpoint exit (round-13 ×300 probe finding): the fixture
+    # converges at round 3-4 at every measured scale, so the fixed-R
+    # loop was paying 2-3 full no-op rounds (~3 shuffles + a
+    # checkpoint write over the full edge set EACH) purely to match
+    # the oracle's unrolled round count.  Peeling is monotone — the
+    # semi joins only remove edges — so an unchanged edge count means
+    # the degree table, hence every later round, is identical:
+    # breaking there is result-identical to running all R rounds.
+    # The count is one job over the just-checkpointed (cached) edge
+    # set; at ×300 (360M edges) the exit saved ~1/3 of wall time.
+    prev = edges.count()
     for _ in range(KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
@@ -706,6 +717,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
+        cur = edges.count()
+        if cur == prev:
+            break
+        prev = cur
     return (
         edges.groupBy("src")
         .agg(F.count("*").cast("bigint").alias("core_degree"))
