@@ -192,7 +192,12 @@ def audit(spark, sf_dir: str, specs) -> tuple[list, list, list, list, list]:
             else:
                 findings.append((key, ln))
         for ln in plan.splitlines():
-            if re.match(r"^[\s+:*-]*Expand\b", ln):
+            # The codegen marker `*(N) ` may precede the operator name
+            # (round-13 finding: `*(1) Expand` lines evaded the
+            # original `[\s+:*-]*Expand` class entirely — a
+            # whole-stage-codegen'd Expand was invisible to BOTH the
+            # findings list and the allowlist rot check).
+            if re.match(r"^[\s+:*-]*(\*\(\d+\)\s*)?Expand\b", ln):
                 if key in EXPAND_ALLOWED:
                     expand_allowed.append((key, ln.strip()[:240]))
                 else:
