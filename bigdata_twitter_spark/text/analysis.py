@@ -1551,6 +1551,15 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.expr(f"trim(BOTH '{s}' FROM repr)"), s + s
                     ),
                 )
+                # Words already merged to a single token carry no
+                # pairs and MUST be dropped before the transform:
+                # Spark's sequence(1, 0) steps DOWN ([1, 0]), so a
+                # 1-token word would index element_at(tk, 2) out of
+                # bounds (degen-sweep finding on the constant-domain
+                # fixture, where every word collapses by round 4;
+                # DuckDB's end-exclusive range(1, 1) is empty and was
+                # never exposed).
+                .where(F.size("tk") >= 2)
                 .select(
                     F.explode(
                         F.expr(
