@@ -96,9 +96,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # and 5 more r11 additions certify.  _R14_WINDOW was re-derived in
 # r12 (VERDICT r11 #3) so that ALL 25 round-11 additions certify by
 # r14: the 6 wave-3/4 keys join the 12 wave-2 TPC-H analogs at its
-# head; after r14 every row is r8+ and the never-checked backlog is
-# 0 again.  _R15_WINDOW (pre-staged) resumes pure oldest-first
-# rotation; after r15 every row is r9+.
+# head, and the 3 round-13 additions (text_bpe_vocab_train,
+# ann_index_build, ann_index_search) lead it by the standing
+# never-checked-first rule; after r14 every row is r8+ and the
+# never-checked backlog is 0 again.  _R15_WINDOW (pre-staged)
+# resumes pure oldest-first rotation; after r15 every row is r9+.
+# _R16_WINDOW (pre-staged in r13) continues it; after r16 every row
+# is r10+.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --
