@@ -11,12 +11,22 @@ exact-score only those candidates).  The in-repo sim_ivf_topk computes
 the same restriction inline each call; these two keys materialize it.
 
 The index layout reuses the lakehouse substrate (sources/versioned.py
-commit_next CAS manifests): one immutable data dir per version
-(``v{N}/codebook`` + ``v{N}/buckets/clabel=X/``) plus a JSON manifest
-naming the version's files and a meta file carrying the staleness pin
-(corpus row count).  A serve call re-pins: if the manifest's pinned
-count no longer matches the corpus, it rebuilds as version N+1 before
-answering — the freshness contract a versioned index owes its readers.
+commit_next CAS manifests): one immutable data dir per build attempt
+(``v{N}-{token}/codebook`` + ``v{N}-{token}/buckets/clabel=X/``) plus
+a JSON manifest naming the version's files and a meta file carrying
+the staleness pin.  Two disciplines (ADVICE r13 #1/#2):
+
+* **Unique staging dirs.**  Every build attempt writes into its own
+  ``v{N}-{token}`` directory and the manifest records that exact
+  name, so a CAS loser's cleanup (rmtree of its OWN staging dir) can
+  never touch a path any committed manifest names — the
+  immutable-unique-data-files discipline of the lakehouse substrate.
+* **Content fingerprint, not row count.**  The index root is keyed by
+  (corpus path, corpus CONTENT fingerprint — file sizes + mtimes of
+  the embeddings parquet), and the meta re-pins the fingerprint.  A
+  corpus regenerated in place with the same row count but different
+  bytes maps to a DIFFERENT root and rebuilds from v0; a serve can
+  never silently answer from an index of a different corpus.
 
 Index definition is llm/ivf.ivf_index — ONE definition shared with
 sim_ivf_topk and ann_recall_eval, so the served buckets are exactly
@@ -39,6 +49,7 @@ import hashlib
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,9 +79,39 @@ _KEEP_ROOTS = 8  # newest index roots kept; older corpora reclaimed
 LAST_RUN_INFO: dict = {}
 
 
-def _index_root(sf_dir: str) -> str:
-    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(INDEX_BASE, digest)
+def _path_digest(sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content pin for the embeddings corpus: md5 over the sorted
+    (relative path, size, mtime_ns) of every file under the parquet
+    path.  Pure filesystem metadata — no data scan — yet any in-place
+    regeneration (same row count, different bytes) changes it."""
+    target = os.path.join(sf_dir, "embeddings.parquet")
+    entries = []
+    if os.path.isdir(target):
+        for dirpath, _dirs, files in os.walk(target):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, target), st.st_size, st.st_mtime_ns)
+                )
+    elif os.path.exists(target):
+        st = os.stat(target)
+        entries.append((os.path.basename(target), st.st_size, st.st_mtime_ns))
+    entries.sort()
+    return hashlib.md5(repr(entries).encode()).hexdigest()[:16]
+
+
+def _index_root(sf_dir: str, fingerprint: str) -> str:
+    """Index root keyed by (path, content fingerprint): a regenerated
+    corpus at the same path maps to a fresh root and rebuilds from v0
+    — staleness is structural, not a mutable-pin comparison."""
+    return os.path.join(
+        INDEX_BASE, f"{_path_digest(sf_dir)}-{fingerprint}"
+    )
 
 
 def _reclaim_old_roots(current_root: str) -> None:
@@ -107,41 +148,57 @@ def _read_meta(root: str, manifest: dict) -> dict:
         return json.load(fh)
 
 
-def ensure_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, bool]:
+def _manifest_data_dir(root: str, manifest: dict) -> str:
+    """The unique data dir a committed manifest names (its files all
+    share one ``v{N}-{token}`` prefix)."""
+    return os.path.join(root, manifest["files"][0].split("/", 1)[0])
+
+
+def ensure_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, bool, str]:
     """Build the IVF index for ``sf_dir`` if absent or stale.
 
-    Returns ``(root, version, rebuilt)``.  Freshness pin: the manifest
-    meta's ``n_vectors`` must equal the corpus row count (parquet
-    footer metadata, not a data scan).  A stale or missing index is
-    rebuilt into a fresh ``v{N}`` data dir and committed with the
-    versioned-table CAS (commit_version) — a concurrent builder that
-    loses the swap re-reads the winner's manifest and adopts it.
+    Returns ``(root, version, rebuilt, data_dir)``.  Freshness pin:
+    the root is keyed by the corpus CONTENT fingerprint (file sizes +
+    mtimes), and the committed meta re-pins that fingerprint — a
+    corpus regenerated in place maps to a different root and rebuilds
+    from v0.  Every build attempt stages into its own unique
+    ``v{N}-{token}`` dir recorded in the manifest; a CAS loser removes
+    only ITS OWN staging dir and adopts the winner's committed index
+    (no rmtree can ever name a committed manifest's data).
     """
-    root = _index_root(sf_dir)
+    fingerprint = _corpus_fingerprint(sf_dir)
+    root = _index_root(sf_dir, fingerprint)
     man_dir = os.path.join(root, "manifests")
     os.makedirs(man_dir, exist_ok=True)
     _reclaim_old_roots(root)
+
+    manifest = _latest_manifest(man_dir)
+    if manifest is not None:
+        meta = _read_meta(root, manifest)
+        if meta.get("fingerprint") == fingerprint:
+            return (
+                root,
+                manifest["version"],
+                False,
+                _manifest_data_dir(root, manifest),
+            )
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
     n_vectors = e.count()
 
-    manifest = _latest_manifest(man_dir)
-    if manifest is not None:
-        meta = _read_meta(root, manifest)
-        if meta["n_vectors"] == n_vectors:
-            return root, manifest["version"], False
-
     while True:
         existing = [
-            int(f[1:-5])
+            int(f[1:-5].split("-", 1)[0])
             for f in os.listdir(man_dir)
             if f.startswith("v") and f.endswith(".json")
         ]
         version = (max(existing) + 1) if existing else 0
-        data_dir = os.path.join(root, f"v{version}")
-        shutil.rmtree(data_dir, ignore_errors=True)
+        data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(root, data_name)
 
         cvec, assign = ivf_index(e)
         cvec.coalesce(1).write.mode("overwrite").parquet(
@@ -156,26 +213,39 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, bool]:
             .parquet(os.path.join(data_dir, "buckets"))
         )
         with open(os.path.join(data_dir, "meta.json"), "w") as fh:
-            json.dump({"n_vectors": n_vectors, "version": version}, fh)
+            json.dump(
+                {
+                    "n_vectors": n_vectors,
+                    "version": version,
+                    "fingerprint": fingerprint,
+                },
+                fh,
+            )
 
-        files = [f"v{version}/meta.json", f"v{version}/codebook"]
+        files = [f"{data_name}/meta.json", f"{data_name}/codebook"]
         files += [
-            f"v{version}/buckets/{d}"
+            f"{data_name}/buckets/{d}"
             for d in sorted(os.listdir(os.path.join(data_dir, "buckets")))
             if d.startswith("clabel=")
         ]
         try:
             commit_version(man_dir, version, files)
-            return root, version, True
+            return root, version, True, data_dir
         except CommitConflict:
-            # A concurrent builder won the slot: adopt its index if
-            # fresh, else retry at the next version number.
+            # A concurrent builder won the slot: drop OUR unique
+            # staging dir (no committed manifest can name it), adopt
+            # the winner's index if fresh, else retry at version N+1.
             shutil.rmtree(data_dir, ignore_errors=True)
             manifest = _latest_manifest(man_dir)
             if manifest is not None:
                 meta = _read_meta(root, manifest)
-                if meta["n_vectors"] == n_vectors:
-                    return root, manifest["version"], False
+                if meta.get("fingerprint") == fingerprint:
+                    return (
+                        root,
+                        manifest["version"],
+                        False,
+                        _manifest_data_dir(root, manifest),
+                    )
 
 
 @query(
@@ -193,8 +263,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, bool]:
         ) WHERE rnk = 1
     )
     SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum,
-           0 AS index_version
+           CAST(SUM(vec_id) AS BIGINT) AS vec_id_sum
     FROM assign GROUP BY 1
     """,
     tables=("embeddings",),
@@ -209,15 +278,18 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, bool]:
         "rebuilt, so repeated builds cost one footer-metadata count. "
         "Output is the bucket-size audit (K rows, aggregate-sized) "
         "read back FROM THE INDEX FILES — verifying what was "
-        "persisted, not what was computed."
+        "persisted, not what was computed.  The persisted version "
+        "number is deliberately NOT in the certified output (it "
+        "depends on /tmp index-root history, not on the data); tests "
+        "pin it through LAST_RUN_INFO instead."
     ),
 )
 def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or reuse) the persisted IVF index; return the
-    per-bucket audit summary (clabel, n_vectors, vec_id_sum,
-    index_version) read back from the index files."""
-    root, version, rebuilt = ensure_index(spark, sf_dir)
-    buckets_dir = os.path.join(root, f"v{version}", "buckets")
+    per-bucket audit summary (clabel, n_vectors, vec_id_sum) read
+    back from the index files."""
+    root, version, rebuilt, data_dir = ensure_index(spark, sf_dir)
+    buckets_dir = os.path.join(data_dir, "buckets")
     bucket_dirs = (
         sorted(
             os.path.join(buckets_dir, d)
@@ -244,7 +316,6 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("clabel", IntegerType(), True),
             StructField("n_vectors", LongType(), False),
             StructField("vec_id_sum", LongType(), True),
-            StructField("index_version", IntegerType(), False),
         ]
     )
     if not bucket_dirs:  # empty corpus: no bucket files were written
@@ -261,7 +332,6 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("clabel").cast("int").alias("clabel"),
             "n_vectors",
             "vec_id_sum",
-            F.lit(version).cast("int").alias("index_version"),
         )
     )
 
@@ -310,17 +380,18 @@ def ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "paths, so scanning a non-probed bucket is physically "
         "impossible (stronger than partition pruning; LAST_RUN_INFO "
         "pins the dirs read).  Exact cosine + TakeOrdered(k) over "
-        "~P/K of the index.  Staleness pin: the manifest's corpus "
-        "row count is re-checked per serve (footer metadata) and a "
-        "stale index is rebuilt as version N+1 first — a serve can "
+        "~P/K of the index.  Staleness pin: the index root is keyed "
+        "by the corpus CONTENT fingerprint (file sizes + mtimes, "
+        "re-checked per serve from filesystem metadata) and the "
+        "committed meta re-pins it — a corpus regenerated in place "
+        "maps to a different root and rebuilds first, so a serve can "
         "never silently answer from an index of a different corpus."
     ),
 )
 def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k ANN serving read: probe the P nearest index buckets for
     the query vector, exact-score only those candidates."""
-    root, version, rebuilt = ensure_index(spark, sf_dir)
-    data_dir = os.path.join(root, f"v{version}")
+    root, version, rebuilt, data_dir = ensure_index(spark, sf_dir)
     buckets_dir = os.path.join(data_dir, "buckets")
 
     schema = StructType(

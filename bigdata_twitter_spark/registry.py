@@ -102,7 +102,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # never-checked backlog is 0 again.  _R15_WINDOW (pre-staged)
 # resumes pure oldest-first rotation; after r15 every row is r9+.
 # _R16_WINDOW (pre-staged in r13) continues it; after r16 every row
-# is r10+.
+# is r10+.  _R17_WINDOW (pre-staged in r14, re-derived against
+# CORRECTNESS_r01–r13: the 38 remaining r10-vintage keys + 12 oldest
+# r11-vintage keys) continues to r11+; the r13 window keys (latest
+# row r13) fall back to registration order behind the staged windows.
 # ==================================================================
 _R9_WINDOW = (
     # -- the 42 keys that have never had a driver CORRECTNESS row --
@@ -432,6 +435,46 @@ assert not set(_R16_WINDOW) & (
     set(_R15_WINDOW) | set(_R14_WINDOW) | set(_R13_WINDOW)
 )
 
+# Pre-staged r17 window (derived in r14 per VERDICT r13 "Next round"
+# #6, against actual CORRECTNESS_r01–r13 history): pure oldest-first
+# rotation.  After r16 the oldest remaining rows are the 38 r10-vintage
+# keys below (the 3 keys displaced to the r17 head by the r13 cascade
+# lead: pack_token_budget / text_contamination_overlap /
+# text_boilerplate_ngrams — their r10 rows are 6 rounds old at r16
+# close), then the 12 oldest r11-vintage keys, all in the registry's
+# post-window registration order.  After r17 every key's latest driver
+# row is r11+ (38 r11 + 50 r12 + 50 r13 + 50 r14 keys remain for r18+
+# — inside the ~6.8-round full-refresh horizon).
+_R17_WINDOW = (
+    # -- displaced to the r17 head by the r13 cascade (r10 rows) --
+    "pack_token_budget", "text_contamination_overlap",
+    "text_boilerplate_ngrams",
+    # -- remaining r10-vintage keys (registration order) --
+    "text_pii_scrub", "sample_negative_pairs", "cluster_kmeans_lloyd",
+    "dedup_semantic_cluster", "text_gopher_quality",
+    "text_repetition_stats", "text_perplexity_unigram",
+    "dedup_incremental_snapshot", "knn_graph_topk", "embed_dim_stats",
+    "agg_global", "agg_count_distinct", "agg_having", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_collect_sorted", "agg_pivot",
+    "agg_unpivot_melt", "agg_argmax_minby", "agg_q3_shipping",
+    "project_select", "filter_predicate", "filter_in_between_null",
+    "filter_regex", "distinct_rows", "join_inner_equi",
+    "join_outer_left", "join_outer_full", "join_semi", "join_anti",
+    "join_cross", "join_theta_range", "join_interval_time",
+    "join_asof_tolerance",
+    # -- oldest 12 r11-vintage keys (registration order) --
+    "win_rank_topk_per_group", "win_lag_lead_delta", "win_running_sum",
+    "win_range_frame", "win_ntile_pctrank_dist", "ts_seasonal_decompose",
+    "agg_kmv_distinct", "scan_csv_quarantine", "stream_static_join",
+    "stream_upsert_versioned", "stream_stream_join_outer",
+    "profile_join_skew",
+)
+
+assert len(_R17_WINDOW) == 50, len(_R17_WINDOW)
+assert not set(_R17_WINDOW) & (
+    set(_R16_WINDOW) | set(_R15_WINDOW) | set(_R14_WINDOW)
+)
+
 def query(
     name: str,
     sql: str | None = None,
@@ -459,13 +502,13 @@ def query(
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration).
 
-    Imports only POPULATE the registry; the explicit ``_R13_WINDOW``
+    Imports only POPULATE the registry; the explicit ``_R14_WINDOW``
     tuple above defines the check-order prefix the driver evaluates
     (the harness checks the first 50 ``queries()`` keys per round),
-    with the pre-staged ``_R14_WINDOW``/``_R15_WINDOW``/``_R16_WINDOW``
+    with the pre-staged ``_R15_WINDOW``/``_R16_WINDOW``/``_R17_WINDOW``
     queued directly behind it.  Keys outside the staged windows
-    (including the r11/r12 windows, certified in
-    CORRECTNESS_r11/r12.json) follow in registration order.
+    (including the r11/r12/r13 windows, certified in
+    CORRECTNESS_r11/r12/r13.json) follow in registration order.
     """
     from .operators import windows  # noqa: F401
     from .operators import sort_limit  # noqa: F401
@@ -545,13 +588,13 @@ def load_all_operators() -> dict[str, QuerySpec]:
     from .llm import dedup, multimodal, similarity  # noqa: F401
     from .operators import aggregates, filters, joins  # noqa: F401
 
-    # Final check order: the explicit 50-key r13 window first (what
-    # the driver certifies this round), the pre-staged r14/r15/r16
-    # windows next, then every remaining key (including the r11- and
-    # r12-certified windows) in registration order.
+    # Final check order: the explicit 50-key r14 window first (what
+    # the driver certifies this round), the pre-staged r15/r16/r17
+    # windows next, then every remaining key (including the r11-,
+    # r12- and r13-certified windows) in registration order.
     missing = [
         k
-        for k in (*_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW)
+        for k in (*_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW, *_R17_WINDOW)
         if k not in REGISTRY
     ]
     if missing:
@@ -560,7 +603,7 @@ def load_all_operators() -> dict[str, QuerySpec]:
             "a window key was renamed or its module was dropped"
         )
     ordered: dict[str, QuerySpec] = {}
-    for key in (*_R13_WINDOW, *_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW):
+    for key in (*_R14_WINDOW, *_R15_WINDOW, *_R16_WINDOW, *_R17_WINDOW):
         ordered[key] = REGISTRY.pop(key)
     ordered.update(REGISTRY)
     REGISTRY.clear()

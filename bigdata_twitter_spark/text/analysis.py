@@ -1451,12 +1451,13 @@ def _bpe_train_oracle() -> str:
     from v{k-1}, picks the (count DESC, left, right) winner, and
     rewrites the vocab with one replace()."""
     sql = """WITH v0 AS (
-    SELECT regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS repr,
+    SELECT regexp_replace(w, '([\\s\\S])', chr(31)||'\\1'||chr(31),
+                          'g') AS repr,
            CAST(COUNT(*) AS BIGINT) AS wc
     FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
                                     x -> x <> '')) AS w
           FROM documents)
-    WHERE length(w) >= 2 GROUP BY 1
+    WHERE length(w) >= 2 AND NOT contains(w, chr(31)) GROUP BY 1
 )"""
     for k in range(1, BPE_TRAIN_ROUNDS + 1):
         sql += f""",
@@ -1530,11 +1531,21 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w")
     )
     vocab = (
+        # The U+001F separator must be ABSENT from every wrapped word
+        # (it is the token boundary); rather than assume the charset,
+        # exclude such words explicitly — in BOTH engines, so the
+        # filter is part of the certified semantics (ADVICE r13 #4).
         words.where(F.length("w") >= 2)
+        .where(~F.contains("w", F.lit(s)))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
         .select(
-            F.regexp_replace("w", "(.)", s + "$1" + s).alias("repr"),
+            # ([\s\S]) not (.): Java and RE2 both exclude line
+            # terminators from '.', so a token containing \n would
+            # otherwise wrap malformed (ADVICE r13 #4).
+            F.regexp_replace("w", r"([\s\S])", s + "$1" + s).alias(
+                "repr"
+            ),
             "wc",
         )
         .persist()

@@ -21,7 +21,10 @@ def _referee_merges(sf_dir: str, rounds: int) -> list[tuple]:
     vocab: dict[tuple, int] = {}
     for text in texts:
         for w in text.lower().split(" "):
-            if len(w) >= 2:
+            # Mirror the engine-side charset guard: words containing
+            # the U+001F separator are excluded in all three replays
+            # (Spark, DuckDB oracle, this referee) — ADVICE r13 #4.
+            if len(w) >= 2 and "\x1f" not in w:
                 key = tuple(w)
                 vocab[key] = vocab.get(key, 0) + 1
     merges: list[tuple] = []
@@ -89,6 +92,62 @@ def test_bpe_train_counts_monotone_nonincreasing_is_not_assumed(
         assert r.merged == r.left_sym + r.right_sym
         assert r.pair_count > 0
     assert len(rows) <= analysis.BPE_TRAIN_ROUNDS
+
+
+def test_bpe_train_handles_newline_and_separator_chars(spark, tmp_path):
+    """ADVICE r13 #4: a token containing a literal newline must wrap
+    correctly (DOTALL char regex — '.' excludes line terminators in
+    both Java and RE2), and a token containing the U+001F separator
+    must be excluded identically everywhere.  The Spark result must
+    match the Python referee on such a corpus."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "ab\ncd ab\ncd ab\ncd xx",  # newline INSIDE a token
+                "ab\ncd yy zz",
+                "bad\x1fword bad\x1fword qq",  # separator-tainted token
+                "ab\ncd zz",
+            ],
+        }
+    )
+    d = tmp_path / "sf_nl"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    expected = _referee_merges(str(d), analysis.BPE_TRAIN_ROUNDS)
+    got = [
+        (r.merge_step, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in SPECS["text_bpe_vocab_train"]
+        .fn(spark, str(d))
+        .orderBy("merge_step")
+        .collect()
+    ]
+    assert got == expected
+    # The newline travelled as a symbol: round 1 merges inside
+    # "ab\ncd" (wc 5 dominates), so some learned side contains \n.
+    assert any("\n" in r[1] + r[2] for r in got), got
+    # And no learned symbol ever contains the separator.
+    assert all("\x1f" not in r[1] + r[2] for r in got)
+    # The DuckDB oracle agrees on the same corpus (all three replays).
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    odf = con.sql(SPECS["text_bpe_vocab_train"].sql).df()
+    oracle = [
+        (
+            int(r.merge_step),
+            r.left_sym,
+            r.right_sym,
+            r.merged,
+            int(r.pair_count),
+        )
+        for r in odf.itertuples(index=False)
+    ]
+    assert oracle == expected
 
 
 def test_bpe_train_later_merges_can_use_earlier_tokens(spark, sf_dir):

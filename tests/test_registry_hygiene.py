@@ -82,14 +82,14 @@ def test_driver_check_order_leads_with_active_window():
     that reorders imports must not silently change what gets
     certified."""
     from bigdata_twitter_spark.registry import (
-        _R13_WINDOW,
         _R14_WINDOW,
         _R15_WINDOW,
         _R16_WINDOW,
+        _R17_WINDOW,
     )
 
     keys = list(SPECS)
-    assert keys[:50] == list(_R13_WINDOW)
-    assert keys[50:100] == list(_R14_WINDOW)
-    assert keys[100:150] == list(_R15_WINDOW)
-    assert keys[150:200] == list(_R16_WINDOW)
+    assert keys[:50] == list(_R14_WINDOW)
+    assert keys[50:100] == list(_R15_WINDOW)
+    assert keys[100:150] == list(_R16_WINDOW)
+    assert keys[150:200] == list(_R17_WINDOW)
