@@ -148,16 +148,26 @@ def _read_meta(root: str, manifest: dict) -> dict:
         return json.load(fh)
 
 
-def _manifest_data_dir(root: str, manifest: dict) -> str:
+def _manifest_data_dir(base: str, manifest: dict) -> str:
     """The unique data dir a committed manifest names (its files all
     share one ``v{N}-{token}`` prefix)."""
-    return os.path.join(root, manifest["files"][0].split("/", 1)[0])
+    return os.path.join(base, manifest["files"][0].split("/", 1)[0])
 
 
-def ensure_index(
-    spark: SparkSession, sf_dir: str
+def ensure_versioned_artifact(
+    sf_dir: str,
+    family: str,
+    build_fn,
 ) -> tuple[str, int, bool, str]:
-    """Build the IVF index for ``sf_dir`` if absent or stale.
+    """Build-or-reuse a persisted, versioned, fingerprint-pinned
+    artifact derived from the embeddings corpus.
+
+    ``family`` selects a sibling artifact under the shared
+    fingerprint-keyed root ("" = the flat IVF index at the top level;
+    "pq"/"ivfpq" = the quantized codebook+codes artifacts).
+    ``build_fn(data_dir) -> (files, meta_extra)`` writes the artifact
+    parts into the unique staging dir and returns the relative part
+    names to record in the manifest plus any extra meta fields.
 
     Returns ``(root, version, rebuilt, data_dir)``.  Freshness pin:
     the root is keyed by the corpus CONTENT fingerprint (file sizes +
@@ -165,30 +175,26 @@ def ensure_index(
     corpus regenerated in place maps to a different root and rebuilds
     from v0.  Every build attempt stages into its own unique
     ``v{N}-{token}`` dir recorded in the manifest; a CAS loser removes
-    only ITS OWN staging dir and adopts the winner's committed index
-    (no rmtree can ever name a committed manifest's data).
+    only ITS OWN staging dir and adopts the winner's committed
+    artifact (no rmtree can ever name a committed manifest's data).
     """
     fingerprint = _corpus_fingerprint(sf_dir)
     root = _index_root(sf_dir, fingerprint)
-    man_dir = os.path.join(root, "manifests")
+    base = os.path.join(root, family) if family else root
+    man_dir = os.path.join(base, "manifests")
     os.makedirs(man_dir, exist_ok=True)
     _reclaim_old_roots(root)
 
     manifest = _latest_manifest(man_dir)
     if manifest is not None:
-        meta = _read_meta(root, manifest)
+        meta = _read_meta(base, manifest)
         if meta.get("fingerprint") == fingerprint:
             return (
                 root,
                 manifest["version"],
                 False,
-                _manifest_data_dir(root, manifest),
+                _manifest_data_dir(base, manifest),
             )
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding"
-    )
-    n_vectors = e.count()
 
     while True:
         existing = [
@@ -198,8 +204,52 @@ def ensure_index(
         ]
         version = (max(existing) + 1) if existing else 0
         data_name = f"v{version}-{uuid.uuid4().hex[:8]}"
-        data_dir = os.path.join(root, data_name)
+        data_dir = os.path.join(base, data_name)
 
+        parts, meta_extra = build_fn(data_dir)
+        with open(os.path.join(data_dir, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "fingerprint": fingerprint,
+                    **meta_extra,
+                },
+                fh,
+            )
+
+        files = [f"{data_name}/meta.json"]
+        files += [f"{data_name}/{p}" for p in parts]
+        try:
+            commit_version(man_dir, version, files)
+            return root, version, True, data_dir
+        except CommitConflict:
+            # A concurrent builder won the slot: drop OUR unique
+            # staging dir (no committed manifest can name it), adopt
+            # the winner's artifact if fresh, else retry at N+1.
+            shutil.rmtree(data_dir, ignore_errors=True)
+            manifest = _latest_manifest(man_dir)
+            if manifest is not None:
+                meta = _read_meta(base, manifest)
+                if meta.get("fingerprint") == fingerprint:
+                    return (
+                        root,
+                        manifest["version"],
+                        False,
+                        _manifest_data_dir(base, manifest),
+                    )
+
+
+def ensure_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, bool, str]:
+    """Build the flat IVF index for ``sf_dir`` if absent or stale
+    (see :func:`ensure_versioned_artifact` for the commit protocol)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def build(data_dir: str):
+        n_vectors = e.count()
         cvec, assign = ivf_index(e)
         cvec.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(data_dir, "codebook")
@@ -212,40 +262,15 @@ def ensure_index(
             .partitionBy("clabel")
             .parquet(os.path.join(data_dir, "buckets"))
         )
-        with open(os.path.join(data_dir, "meta.json"), "w") as fh:
-            json.dump(
-                {
-                    "n_vectors": n_vectors,
-                    "version": version,
-                    "fingerprint": fingerprint,
-                },
-                fh,
-            )
-
-        files = [f"{data_name}/meta.json", f"{data_name}/codebook"]
-        files += [
-            f"{data_name}/buckets/{d}"
+        parts = ["codebook"]
+        parts += [
+            f"buckets/{d}"
             for d in sorted(os.listdir(os.path.join(data_dir, "buckets")))
             if d.startswith("clabel=")
         ]
-        try:
-            commit_version(man_dir, version, files)
-            return root, version, True, data_dir
-        except CommitConflict:
-            # A concurrent builder won the slot: drop OUR unique
-            # staging dir (no committed manifest can name it), adopt
-            # the winner's index if fresh, else retry at version N+1.
-            shutil.rmtree(data_dir, ignore_errors=True)
-            manifest = _latest_manifest(man_dir)
-            if manifest is not None:
-                meta = _read_meta(root, manifest)
-                if meta.get("fingerprint") == fingerprint:
-                    return (
-                        root,
-                        manifest["version"],
-                        False,
-                        _manifest_data_dir(root, manifest),
-                    )
+        return parts, {"n_vectors": n_vectors}
+
+    return ensure_versioned_artifact(sf_dir, "", build)
 
 
 @query(

@@ -18,16 +18,24 @@ seed prefix provides the deterministic training stand-in (ranks 1–4 =
 coarse centroids, 5–20 = residual codewords, 21–25 = queries);
 production would k-means both levels, and ann_recall_eval audits any
 such swap.
+
+Build/serve split (round 14, VERDICT r13 "Next round" #2): the coarse
+centroids, residual codebook AND encoded corpus (vec_id → cell + M
+residual codes) persist through the :mod:`annindex` versioned-
+artifact substrate under the ``ivfpq`` family; a query call reads the
+committed parquet and never re-assigns or re-encodes the corpus.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
-from .pq import PQ_SCALE, PQ_SUB, _sqdist_sql
+from .annindex import ensure_versioned_artifact
+from .pq import PQ_SUB, _int_vectors, _sqdist, _sqdist_sql, PQ_SCALE
 from .vectors import DIMS
 
 IVFPQ_CELLS = 4       # coarse centroids (seed ranks 1..4)
@@ -38,6 +46,115 @@ IVFPQ_PROBES = 2
 IVFPQ_TOPK = 10
 _SEEDS = IVFPQ_CELLS + IVFPQ_K + IVFPQ_NQ
 _TOPK_BUCKETS = 64
+
+# Physical record of the most recent serve (tests pin the
+# never-retrain contract here).
+LAST_RUN_INFO: dict = {}
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, bool, str]:
+    """Build-or-reuse the persisted IVFADC artifact: ``coarse`` (cell
+    centroids), ``codebook`` (shared residual codewords) and ``codes``
+    (the encoded corpus: vec_id → cell + one residual code per
+    subspace).  The corpus-sized assignment + encode passes run ONCE
+    per corpus fingerprint."""
+    iv = _int_vectors(spark, sf_dir)
+
+    def build(data_dir: str):
+        seed = (
+            iv.orderBy("vec_id")
+            .limit(_SEEDS)
+            .withColumn(
+                "rn", F.row_number().over(Window.orderBy("vec_id"))
+            )
+        )
+        coarse = seed.filter(F.col("rn") <= IVFPQ_CELLS).select(
+            (F.col("rn") - 1).alias("cell"), F.col("v").alias("cv")
+        )
+        coarse.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(data_dir, "coarse")
+        )
+        coarse_p = spark.read.parquet(os.path.join(data_dir, "coarse"))
+
+        # Coarse assignment: two-phase min_by (map-side combine — no
+        # corpus×cells window shuffle); (cd, cell) is unique per
+        # struct so the lexicographic min is the (dist, cell) tiebreak.
+        assign = (
+            iv.join(F.broadcast(coarse_p))
+            .select(
+                "vec_id",
+                "cell",
+                "v",
+                "cv",
+                _sqdist(F.col("v"), F.col("cv")).alias("cd"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("cd", "cell", "v", "cv")).alias("b"))
+            .select(
+                "vec_id",
+                F.col("b.cell").alias("cell"),
+                F.col("b.v").alias("v"),
+                F.col("b.cv").alias("cv"),
+            )
+        )
+        res = assign.select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+        )
+        ms = spark.range(IVFPQ_M).select(
+            F.col("id").cast("int").alias("m")
+        )
+        cb = (
+            seed.filter(
+                (F.col("rn") > IVFPQ_CELLS)
+                & (F.col("rn") <= IVFPQ_CELLS + IVFPQ_K)
+            )
+            .select("vec_id", (F.col("rn") - IVFPQ_CELLS - 1).alias("k"))
+            .join(res, "vec_id")
+            .crossJoin(F.broadcast(ms))
+            .select(
+                "m",
+                "k",
+                F.slice(
+                    "rv", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)
+                ).alias("cw"),
+            )
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(data_dir, "codebook")
+        )
+        cb_p = spark.read.parquet(os.path.join(data_dir, "codebook"))
+
+        sub = res.crossJoin(F.broadcast(ms)).select(
+            "vec_id",
+            "cell",
+            "m",
+            F.slice("rv", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias(
+                "sv"
+            ),
+        )
+        enc = (
+            sub.join(F.broadcast(cb_p), "m")
+            .select(
+                "vec_id",
+                "cell",
+                "m",
+                "k",
+                _sqdist(F.col("sv"), F.col("cw")).alias("d"),
+            )
+            .groupBy("vec_id", "cell", "m")
+            .agg(F.min(F.struct("d", "k")).alias("best"))
+            .select("vec_id", "cell", "m", F.col("best.k").alias("k"))
+        )
+        enc.write.mode("overwrite").parquet(
+            os.path.join(data_dir, "codes")
+        )
+        return ["coarse", "codebook", "codes"], {}
+
+    return ensure_versioned_artifact(sf_dir, "ivfpq", build)
 
 
 @query(
@@ -162,90 +279,41 @@ _TOPK_BUCKETS = 64
         "two-level over 64 hash buckets.  Every quantity after the "
         "single int-scaling is exact bigint, ties to lowest id, so "
         "the full index + search pipeline is hash-grade on both "
-        "engines."
+        "engines.  Build/serve split (r14): coarse centroids + "
+        "residual codebook + code table persist as a versioned "
+        "artifact (ensure_ivfpq_index); a query call reads the "
+        "committed parquet and never re-assigns or re-encodes."
     ),
 )
 def embed_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 ANN per query via a 4-cell IVF with shared 8×16
-    residual-PQ codebook, 2-probe ADC search, exact-distance audit."""
-    e = load(spark, sf_dir, "embeddings")
-    iv = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * PQ_SCALE + 0.5).cast(
-                "bigint"
-            ),
-        ).alias("v"),
+    residual-PQ codebook, 2-probe ADC search, exact-distance audit.
+    Serves from the persisted artifact — see ensure_ivfpq_index."""
+    root, version, rebuilt, data_dir = ensure_ivfpq_index(spark, sf_dir)
+    paths = {
+        p: os.path.join(data_dir, p) for p in ("coarse", "codebook", "codes")
+    }
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "op": "serve",
+            "family": "ivfpq",
+            "root": root,
+            "version": version,
+            "rebuilt": rebuilt,
+            "index_files": sorted(paths.values()),
+        }
     )
+    coarse = spark.read.parquet(paths["coarse"])
+    cb = spark.read.parquet(paths["codebook"])
+    enc = spark.read.parquet(paths["codes"])
+
+    sqdist = _sqdist
+    iv = _int_vectors(spark, sf_dir)
     seed = (
         iv.orderBy("vec_id")
         .limit(_SEEDS)
         .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
-    )
-    coarse = seed.filter(F.col("rn") <= IVFPQ_CELLS).select(
-        (F.col("rn") - 1).alias("cell"), F.col("v").alias("cv")
-    )
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    # Coarse assignment: two-phase min_by (map-side combine — no
-    # corpus×cells window shuffle); (cd, cell) is unique per struct so
-    # the lexicographic min is exactly the (dist, cell) tiebreak.
-    assign = (
-        iv.join(F.broadcast(coarse))
-        .select(
-            "vec_id", "cell", "v", "cv", sqdist(F.col("v"), F.col("cv")).alias("cd")
-        )
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("cd", "cell", "v", "cv")).alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.cell").alias("cell"),
-            F.col("b.v").alias("v"),
-            F.col("b.cv").alias("cv"),
-        )
-    )
-    res = assign.select(
-        "vec_id",
-        "cell",
-        F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
-    )
-    ms = spark.range(IVFPQ_M).select(F.col("id").cast("int").alias("m"))
-    cb = (
-        seed.filter(
-            (F.col("rn") > IVFPQ_CELLS)
-            & (F.col("rn") <= IVFPQ_CELLS + IVFPQ_K)
-        )
-        .select("vec_id", (F.col("rn") - IVFPQ_CELLS - 1).alias("k"))
-        .join(res, "vec_id")
-        .crossJoin(F.broadcast(ms))
-        .select(
-            "m",
-            "k",
-            F.slice("rv", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias("cw"),
-        )
-    )
-    sub = res.crossJoin(F.broadcast(ms)).select(
-        "vec_id",
-        "cell",
-        "m",
-        F.slice("rv", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias("sv"),
-    )
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .select(
-            "vec_id", "cell", "m", "k",
-            sqdist(F.col("sv"), F.col("cw")).alias("d"),
-        )
-        .groupBy("vec_id", "cell", "m")
-        .agg(F.min(F.struct("d", "k")).alias("best"))
-        .select("vec_id", "cell", "m", F.col("best.k").alias("k"))
     )
     q = seed.filter(F.col("rn") > _SEEDS - IVFPQ_NQ).select(
         F.col("vec_id").alias("query_id"), "v"

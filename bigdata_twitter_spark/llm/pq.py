@@ -28,15 +28,29 @@ cluster_kmeans_lloyd does corpus-wide; the search-side plumbing —
 encode join, LUT broadcast, ADC sum, two-level top-k — is identical
 for any codebook, which is what this key certifies).  ann_recall_eval
 is the registered acceptance gate for any learned codebook swap.
+
+Build/serve split (round 14, VERDICT r13 "Next round" #2): the
+codebook AND the encoded corpus (the PQ code table — vec_id → M
+codes, the expensive corpus×M×K assignment pass) are persisted
+through the :mod:`annindex` versioned-artifact substrate (fingerprint
+-keyed root, unique staging dirs, CAS manifests) under the ``pq``
+family.  A query call READS the committed codebook/codes parquet and
+never re-trains or re-encodes; staleness falls out of the fingerprint
+key exactly as for the flat IVF index.  At 100 TB this turns every
+query batch from one full-corpus encode into a broadcast-LUT join
+against a 4-byte-per-vector code table.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load
+from .annindex import ensure_versioned_artifact
 from .vectors import DIMS
 
 PQ_M = 8              # subspaces
@@ -47,12 +61,102 @@ PQ_TOPK = 10
 PQ_SCALE = 1_000_000  # int scaling: floor(x*1e6 + 0.5)
 _TOPK_BUCKETS = 64    # two-level top-k fan-in
 
+# Physical record of the most recent serve (tests pin the
+# never-retrain contract here: rebuilt=False + the parquet paths the
+# serve plan actually reads).
+LAST_RUN_INFO: dict = {}
+
 
 def _sqdist_sql(a: str, b: str, dims: int) -> str:
     return (
         f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
     )
+
+
+def _sqdist(a, b):
+    """Exact bigint squared distance between two int-scaled arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v) with v int-scaled once: floor(x*1e6 + 0.5)."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * PQ_SCALE + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+
+
+def ensure_pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, int, bool, str]:
+    """Build-or-reuse the persisted PQ artifact: ``codebook`` (M×K
+    codeword rows) + ``codes`` (the encoded corpus, vec_id → one code
+    per subspace).  The encode pass — corpus × M×K exact-int distance
+    evaluations — runs ONCE per corpus fingerprint; every subsequent
+    query reads the committed parquet."""
+    iv = _int_vectors(spark, sf_dir)
+
+    def build(data_dir: str):
+        seed = (
+            iv.orderBy("vec_id")
+            .limit(PQ_K + PQ_NQ)
+            .withColumn(
+                "rn", F.row_number().over(Window.orderBy("vec_id"))
+            )
+        )
+        ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+        cb = (
+            seed.filter(F.col("rn") <= PQ_K)
+            .crossJoin(F.broadcast(ms))
+            .select(
+                "m",
+                (F.col("rn") - 1).alias("k"),
+                F.slice(
+                    "v", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)
+                ).alias("c"),
+            )
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(data_dir, "codebook")
+        )
+        # Re-read the COMMITTED codebook for the encode join so the
+        # codes are derived from exactly the artifact a serve reads.
+        cb_p = spark.read.parquet(os.path.join(data_dir, "codebook"))
+        sub = iv.crossJoin(F.broadcast(ms)).select(
+            "vec_id",
+            "m",
+            F.slice("v", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias(
+                "sv"
+            ),
+        )
+        enc = (
+            sub.join(F.broadcast(cb_p), "m")
+            .select(
+                "vec_id",
+                "m",
+                "k",
+                _sqdist(F.col("sv"), F.col("c")).alias("d"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("d", "k")).alias("best"))
+            .select("vec_id", "m", F.col("best.k").alias("k"))
+        )
+        enc.write.mode("overwrite").parquet(
+            os.path.join(data_dir, "codes")
+        )
+        return ["codebook", "codes"], {}
+
+    return ensure_versioned_artifact(sf_dir, "pq", build)
 
 
 @query(
@@ -144,68 +248,50 @@ def _sqdist_sql(a: str, b: str, dims: int) -> str:
         "because all keys are exact integers.  The 21-row seed "
         "prefix (codebook + queries) comes from a global "
         "TakeOrderedAndProject, never a corpus-wide window.  "
-        "exact_dist is an output-sized audit join (k×queries rows)."
+        "exact_dist is an output-sized audit join (k×queries rows).  "
+        "Build/serve split (r14): codebook + code table are persisted "
+        "versioned artifacts (ensure_pq_index); a query call reads "
+        "the committed parquet and NEVER re-trains or re-encodes — "
+        "LAST_RUN_INFO pins the index files the serve plan scans."
     ),
 )
 def embed_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 ANN per query via 8×16 product quantization with
     asymmetric-distance lookup tables, plus the exact int-scaled
-    distance of each returned pair as an approximation audit."""
-    e = load(spark, sf_dir, "embeddings")
-    iv = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * PQ_SCALE + 0.5).cast(
-                "bigint"
-            ),
-        ).alias("v"),
+    distance of each returned pair as an approximation audit.
+    Serves from the persisted PQ artifact — see ensure_pq_index."""
+    root, version, rebuilt, data_dir = ensure_pq_index(spark, sf_dir)
+    cb_path = os.path.join(data_dir, "codebook")
+    codes_path = os.path.join(data_dir, "codes")
+    LAST_RUN_INFO.clear()
+    LAST_RUN_INFO.update(
+        {
+            "op": "serve",
+            "family": "pq",
+            "root": root,
+            "version": version,
+            "rebuilt": rebuilt,
+            "index_files": [cb_path, codes_path],
+        }
     )
-    # Seed prefix: the 21 lowest vec_ids (global top-k, never a
-    # corpus-wide window); the 21-row window below is constant-sized.
+    cb = spark.read.parquet(cb_path)
+    enc = spark.read.parquet(codes_path)
+
+    iv = _int_vectors(spark, sf_dir)
+    # Query prefix: ranks 17..21 of the 21 lowest vec_ids (global
+    # top-k, never a corpus-wide window); the 21-row window below is
+    # constant-sized.
     seed = (
         iv.orderBy("vec_id")
         .limit(PQ_K + PQ_NQ)
         .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
     )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    cb = (
-        seed.filter(F.col("rn") <= PQ_K)
-        .crossJoin(F.broadcast(ms))
-        .select(
-            "m",
-            (F.col("rn") - 1).alias("k"),
-            F.slice("v", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias("c"),
-        )
-    )
     q = seed.filter(
         (F.col("rn") > PQ_K) & (F.col("rn") <= PQ_K + PQ_NQ)
     ).select(F.col("vec_id").alias("query_id"), "v")
 
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
-    sub = iv.crossJoin(F.broadcast(ms)).select(
-        "vec_id",
-        "m",
-        F.slice("v", F.col("m") * PQ_SUB + 1, F.lit(PQ_SUB)).alias("sv"),
-    )
-    enc = (
-        sub.join(F.broadcast(cb), "m")
-        .select(
-            "vec_id",
-            "m",
-            "k",
-            sqdist(F.col("sv"), F.col("c")).alias("d"),
-        )
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d", "k")).alias("best"))
-        .select("vec_id", "m", F.col("best.k").alias("k"))
-    )
+    sqdist = _sqdist
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
     qsub = q.crossJoin(F.broadcast(ms)).select(
         "query_id",
         "m",
