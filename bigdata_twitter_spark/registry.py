@@ -352,6 +352,12 @@ assert not set(_R14_WINDOW) & (
 # r9+ and 132 keys (32 r9-vintage + 50 r10 + 50 r11) remain for the
 # r16–r17 rotation — comfortably inside the 6-round horizon.
 _R15_WINDOW = (
+    # -- new in r14 (no driver row yet — new keys lead; the r14
+    #    cascade displaced ts_bollinger_bands to the _R16_WINDOW
+    #    head, text_scrub_denylist to the _R17_WINDOW head, and
+    #    profile_join_skew out of the staged windows — its r11 row is
+    #    6 rounds old at r17 close, refreshed first thing in r18) --
+    "text_bpe_vocab_train_batched",
     # -- displaced from r14 (latest driver row r8; the last three by
     #    the r13 cascade) --
     "multimodal_audio_zcr", "table_analyze_stats",
@@ -377,13 +383,13 @@ _R15_WINDOW = (
     "agg_skyline_pareto", "ts_burst_hysteresis", "ts_rolling_median",
     "ts_attribution_last_touch", "ts_sequence_regex_match",
     "ts_markov_transitions", "trending_decayed_topk", "ts_anomaly_mad",
-    "ts_weighted_moving_avg", "ts_bollinger_bands",
+    "ts_weighted_moving_avg",
     # (ts_rolling_correlation / ts_bounce_rate_daily /
     # ts_new_vs_returning_daily displaced to the r16 rotation head by
     # the r12 cascade, ts_rsi_wilder / ts_drawdown_max /
-    # ts_entropy_daily by the r13 cascade: at r15 close their r9 rows
-    # are exactly 6 rounds old — on the horizon, refreshed first
-    # thing in r16.)
+    # ts_entropy_daily by the r13 cascade, ts_bollinger_bands by the
+    # r14 cascade: at r15 close their r9 rows are exactly 6 rounds
+    # old — on the horizon, refreshed first thing in r16.)
 )
 
 assert len(_R15_WINDOW) == 50, len(_R15_WINDOW)
@@ -400,10 +406,12 @@ assert not set(_R15_WINDOW) & (
 # key's latest driver row is r10+ (35 r10 + 50 r11 + 50 r12 keys
 # remain for r17+ — inside the ~6.8-round full-refresh horizon).
 _R16_WINDOW = (
-    # -- displaced to the r16 head by the r12/r13 cascades (r9 rows) --
+    # -- displaced to the r16 head by the r12/r13/r14 cascades (r9
+    #    rows) --
     "ts_rolling_correlation", "ts_bounce_rate_daily",
     "ts_new_vs_returning_daily",
     "ts_rsi_wilder", "ts_drawdown_max", "ts_entropy_daily",
+    "ts_bollinger_bands",
     # -- remaining r9-vintage keys (registration order) --
     "ts_cohort_ltv", "ts_dow_hod_heatmap", "text_tf_idf",
     "text_lang_id_eval", "text_vocab_growth", "text_readability_flesch",
@@ -423,11 +431,11 @@ _R16_WINDOW = (
     "win_session_paths", "ts_ewma", "ts_downsample_ohlc",
     "win_streak_longest", "text_bigram_familiarity",
     "tweet_hashtag_topk", "scan_orc", "cdc_snapshot_diff",
-    "text_scrub_denylist",
     # (pack_token_budget / text_contamination_overlap /
     # text_boilerplate_ngrams fall to the r17 rotation head via the
-    # r13 cascade — their r10 rows are 6 rounds old at r16 close,
-    # refreshed first thing in r17.)
+    # r13 cascade, text_scrub_denylist via the r14 cascade — their
+    # r10 rows are 6 rounds old at r16 close, refreshed first thing
+    # in r17.)
 )
 
 assert len(_R16_WINDOW) == 50, len(_R16_WINDOW)
@@ -446,9 +454,9 @@ assert not set(_R16_WINDOW) & (
 # row is r11+ (38 r11 + 50 r12 + 50 r13 + 50 r14 keys remain for r18+
 # — inside the ~6.8-round full-refresh horizon).
 _R17_WINDOW = (
-    # -- displaced to the r17 head by the r13 cascade (r10 rows) --
+    # -- displaced to the r17 head by the r13/r14 cascades (r10 rows) --
     "pack_token_budget", "text_contamination_overlap",
-    "text_boilerplate_ngrams",
+    "text_boilerplate_ngrams", "text_scrub_denylist",
     # -- remaining r10-vintage keys (registration order) --
     "text_pii_scrub", "sample_negative_pairs", "cluster_kmeans_lloyd",
     "dedup_semantic_cluster", "text_gopher_quality",
@@ -467,7 +475,9 @@ _R17_WINDOW = (
     "win_range_frame", "win_ntile_pctrank_dist", "ts_seasonal_decompose",
     "agg_kmv_distinct", "scan_csv_quarantine", "stream_static_join",
     "stream_upsert_versioned", "stream_stream_join_outer",
-    "profile_join_skew",
+    # (profile_join_skew displaced out of the staged windows by the
+    # r14 cascade — its r11 row is 6 rounds old at r17 close,
+    # refreshed first thing in r18.)
 )
 
 assert len(_R17_WINDOW) == 50, len(_R17_WINDOW)

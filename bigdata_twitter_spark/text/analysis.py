@@ -1445,12 +1445,10 @@ BPE_TRAIN_ROUNDS = 8
 _BPE_SEP = "\x1f"
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled K-round replay of the identical merge loop (the
-    MMR/Holt/k-hop oracle discipline): each round k derives pair counts
-    from v{k-1}, picks the (count DESC, left, right) winner, and
-    rewrites the vocab with one replace()."""
-    sql = """WITH v0 AS (
+# Shared v0 CTE: the U+001F-wrapped word-frequency vocabulary (one
+# corpus scan) — used by both the sequential and the batched trainer
+# oracles so the two replays can never drift.
+_BPE_V0_SQL = """WITH v0 AS (
     SELECT regexp_replace(w, '([\\s\\S])', chr(31)||'\\1'||chr(31),
                           'g') AS repr,
            CAST(COUNT(*) AS BIGINT) AS wc
@@ -1459,8 +1457,10 @@ def _bpe_train_oracle() -> str:
           FROM documents)
     WHERE length(w) >= 2 AND NOT contains(w, chr(31)) GROUP BY 1
 )"""
-    for k in range(1, BPE_TRAIN_ROUNDS + 1):
-        sql += f""",
+
+# Pair-count CTE over vocab v{k-1} (same text in both oracles).
+def _bpe_pairs_sql(k: int) -> str:
+    return f"""
 p{k} AS (
     SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wc) AS BIGINT) AS cnt
     FROM (
@@ -1470,7 +1470,46 @@ p{k} AS (
                                   chr(31)||chr(31)) AS tk, wc
               FROM v{k-1})
     ) GROUP BY 1, 2
-),
+)"""
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U+001F-wrapped word-frequency vocabulary (Spark side of
+    _BPE_V0_SQL — ONE shared construction for both trainers).
+
+    The U+001F separator must be ABSENT from every wrapped word (it
+    is the token boundary); rather than assume the charset, such
+    words are excluded explicitly — in BOTH engines, so the filter is
+    part of the certified semantics (ADVICE r13 #4).  The char wrap
+    uses ([\\s\\S]) not (.): Java and RE2 both exclude line
+    terminators from '.', so a token containing \\n would otherwise
+    wrap malformed (ADVICE r13 #4)."""
+    s = _BPE_SEP
+    words = load(spark, sf_dir, "documents").select(
+        F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w")
+    )
+    return (
+        words.where(F.length("w") >= 2)
+        .where(~F.contains("w", F.lit(s)))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .select(
+            F.regexp_replace("w", r"([\s\S])", s + "$1" + s).alias(
+                "repr"
+            ),
+            "wc",
+        )
+    )
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled K-round replay of the identical merge loop (the
+    MMR/Holt/k-hop oracle discipline): each round k derives pair counts
+    from v{k-1}, picks the (count DESC, left, right) winner, and
+    rewrites the vocab with one replace()."""
+    sql = _BPE_V0_SQL
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        sql += "," + _bpe_pairs_sql(k) + f""",
 w{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
 v{k} AS (
     SELECT replace(repr, chr(31)||l||chr(31)||chr(31)||r||chr(31),
@@ -1527,29 +1566,7 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = _BPE_SEP
-    words = load(spark, sf_dir, "documents").select(
-        F.explode(F.filter(_tokens(), lambda x: x != "")).alias("w")
-    )
-    vocab = (
-        # The U+001F separator must be ABSENT from every wrapped word
-        # (it is the token boundary); rather than assume the charset,
-        # exclude such words explicitly — in BOTH engines, so the
-        # filter is part of the certified semantics (ADVICE r13 #4).
-        words.where(F.length("w") >= 2)
-        .where(~F.contains("w", F.lit(s)))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
-        .select(
-            # ([\s\S]) not (.): Java and RE2 both exclude line
-            # terminators from '.', so a token containing \n would
-            # otherwise wrap malformed (ADVICE r13 #4).
-            F.regexp_replace("w", r"([\s\S])", s + "$1" + s).alias(
-                "repr"
-            ),
-            "wc",
-        )
-        .persist()
-    )
+    vocab = _bpe_vocab(spark, sf_dir).persist()
     try:
         vocab.count()  # materialize once; the loop never rescans the corpus
         cur = vocab
@@ -1602,6 +1619,223 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = StructType(
             [
                 StructField("merge_step", IntegerType(), False),
+                StructField("left_sym", StringType(), False),
+                StructField("right_sym", StringType(), False),
+                StructField("merged", StringType(), False),
+                StructField("pair_count", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(merges, schema)
+    finally:
+        vocab.unpersist()
+
+
+# ---- batched BPE training (round 14, VERDICT r13 #4) -------------------
+# The production-scale variant: a 30k-merge tokenizer run as 30k
+# sequential Spark jobs is the sequential trainer's real gap (its
+# per-round cost is already corpus-independent; the ROUND COUNT is
+# not).  The standard fix batches the top-M NON-CONFLICTING merges per
+# pair-count round: picks are greedy in (count DESC, left, right) rank
+# order over the top-C candidates, and a candidate conflicts with an
+# earlier pick if they share a symbol or either one's symbol equals
+# the other's merged string — exactly the condition under which the
+# U+001F string replaces commute, so applying the batch in any order
+# (both engines apply in rank order) is the same rewrite.  Round count
+# for V merges falls from V to ~V/M with identical per-round cost.
+BPE_BATCH_ROUNDS = 4
+BPE_BATCH_M = 4       # max merges applied per pair-count round
+BPE_BATCH_CAND = 64   # greedy selection scans the top-C candidates
+
+
+def _bpe_conflict_sql(w: str, c: str) -> str:
+    """w = an earlier pick, c = a candidate (both with l, r cols)."""
+    return (
+        f"{w}.l = {c}.l OR {w}.l = {c}.r OR {w}.r = {c}.l "
+        f"OR {w}.r = {c}.r OR {c}.l = {w}.l||{w}.r "
+        f"OR {c}.r = {w}.l||{w}.r OR {w}.l = {c}.l||{c}.r "
+        f"OR {w}.r = {c}.l||{c}.r"
+    )
+
+
+def _bpe_batched_oracle() -> str:
+    """Unrolled replay of the batched trainer: per round, rank the
+    top-C pair candidates, pick up to M non-conflicting greedily (each
+    pick = min-rank candidate passing a NOT EXISTS over the earlier
+    picks), rewrite the vocab with the M replaces nested in rank
+    order.  Empty picks fall back to a chr(31)^3 needle, which cannot
+    occur in a well-formed repr (symbol boundaries are exactly two
+    separators), making the replace a no-op.  Every CTE is
+    MATERIALIZED: v{{k}} references each pick twice (needle + repl)
+    and each pick references the candidate table, so inlined CTEs
+    would re-evaluate the whole prefix ~8x per round — the k-core
+    oracle's measured blowup, here exponential in round count."""
+    noop = "chr(31)||chr(31)||chr(31)"
+    sql = _BPE_V0_SQL.replace(
+        "WITH v0 AS (", "WITH v0 AS MATERIALIZED ("
+    )
+    for k in range(1, BPE_BATCH_ROUNDS + 1):
+        sql += "," + _bpe_pairs_sql(k).replace(
+            f"p{k} AS (", f"p{k} AS MATERIALIZED ("
+        ) + f""",
+c{k} AS MATERIALIZED (
+    SELECT l, r, cnt,
+           row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk
+    FROM p{k} QUALIFY rnk <= {BPE_BATCH_CAND}
+)"""
+        for j in range(1, BPE_BATCH_M + 1):
+            if j == 1:
+                sql += f""",
+s{k}_1 AS MATERIALIZED (
+    SELECT l, r, cnt, rnk FROM c{k} ORDER BY rnk LIMIT 1)"""
+            else:
+                earlier = " UNION ALL ".join(
+                    f"SELECT l, r FROM s{k}_{i}" for i in range(1, j)
+                )
+                sql += f""",
+s{k}_{j} AS MATERIALIZED (
+    SELECT c.l, c.r, c.cnt, c.rnk FROM c{k} c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ({earlier}) w
+        WHERE {_bpe_conflict_sql('w', 'c')}
+    )
+    ORDER BY c.rnk LIMIT 1
+)"""
+        expr = "repr"
+        for j in range(1, BPE_BATCH_M + 1):
+            needle = (
+                f"COALESCE((SELECT chr(31)||l||chr(31)||chr(31)||r"
+                f"||chr(31) FROM s{k}_{j}), {noop})"
+            )
+            repl = (
+                f"COALESCE((SELECT chr(31)||l||r||chr(31) "
+                f"FROM s{k}_{j}), {noop})"
+            )
+            expr = f"replace({expr}, {needle}, {repl})"
+        sql += f""",
+v{k} AS MATERIALIZED (SELECT {expr} AS repr, wc FROM v{k-1})"""
+    picks = " UNION ALL ".join(
+        f"SELECT {k} AS batch_round, rnk, l, r, cnt FROM s{k}_{j}"
+        for k in range(1, BPE_BATCH_ROUNDS + 1)
+        for j in range(1, BPE_BATCH_M + 1)
+    )
+    sql += f""",
+picks AS ({picks})
+SELECT CAST(row_number() OVER (ORDER BY batch_round, rnk) AS INT)
+           AS merge_step,
+       CAST(batch_round AS INT) AS batch_round,
+       l AS left_sym, r AS right_sym, l||r AS merged,
+       CAST(cnt AS BIGINT) AS pair_count
+FROM picks
+ORDER BY merge_step
+"""
+    return sql
+
+
+@query(
+    "text_bpe_vocab_train_batched",
+    sql=_bpe_batched_oracle(),
+    tables=("documents",),
+    scale_note=(
+        f"The ROUND-COUNT-scalable BPE trainer (VERDICT r13 #4): "
+        f"{BPE_BATCH_ROUNDS} pair-count rounds x up to "
+        f"{BPE_BATCH_M} non-conflicting merges per round — the "
+        "standard batched variant that turns a 30k-merge production "
+        "tokenizer from 30k sequential vocab jobs into ~30k/M.  "
+        "Per-round cost is the sequential trainer's (pair volume = "
+        "sum len over DISTINCT words, corpus-size-independent); the "
+        "greedy pick scans only the top-C=64 candidate rows "
+        "(TakeOrdered, aggregate-sized driver list — the kmeans-"
+        "centroid pattern).  Batch safety is structural, not "
+        "assumed: picks must be symbol-disjoint AND no pick's symbol "
+        "may equal another's merged string, exactly the condition "
+        "under which the U+001F string replaces commute, so the "
+        "batch rewrite is order-independent and ONE nested-replace "
+        "pass over the vocab.  Unrolled-CTE oracle replays the "
+        "identical greedy selection (NOT EXISTS per pick); Python "
+        "referee in tests/test_bpe_train.py."
+    ),
+)
+def text_bpe_vocab_train_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched BPE training: per pair-count round, greedily pick up
+    to M non-conflicting merge pairs from the top-C candidates and
+    apply them in one vocab rewrite.  Returns one row per learned
+    merge: (merge_step, batch_round, left_sym, right_sym, merged,
+    pair_count-at-round-start)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    s = _BPE_SEP
+    vocab = _bpe_vocab(spark, sf_dir).persist()
+    try:
+        vocab.count()  # materialize once; rounds never rescan the corpus
+        cur = vocab
+        merges: list[tuple] = []
+        step = 0
+        for br in range(1, BPE_BATCH_ROUNDS + 1):
+            cand = (
+                cur.withColumn(
+                    "tk",
+                    F.split(
+                        F.expr(f"trim(BOTH '{s}' FROM repr)"), s + s
+                    ),
+                )
+                .where(F.size("tk") >= 2)  # the sequence(1,0) guard
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(tk) - 1),"
+                            " i -> struct(element_at(tk, i) AS l,"
+                            " element_at(tk, i + 1) AS r))"
+                        )
+                    ).alias("pr"),
+                    "wc",
+                )
+                .groupBy("pr.l", "pr.r")
+                .agg(F.sum("wc").cast("bigint").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(BPE_BATCH_CAND)
+                .collect()
+            )
+            if not cand:  # vocab exhausted (or empty corpus)
+                break
+            picks: list[tuple] = []
+            for row in cand:
+                if len(picks) >= BPE_BATCH_M:
+                    break
+                cl, cr = row["l"], row["r"]
+                conflict = any(
+                    wl in (cl, cr)
+                    or wr in (cl, cr)
+                    or cl == wl + wr
+                    or cr == wl + wr
+                    or wl == cl + cr
+                    or wr == cl + cr
+                    for wl, wr, _ in picks
+                )
+                if not conflict:
+                    picks.append((cl, cr, row["cnt"]))
+            for cl, cr, cnt in picks:
+                step += 1
+                merges.append((step, br, cl, cr, cl + cr, cnt))
+                cur = cur.withColumn(
+                    "repr",
+                    F.replace(
+                        "repr",
+                        F.lit(s + cl + s + s + cr + s),
+                        F.lit(s + cl + cr + s),
+                    ),
+                )
+        schema = StructType(
+            [
+                StructField("merge_step", IntegerType(), False),
+                StructField("batch_round", IntegerType(), False),
                 StructField("left_sym", StringType(), False),
                 StructField("right_sym", StringType(), False),
                 StructField("merged", StringType(), False),

@@ -158,3 +158,148 @@ def test_bpe_train_later_merges_can_use_earlier_tokens(spark, sf_dir):
     assert any(
         len(r.left_sym) > 1 or len(r.right_sym) > 1 for r in rows
     ), [tuple(r) for r in rows]
+
+
+# ---- batched trainer (round 14, VERDICT r13 #4) -----------------------
+
+
+def _batched_referee(sf_dir: str) -> list[tuple]:
+    """Textbook replay of the batched trainer: per round, rank pairs
+    by (count DESC, left, right), truncate to the top-C candidates,
+    greedily pick up to M non-conflicting, apply all picks."""
+    rounds = analysis.BPE_BATCH_ROUNDS
+    m_max = analysis.BPE_BATCH_M
+    cand_c = analysis.BPE_BATCH_CAND
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet").text
+    vocab: dict[tuple, int] = {}
+    for text in texts:
+        for w in text.lower().split(" "):
+            if len(w) >= 2 and "\x1f" not in w:
+                key = tuple(w)
+                vocab[key] = vocab.get(key, 0) + 1
+    merges: list[tuple] = []
+    step = 0
+    for br in range(1, rounds + 1):
+        counts: dict[tuple, int] = {}
+        for toks, c in vocab.items():
+            for i in range(len(toks) - 1):
+                pair = (toks[i], toks[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:cand_c]
+        picks: list[tuple] = []
+        for (cl, cr), cnt in ranked:
+            if len(picks) >= m_max:
+                break
+            conflict = any(
+                wl in (cl, cr)
+                or wr in (cl, cr)
+                or cl == wl + wr
+                or cr == wl + wr
+                or wl == cl + cr
+                or wr == cl + cr
+                for wl, wr, _ in picks
+            )
+            if not conflict:
+                picks.append((cl, cr, cnt))
+        for cl, cr, cnt in picks:
+            step += 1
+            merges.append((step, br, cl, cr, cl + cr, cnt))
+            new_vocab: dict[tuple, int] = {}
+            for toks, c in vocab.items():
+                out: list[str] = []
+                i = 0
+                while i < len(toks):
+                    if (
+                        i + 1 < len(toks)
+                        and toks[i] == cl
+                        and toks[i + 1] == cr
+                    ):
+                        out.append(cl + cr)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                key = tuple(out)
+                new_vocab[key] = new_vocab.get(key, 0) + c
+            vocab = new_vocab
+    return merges
+
+
+def _batched_rows(spark, sf_dir):
+    return [
+        (
+            r.merge_step,
+            r.batch_round,
+            r.left_sym,
+            r.right_sym,
+            r.merged,
+            r.pair_count,
+        )
+        for r in SPECS["text_bpe_vocab_train_batched"]
+        .fn(spark, sf_dir)
+        .orderBy("merge_step")
+        .collect()
+    ]
+
+
+def test_bpe_batched_matches_python_trainer(spark, sf_dir):
+    assert _batched_rows(spark, sf_dir) == _batched_referee(sf_dir)
+
+
+def test_bpe_batched_compresses_round_count(spark, sf_dir):
+    """The whole point: more merges learned in fewer pair-count
+    rounds than the sequential trainer (which learns exactly 1 per
+    round)."""
+    rows = _batched_rows(spark, sf_dir)
+    n_rounds = len({r[1] for r in rows})
+    assert len(rows) > n_rounds, (len(rows), n_rounds)
+    assert n_rounds <= analysis.BPE_BATCH_ROUNDS
+
+
+def test_bpe_batched_conflict_rule_blocks_shared_symbols(spark, tmp_path):
+    """On a corpus engineered so the top candidates share symbols
+    ((b,c) dominates, (a,b)/(c,d) both touch its symbols), the greedy
+    selection must SKIP the conflicting candidates — all three
+    replays (Spark, DuckDB oracle, Python referee) agree, and the
+    round-1 batch is provably not the naive top-M."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(1, 13),
+            "text": (["abc"] * 5 + ["bcd"] * 4 + ["de"] * 3),
+        }
+    )
+    d = tmp_path / "sf_conflict"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    got = _batched_rows(spark, str(d))
+    expected = _batched_referee(str(d))
+    assert got == expected
+    # Round 1: (b,c)=9 wins; (a,b)=5 and (c,d)=4 conflict on b/c and
+    # must be skipped; (d,e)=3 is clean — exactly 2 picks, not 4.
+    r1 = [r for r in got if r[1] == 1]
+    assert [(r[2], r[3]) for r in r1] == [("b", "c"), ("d", "e")], r1
+    # DuckDB oracle agrees on the same corpus.
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}')"
+    )
+    odf = con.sql(SPECS["text_bpe_vocab_train_batched"].sql).df()
+    oracle = [
+        (
+            int(r.merge_step),
+            int(r.batch_round),
+            r.left_sym,
+            r.right_sym,
+            r.merged,
+            int(r.pair_count),
+        )
+        for r in odf.itertuples(index=False)
+    ]
+    assert oracle == expected
