@@ -556,9 +556,14 @@ def _lpa_oracle_sql() -> str:
         "PageRank established, with labels staying INTEGER end to end "
         "so the unrolled-CTE oracle is exact, not approximate.  Edges "
         "persist once and every iteration reuses the vertex hash "
-        "partitioning; state is one label per vertex "
-        "(localCheckpointed per round — constant plan size, the "
-        "k-core lineage argument), never a driver-side graph.  The "
+        "partitioning; state is one label per vertex (persisted per "
+        "round, previous round unpersisted — the components.py "
+        "discipline; labels appear ONCE in each round's lineage so "
+        "the plan grows linearly, and bounding STORAGE is what "
+        "matters: the r14 localCheckpoint variant pinned every "
+        "round's checkpoint blocks and OOM'd the ×300 probe the "
+        "persist+unpersist loop survives), never a driver-side "
+        "graph.  The "
         "deterministic tie-break (max count, then min label) removes "
         "the RNG real LPA uses, so results are reproducible across "
         "engines and executor counts.  An early-fixpoint exit "
@@ -580,7 +585,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("lab", F.col("v"))
-        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     top1 = Window.partitionBy("v").orderBy(
         F.col("cnt").desc(), F.col("lab").asc()
@@ -589,9 +594,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synchronous LPA's next state is a deterministic function of the
     # current labels, so labels_k == labels_{k-1} makes every later
     # round a no-op and breaking is result-identical to running all K
-    # rounds.  Each round localCheckpoints the vertex-sized label
-    # table (constant plan size, k-core's lineage argument) and pays
-    # one cheap vertex-keyed changed-count job for the exit test.
+    # rounds.  Each round persists the vertex-sized label table and
+    # UNPERSISTS the previous round's (the components.py loop
+    # discipline) — the changed-count job both materializes the new
+    # cache and pays for the exit test in one pass.  persist, not
+    # localCheckpoint: labels appear exactly ONCE in each round's
+    # lineage (the changed-count join is an action, not lineage), so
+    # the plan grows linearly and lineage truncation buys nothing,
+    # while localCheckpoint blocks CANNOT be unpersisted through the
+    # DataFrame API — the r14 checkpoint variant pinned all K rounds'
+    # label tables and OOM'd the 16g ×300 probe that this loop (and
+    # r13's) survives.
     # Caveat measured on the fixtures: this CO-PURCHASE graph is
     # bipartite and synchronous LPA on bipartite graphs can settle
     # into a period-2 oscillation instead of a fixpoint — when it
@@ -607,7 +620,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(top1))
             .filter(F.col("rn") == 1)
             .select("v", "lab")
-            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             new_labels.join(
@@ -617,6 +630,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
