@@ -17,6 +17,7 @@ each partition to vocab-sized output.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1645,6 +1646,16 @@ def text_bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_BATCH_ROUNDS = 4
 BPE_BATCH_M = 4       # max merges applied per pair-count round
 BPE_BATCH_CAND = 64   # greedy selection scans the top-C candidates
+# Lineage truncation period: every T rounds the rewritten vocab is
+# re-persisted (one tiny vocab-sized count job) and the previous cache
+# dropped, so plan depth is bounded at T*M nested replaces no matter
+# how many rounds run.  Round-count scaling measured FLAT through 32
+# rounds / 89 merges without truncation (tools/bpe_rounds_probe.py:
+# 0.13 -> 0.10 -> 0.105 sec/merge at R=8/16/32 — the shrinking vocab
+# offsets replay growth); the truncation is what makes the ~30k-round
+# production extrapolation safe, where an unbounded nested-replace
+# chain would sink Catalyst analysis long before execution.
+BPE_TRUNC_EVERY = 8
 
 
 def _bpe_conflict_sql(w: str, c: str) -> str:
@@ -1752,7 +1763,13 @@ ORDER BY merge_step
         "batch rewrite is order-independent and ONE nested-replace "
         "pass over the vocab.  Unrolled-CTE oracle replays the "
         "identical greedy selection (NOT EXISTS per pick); Python "
-        "referee in tests/test_bpe_train.py."
+        "referee in tests/test_bpe_train.py.  Round-count scaling "
+        "measured FLAT through 32 rounds / 89 merges "
+        "(tools/bpe_rounds_probe.py: 0.13/0.10/0.105 sec-per-merge "
+        "at R=8/16/32), and every BPE_TRUNC_EVERY rounds the vocab "
+        "lineage is truncated (persist+count, previous cache "
+        "dropped) so plan depth stays bounded in the ~30k-round "
+        "production regime."
     ),
 )
 def text_bpe_vocab_train_batched(
@@ -1773,6 +1790,7 @@ def text_bpe_vocab_train_batched(
 
     s = _BPE_SEP
     vocab = _bpe_vocab(spark, sf_dir).persist()
+    trunc = None  # the live truncation cache (see BPE_TRUNC_EVERY)
     try:
         vocab.count()  # materialize once; rounds never rescan the corpus
         cur = vocab
@@ -1832,6 +1850,20 @@ def text_bpe_vocab_train_batched(
                         F.lit(s + cl + cr + s),
                     ),
                 )
+            if br % BPE_TRUNC_EVERY == 0:
+                # Truncate the nested-replace lineage: persist the
+                # rewritten vocab (the count materializes only THIS
+                # period's replaces on top of the previous cache) and
+                # drop the previous period's — LPA/components'
+                # persist+unpersist discipline, applied every T rounds
+                # so plan depth stays bounded at T*M replaces in the
+                # 30k-round regime while the probe range pays ~one
+                # extra vocab-sized job per 8 rounds.
+                cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                cur.count()
+                if trunc is not None:
+                    trunc.unpersist()
+                trunc = cur
         schema = StructType(
             [
                 StructField("merge_step", IntegerType(), False),
@@ -1845,3 +1877,5 @@ def text_bpe_vocab_train_batched(
         return spark.createDataFrame(merges, schema)
     finally:
         vocab.unpersist()
+        if trunc is not None:
+            trunc.unpersist()
