@@ -48,6 +48,16 @@ N_SHARDS = 4
 
 _RUN_BASE = os.path.join(tempfile.gettempdir(), "bdt_spark_shardjobs")
 
+# Run dirs created by THIS process, reclaimed at the next invocation.
+# Foreign processes' run dirs are never touched: rmtree of the shared
+# base while another harness process is mid-write destroys its
+# in-flight job commit (observed: a concurrent oracle sweep lost its
+# ``_temporary/0`` staging dir mid-job) — the annindex/versioned
+# discipline applies here too: never delete a path another writer can
+# name.  The latest run dir is exposed for tests.
+_MY_RUNS: list[str] = []
+LAST_RUN_DIR: str = ""
+
 
 def _self_dot() -> F.Column:
     return F.expr(
@@ -134,10 +144,15 @@ def run_shard_jobs(spark: SparkSession, sf_dir: str, run_dir: str) -> None:
 def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine-≥τ pairs via a loop of shard-pair jobs (blocked
     all-pairs, parquet handoff); union of jobs ≡ the all-pairs answer."""
-    # Previous runs' handoff dirs are dead state — reclaim them first
-    # (same one-invocation cache bound as graph_triangle_count).
-    shutil.rmtree(_RUN_BASE, ignore_errors=True)
+    # THIS process's previous handoff dirs are dead state — reclaim
+    # them (same one-invocation cache bound as graph_triangle_count);
+    # other processes' run dirs may be mid-write and are left alone.
+    global LAST_RUN_DIR
+    while _MY_RUNS:
+        shutil.rmtree(_MY_RUNS.pop(), ignore_errors=True)
     run_dir = os.path.join(_RUN_BASE, uuid.uuid4().hex[:12])
     os.makedirs(run_dir, exist_ok=True)
+    _MY_RUNS.append(run_dir)
+    LAST_RUN_DIR = run_dir
     run_shard_jobs(spark, sf_dir, run_dir)
     return spark.read.parquet(os.path.join(run_dir, "job_*_*"))

@@ -20,7 +20,8 @@ def test_sharded_jobs_equals_single_job_exact_miner(specs, spark, sf_dir):
     """The union of shard-pair jobs must equal the single-job exact
     all-pairs answer BITWISE (ids and 6dp cosines), and the parquet
     handoff must show one directory per shard-pair job."""
-    from bigdata_twitter_spark.llm.orchestration import N_SHARDS, _RUN_BASE
+    from bigdata_twitter_spark.llm import orchestration
+    from bigdata_twitter_spark.llm.orchestration import N_SHARDS
 
     sharded = {
         (r["a_id"], r["b_id"], r["cosine"])
@@ -32,8 +33,10 @@ def test_sharded_jobs_equals_single_job_exact_miner(specs, spark, sf_dir):
     }
     assert sharded == exact
     assert sharded, "fixture should contain pairs at the threshold"
-    # Handoff layout: S(S+1)/2 independent job directories.
-    job_dirs = glob.glob(os.path.join(_RUN_BASE, "*", "job_*_*"))
+    # Handoff layout: S(S+1)/2 independent job directories inside THIS
+    # run's dir (the base may hold other processes' run dirs, which
+    # the operator deliberately never reclaims).
+    job_dirs = glob.glob(os.path.join(orchestration.LAST_RUN_DIR, "job_*_*"))
     assert len(job_dirs) == N_SHARDS * (N_SHARDS + 1) // 2, job_dirs
     # Each unordered pair must land in exactly ONE job (no dedup step):
     # re-read every job dir separately and check disjointness.
@@ -71,6 +74,31 @@ def test_decode_error_channel_quarantines_not_kills(specs, spark, sf_dir):
             )
             assert int(row.pixel_sum) == want
     assert (out.status == "corrupt").sum() == N_FILES // 10
+
+
+def test_sharded_jobs_reclaim_spares_foreign_run_dirs(specs, spark, sf_dir):
+    """A run dir created by ANOTHER process (simulated: a dir the
+    operator did not record in _MY_RUNS) must survive an invocation —
+    rmtree of the shared base while a concurrent harness process is
+    mid-write destroys its in-flight job commit — while THIS process's
+    previous run dir is reclaimed."""
+    import shutil
+
+    from bigdata_twitter_spark.llm import orchestration
+
+    foreign = os.path.join(orchestration._RUN_BASE, "foreign_run")
+    os.makedirs(foreign, exist_ok=True)
+    try:
+        with open(os.path.join(foreign, "in_flight"), "w") as fh:
+            fh.write("x")
+        specs["sim_pairs_sharded_jobs"].fn(spark, sf_dir).collect()
+        first_run = orchestration.LAST_RUN_DIR
+        assert os.path.exists(os.path.join(foreign, "in_flight"))
+        specs["sim_pairs_sharded_jobs"].fn(spark, sf_dir).collect()
+        assert not os.path.exists(first_run)  # own dirs ARE reclaimed
+        assert os.path.exists(os.path.join(foreign, "in_flight"))
+    finally:
+        shutil.rmtree(foreign, ignore_errors=True)
 
 
 def test_sharded_jobs_resume_recomputes_only_missing(spark, sf_dir, tmp_path):

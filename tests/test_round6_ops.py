@@ -47,7 +47,9 @@ def test_bucket_jobs_equals_exact_miner_and_runs_linear_jobs(
     assert audit["mod_shard_jobs"] == (
         bj.BUCKET_JOB_SHARDS * (bj.BUCKET_JOB_SHARDS + 1) // 2
     )
-    job_dirs = glob.glob(os.path.join(bj._RUN_BASE, "*", "job_*"))
+    # Glob inside THIS run's dir: the base may hold other processes'
+    # run dirs, which the operator deliberately never reclaims.
+    job_dirs = glob.glob(os.path.join(bj.LAST_RUN_DIR, "job_*"))
     assert len(job_dirs) == audit["jobs_run"]
 
 
