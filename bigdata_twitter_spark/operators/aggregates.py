@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..numerics import davg, davg_sql, dec, dsum, dsum_sql
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 
 @query(
@@ -53,7 +53,22 @@ from ..tables import load
 )
 def agg_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship TPC-H-Q1-shaped pricing summary per (returnflag, linestatus)."""
-    l = load(spark, sf_dir, "lineitem")
+    # The fixture is a single-row-group parquet file, so the scan is
+    # ONE split and the five DECIMAL partial aggregates would run on
+    # one core (guide §2.5: unsplittable input → repartition after the
+    # read; measured 2.12 → 0.74 s best-of-3 at sf0.1/local[32]).
+    # Project to the 8 needed columns FIRST — column pruning does not
+    # reach through the repartition, and the unprojected spread
+    # shuffles all 16 (measured 1.49 vs 0.77 s).  No-op at real scan
+    # widths; DECIMAL partials are exact, so the result is
+    # partitioning-independent.
+    l = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ),
+        sf_dir, "lineitem", "l_orderkey",
+    )
     disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
     charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
     return (
@@ -339,7 +354,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression is order-independent and bit-stable on both
     engines.
     """
-    l = load(spark, sf_dir, "lineitem")
+    # Single-split fixture scan → decimal co-moment partials on one
+    # core; spread the projected scan (guide §2.5, see agg_q1_pricing).
+    # Co-moments are exact DECIMAL: partitioning-independent.
+    l = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        ),
+        sf_dir, "lineitem", "l_orderkey",
+    )
     s = l.agg(
         F.count("*").alias("n"),
         F.sum(dec("l_quantity")).cast("double").alias("sq"),

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..numerics import dec
 from ..registry import query
-from ..tables import load
+from ..tables import load, spread
 
 
 @query(
@@ -320,8 +320,15 @@ def join_star_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
-    l = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    # Single-split fixture scan → broadcast probes + decimal partial
+    # agg on one core; filter at the scan, project, then spread (guide
+    # §2.5, see agg_q1_pricing).  Exact DECIMAL sum: partitioning-
+    # independent.
+    l = spread(
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        sf_dir, "lineitem", "l_orderkey",
     )
     disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
     return (
