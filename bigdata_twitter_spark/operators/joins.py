@@ -710,7 +710,12 @@ def agg_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer name and order detail."""
     from ..numerics import dec
 
-    l = load(spark, sf_dir, "lineitem")
+    # Spread on l_orderkey: the per-order quantity rollup reuses the
+    # exchange (guide §2.4/2.5, see agg_q1_pricing); exact DECIMAL.
+    l = spread(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        sf_dir, "lineitem", "l_orderkey",
+    )
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     big = (
