@@ -182,8 +182,12 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ">cap identical vectors",
             HOT_BUCKET_CAP, audit["nb"], audit["nr"],
         )
-    keep = sizes.filter(F.col("occ") <= HOT_BUCKET_CAP).select("band", "bval")
-    bands = bands.join(F.broadcast(keep), ["band", "bval"])
+    # The cap itself is enforced GROUP-LOCALLY inside _verify_bucket
+    # (a bucket with more than HOT_BUCKET_CAP members returns no
+    # pairs) — exactly the set the former broadcast keep-join removed,
+    # without paying a join and its build job on the hot path (r14
+    # optimization; the audit above stays, so the cap is never
+    # silent).
     # BUCKET-LOCAL verification (round-4 scale fix): the previous plan
     # materialized candidate (a, b) pairs and then attached BOTH
     # embeddings per pair — ~2000 candidates/vector × 0.5 KB payload
@@ -198,74 +202,87 @@ def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's BigDecimal HALF_UP (away from zero), not numpy's
     # half-even.
     grouped = bands.join(e.select("vec_id", "embedding"), "vec_id")
+    # Verifier built at CALL time so the module-level cap is read per
+    # run (tests monkeypatch it).
     pairs = grouped.groupBy("band", "bval").applyInPandas(
-        _verify_bucket, schema="a_id long, b_id long, cosine double"
+        _verify_bucket_capped(HOT_BUCKET_CAP),
+        schema="a_id long, b_id long, cosine double",
     )
     # True pairs collide in several bands; output rows are identical
     # (deterministic cosine), so one aggregate-sized distinct dedups.
     return pairs.distinct()
 
 
-def _verify_bucket(pdf):
-    """Exact cosine over one (band, value) bucket; emits a<b pairs at
-    or above the threshold.  numpy, but dim-sequential so every sum
-    folds in the same order as the JVM/DuckDB expression twins."""
-    from decimal import Decimal, ROUND_HALF_UP
+def _verify_bucket_capped(cap: int):
+    """Build the group-local exact-cosine verifier with an explicit
+    occupancy cap: pairwise work on a >cap group is O(cap²) by
+    definition, so such groups emit NO pairs (the caller records the
+    run-level audit from its metadata-sized size aggregate — the cap
+    is enforced here but never silent).  Each caller pins its own cap
+    (sim_pairs_bucketed: HOT_BUCKET_CAP; dedup_semantic_cluster:
+    CLUSTER_CAP) instead of paying a broadcast keep-join on the hot
+    path."""
 
-    import numpy as np
-    import pandas as pd
+    def _verify(pdf):
+        from decimal import Decimal, ROUND_HALF_UP
 
-    pdf = pdf.sort_values("vec_id")
-    ids = pdf["vec_id"].to_numpy()
-    k = len(ids)
-    empty = pd.DataFrame(
-        {"a_id": pd.Series(dtype="int64"),
-         "b_id": pd.Series(dtype="int64"),
-         "cosine": pd.Series(dtype="float64")}
-    )
-    if k < 2:
-        return empty
-    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    dot = np.zeros((k, k))
-    nrm = np.zeros(k)
-    for d in range(m.shape[1]):
-        col = m[:, d]
-        dot += np.multiply.outer(col, col)
-        nrm += col * col
-    cos = dot / np.multiply.outer(np.sqrt(nrm), np.sqrt(nrm))
-    ii, jj = np.triu_indices(k, 1)
-    raw = cos[ii, jj]
-    # Rounding must EXACTLY match Spark's F.round on double —
-    # BigDecimal.valueOf(d) (shortest decimal repr) then setScale(6,
-    # HALF_UP).  Python's repr is the same shortest-repr algorithm and
-    # Decimal.quantize(HALF_UP) the same scaling, so the per-value loop
-    # below is bit-identical; no vectorized emulation is (floor(x*1e6
-    # + .5) diverges ~1 ulp from the shortest-repr path at x.xxxxx5
-    # boundaries).  JDK caveat (ADVICE r4): Double.toString on JDK < 19
-    # can emit a non-shortest decimal for rare values (JDK-4511638,
-    # fixed by the Ryū rewrite in 19), which could flip a cosine
-    # sitting exactly on a 6dp HALF_UP boundary; parity on the running
-    # JVM is therefore PINNED by tests/test_weak_ops.py::
-    # test_round6_parity_spark_vs_python_emulation, which feeds
-    # adversarial boundary doubles through Spark's F.round and this
-    # emulation side-by-side.  A 1e-6 guard band bounds the loop to
-    # near-output size: values below τ − 1e-6 cannot round up to τ.
-    cand = raw >= PAIR_COSINE_THRESHOLD - 1e-6
-    if not cand.any():
-        return empty
-    q6 = Decimal("0.000001")
-    r6 = np.fromiter(
-        (
-            float(Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP))
-            for x in raw[cand]
-        ),
-        dtype=np.float64,
-        count=int(cand.sum()),
-    )
-    keep = r6 >= PAIR_COSINE_THRESHOLD
-    if not keep.any():
-        return empty
-    return pd.DataFrame(
-        {"a_id": ids[ii[cand][keep]], "b_id": ids[jj[cand][keep]],
-         "cosine": r6[keep]}
-    )
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        k = len(ids)
+        empty = pd.DataFrame(
+            {"a_id": pd.Series(dtype="int64"),
+             "b_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if k < 2 or k > cap:
+            return empty
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        dot = np.zeros((k, k))
+        nrm = np.zeros(k)
+        for d in range(m.shape[1]):
+            col = m[:, d]
+            dot += np.multiply.outer(col, col)
+            nrm += col * col
+        cos = dot / np.multiply.outer(np.sqrt(nrm), np.sqrt(nrm))
+        ii, jj = np.triu_indices(k, 1)
+        raw = cos[ii, jj]
+        # Rounding must EXACTLY match Spark's F.round on double —
+        # BigDecimal.valueOf(d) (shortest decimal repr) then setScale(6,
+        # HALF_UP).  Python's repr is the same shortest-repr algorithm and
+        # Decimal.quantize(HALF_UP) the same scaling, so the per-value loop
+        # below is bit-identical; no vectorized emulation is (floor(x*1e6
+        # + .5) diverges ~1 ulp from the shortest-repr path at x.xxxxx5
+        # boundaries).  JDK caveat (ADVICE r4): Double.toString on JDK < 19
+        # can emit a non-shortest decimal for rare values (JDK-4511638,
+        # fixed by the Ryū rewrite in 19), which could flip a cosine
+        # sitting exactly on a 6dp HALF_UP boundary; parity on the running
+        # JVM is therefore PINNED by tests/test_weak_ops.py::
+        # test_round6_parity_spark_vs_python_emulation, which feeds
+        # adversarial boundary doubles through Spark's F.round and this
+        # emulation side-by-side.  A 1e-6 guard band bounds the loop to
+        # near-output size: values below τ − 1e-6 cannot round up to τ.
+        cand = raw >= PAIR_COSINE_THRESHOLD - 1e-6
+        if not cand.any():
+            return empty
+        q6 = Decimal("0.000001")
+        r6 = np.fromiter(
+            (
+                float(Decimal(repr(float(x))).quantize(q6, rounding=ROUND_HALF_UP))
+                for x in raw[cand]
+            ),
+            dtype=np.float64,
+            count=int(cand.sum()),
+        )
+        keep = r6 >= PAIR_COSINE_THRESHOLD
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"a_id": ids[ii[cand][keep]], "b_id": ids[jj[cand][keep]],
+             "cosine": r6[keep]}
+        )
+
+    return _verify
+

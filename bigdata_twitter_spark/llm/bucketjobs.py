@@ -51,7 +51,7 @@ from .bucketed import (
     SRP_BANDS,
     SRP_MAX_BITS,
     _plane_dot_sql,
-    _verify_bucket,
+    _verify_bucket_capped,
     bits_for,
 )
 from .embdedup import EXPECT_EXACT_ORACLE_ENV, ExactOracleRegimeExceeded
@@ -148,8 +148,12 @@ def run_bucket_jobs(
         rows = bands.join(F.broadcast(keep), ["band", "bval"]).join(
             vecs, "vec_id"
         )
+        # Groups are pre-capped by the ``minable`` filter above, so the
+        # verifier's group-local cap never fires here; built at call
+        # time so a monkeypatched cap stays consistent with the filter.
         pairs = rows.groupBy("band", "bval").applyInPandas(
-            _verify_bucket, schema="a_id long, b_id long, cosine double"
+            _verify_bucket_capped(HOT_BUCKET_CAP),
+            schema="a_id long, b_id long, cosine double",
         )
         pairs.write.mode("overwrite").parquet(job_dir)
     LAST_JOB_AUDIT.clear()

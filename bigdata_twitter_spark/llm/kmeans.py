@@ -90,30 +90,29 @@ def _det_mean(assigned: DataFrame, keys: list[str]) -> DataFrame:
 
     Sum via a left fold over the sorted member values so the result is
     bit-deterministic (float addition is non-associative; ``avg``'s
-    partial-sum order depends on the partition layout).  The
-    collect_list per (keys, pos) group holds one cluster's values for
-    one dimension — bounded by cluster occupancy ≈ TARGET_CLUSTER_SIZE
-    at every scale regime, so the array never grows with n.
+    partial-sum order depends on the partition layout).  One groupBy
+    collects each cluster's member embeddings (bounded by cluster
+    occupancy ≈ TARGET_CLUSTER_SIZE at every scale regime, so the
+    array never grows with n) and the per-dimension sorted folds run
+    as HOFs inside the group row — ONE exchange of n embedding rows
+    instead of the previous posexplode's two exchanges of n×DIM
+    (pos, val) rows (r14 optimization; bit-identical by construction:
+    same values, same sort, same fold order — asserted by the numpy
+    referee in tests/test_weak_ops.py and a fixed-point compare in
+    tests/test_round14_opt.py).
     """
     return (
-        assigned.select(
-            *keys, F.posexplode("embedding").alias("pos", "val")
+        assigned.groupBy(*keys)
+        .agg(F.collect_list("embedding").alias("embs"))
+        .select(
+            *keys,
+            F.expr(
+                f"transform(sequence(0, {DIM - 1}), i -> "
+                "aggregate(array_sort(transform(embs,"
+                " e -> CAST(e[i] AS DOUBLE))), CAST(0.0 AS DOUBLE),"
+                " (acc, v) -> acc + v) / size(embs))"
+            ).alias("centroid"),
         )
-        .withColumn("val", F.col("val").cast("double"))
-        .groupBy(*keys, "pos")
-        .agg(
-            (
-                F.aggregate(
-                    F.array_sort(F.collect_list("val")),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / F.count("val")
-            ).alias("m")
-        )
-        .groupBy(*keys)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(*keys, F.col("pm.m").alias("centroid"))
     )
 
 

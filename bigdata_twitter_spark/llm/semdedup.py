@@ -100,7 +100,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, cluster, n_sem_dups, is_kept)."""
     # Lazily imported so this module never re-anchors the k-means /
     # bucketed-LSH registry positions.
-    from .bucketed import _verify_bucket
+    from .bucketed import _verify_bucket_capped
     from .kmeans import cluster_kmeans_lloyd
 
     assign = persist_fresh(
@@ -127,17 +127,20 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "if the corpus carries >cap identical vectors",
             CLUSTER_CAP, audit["nc"], audit["nr"],
         )
-    keep_cl = sizes.filter(F.col("occ") <= CLUSTER_CAP).select("cluster")
     # CLUSTER-LOCAL verification (round-4, same fix as bucketed.py):
     # each vector ships once into its cluster group and cosines are
     # computed inside the group — shuffle ∝ n, never ∝ candidate
-    # pairs with vector payloads attached per pair.
+    # pairs with vector payloads attached per pair.  The cluster cap
+    # is enforced GROUP-LOCALLY by the capped verifier (a >cap group
+    # emits no pairs — exactly the set the former broadcast keep-join
+    # removed, without a join and its build job on the hot path; the
+    # audit above keeps the cap visible).
     pairs = (
-        assign.join(F.broadcast(keep_cl), "cluster")
-        .join(emb, "vec_id")
+        assign.join(emb, "vec_id")
         .groupBy("cluster")
         .applyInPandas(
-            _verify_bucket, schema="a_id long, b_id long, cosine double"
+            _verify_bucket_capped(CLUSTER_CAP),
+            schema="a_id long, b_id long, cosine double",
         )
         .select("a_id", "b_id")
     )
