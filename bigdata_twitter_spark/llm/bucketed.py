@@ -152,11 +152,18 @@ def _band_values(r: int) -> F.Column:
         "sim_pairs_threshold's O(n²) cross-join."
     ),
 )
-def sim_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding pairs with cosine ≥ 0.4, mined within LSH buckets only."""
+def sim_pairs_bucketed(
+    spark: SparkSession, sf_dir: str, n: int | None = None
+) -> DataFrame:
+    """Embedding pairs with cosine ≥ 0.4, mined within LSH buckets only.
+
+    ``n`` lets a caller that already counted the corpus this
+    invocation (dedup_embedding's regime router) skip the second
+    count job; the driver calls with two arguments and counts here.
+    """
     e = load(spark, sf_dir, "embeddings")
     # One scalar count picks the band width (catalog stats at 100 TB).
-    r = bits_for(e.count())
+    r = bits_for(e.count() if n is None else n)
     # 16×r plane dot-products × 64 dims per row — CPU-bound, spread the scan.
     bands = spread(e, sf_dir, "embeddings", "vec_id").select(
         "vec_id",

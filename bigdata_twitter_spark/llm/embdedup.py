@@ -108,8 +108,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oracle is not valid at this scale — downgrade to a "
             "rows-only check or run at n <= EXACT_PAIRS_MAX"
         )
-    miner = (
-        sim_pairs_threshold if n <= EXACT_PAIRS_MAX else sim_pairs_bucketed
+    # The bucketed miner reuses this invocation's count (one fewer
+    # scalar job); the exact miner needs no corpus stats.
+    mined = (
+        sim_pairs_threshold(spark, sf_dir)
+        if n <= EXACT_PAIRS_MAX
+        else sim_pairs_bucketed(spark, sf_dir, n)
     )
     # The symmetrization union consumes the mined pair list twice;
     # persist it (result-sized) so the whole mining pipeline runs
@@ -117,7 +121,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = persist_fresh(
         "embdedup_pairs",
         sf_dir,
-        miner(spark, sf_dir).select("a_id", "b_id"),
+        mined.select("a_id", "b_id"),
     )
     sym = pairs.select(
         F.col("a_id").alias("id"), F.col("b_id").alias("nb")
