@@ -35,6 +35,7 @@ declared exact-oracle intent, exactly like ``dedup_embedding``'s guard.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -55,6 +56,7 @@ from .bucketed import (
     bits_for,
 )
 from .embdedup import EXPECT_EXACT_ORACLE_ENV, ExactOracleRegimeExceeded
+from .orchestration import _atexit_reclaim, reclaim_runs
 from .vectors import DIMS, PAIR_COSINE_THRESHOLD, duck_cosine
 
 BUCKET_JOB_SHARDS = 4  # S — same default as orchestration.N_SHARDS
@@ -68,11 +70,15 @@ ORACLE_BITS_MAX = 6
 _RUN_BASE = os.path.join(tempfile.gettempdir(), "bdt_spark_bucketjobs")
 
 # Run dirs created by THIS process, reclaimed at the next invocation;
-# foreign processes' run dirs are never touched (see orchestration.py
-# — rmtree of the shared base destroys a concurrent process's
-# in-flight job commit).  The latest run dir is exposed for tests.
+# FRESH foreign run dirs are never touched (see orchestration.py —
+# rmtree of the shared base destroys a concurrent process's in-flight
+# job commit), but day-old ones are GC'd as crash leftovers and the
+# atexit hook removes this process's final dir on normal exit.  The
+# latest run dir is exposed for tests.
 _MY_RUNS: list[str] = []
 LAST_RUN_DIR: str = ""
+
+atexit.register(_atexit_reclaim, _MY_RUNS)
 
 # Job-loop audit of the most recent run (the "no silent caps" rule —
 # VERDICT r4/r5): how many jobs COULD have run under mod-sharding,
@@ -246,8 +252,7 @@ def sim_pairs_bucket_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding pairs with cosine ≥ 0.4 mined as a loop of per-bucket-
     shard jobs; cross-shard jobs are provably empty and never run."""
     global LAST_RUN_DIR
-    while _MY_RUNS:
-        shutil.rmtree(_MY_RUNS.pop(), ignore_errors=True)
+    reclaim_runs(_MY_RUNS, _RUN_BASE)
     run_dir = os.path.join(_RUN_BASE, uuid.uuid4().hex[:12])
     os.makedirs(run_dir, exist_ok=True)
     _MY_RUNS.append(run_dir)

@@ -98,8 +98,7 @@ def _det_mean(assigned: DataFrame, keys: list[str]) -> DataFrame:
     instead of the previous posexplode's two exchanges of n×DIM
     (pos, val) rows (r14 optimization; bit-identical by construction:
     same values, same sort, same fold order — asserted by the numpy
-    referee in tests/test_weak_ops.py and a fixed-point compare in
-    tests/test_round14_opt.py).
+    referee ``_det_mean_np`` in tests/test_weak_ops.py).
     """
     return (
         assigned.groupBy(*keys)

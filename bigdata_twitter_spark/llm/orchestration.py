@@ -32,9 +32,11 @@ hash-grade rather than a recall contract.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +59,41 @@ _RUN_BASE = os.path.join(tempfile.gettempdir(), "bdt_spark_shardjobs")
 # name.  The latest run dir is exposed for tests.
 _MY_RUNS: list[str] = []
 LAST_RUN_DIR: str = ""
+
+# Foreign run dirs this old are crash leftovers, not live writers: a
+# run completes in seconds-to-minutes and the atexit hook below removes
+# a process's own dirs on normal exit, so anything day-old under the
+# shared base is dead weight (parquet handoffs can be large — ADVICE
+# r14 flagged the unbounded growth the process-local reclaim left).
+_STALE_RUN_AGE_S = 24 * 3600
+
+
+def reclaim_runs(my_runs: list[str], base: str) -> None:
+    """Reclaim THIS process's previous run dirs, then GC foreign run
+    dirs whose mtime is older than ``_STALE_RUN_AGE_S``.  Fresh foreign
+    dirs are never touched — rmtree of a concurrent process's in-flight
+    job commit destroys its ``_temporary`` staging (the r14 incident)."""
+    while my_runs:
+        shutil.rmtree(my_runs.pop(), ignore_errors=True)
+    try:
+        cutoff = time.time() - _STALE_RUN_AGE_S
+        for d in os.listdir(base):
+            p = os.path.join(base, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
+def _atexit_reclaim(my_runs: list[str]) -> None:
+    for d in my_runs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_atexit_reclaim, _MY_RUNS)
 
 
 def _self_dot() -> F.Column:
@@ -146,10 +183,10 @@ def sim_pairs_sharded_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, parquet handoff); union of jobs ≡ the all-pairs answer."""
     # THIS process's previous handoff dirs are dead state — reclaim
     # them (same one-invocation cache bound as graph_triangle_count);
-    # other processes' run dirs may be mid-write and are left alone.
+    # fresh foreign run dirs may be mid-write and are left alone, but
+    # day-old ones are crash leftovers and are GC'd.
     global LAST_RUN_DIR
-    while _MY_RUNS:
-        shutil.rmtree(_MY_RUNS.pop(), ignore_errors=True)
+    reclaim_runs(_MY_RUNS, _RUN_BASE)
     run_dir = os.path.join(_RUN_BASE, uuid.uuid4().hex[:12])
     os.makedirs(run_dir, exist_ok=True)
     _MY_RUNS.append(run_dir)

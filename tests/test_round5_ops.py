@@ -101,6 +101,31 @@ def test_sharded_jobs_reclaim_spares_foreign_run_dirs(specs, spark, sf_dir):
         shutil.rmtree(foreign, ignore_errors=True)
 
 
+def test_reclaim_runs_gcs_stale_foreign_dirs(tmp_path):
+    """Day-old foreign run dirs are crash leftovers and ARE GC'd (the
+    r14 process-local reclaim left them forever — ADVICE r14), while a
+    fresh foreign dir still survives."""
+    import time as _time
+
+    from bigdata_twitter_spark.llm import orchestration
+
+    base = str(tmp_path / "base")
+    stale = os.path.join(base, "stale_run")
+    fresh = os.path.join(base, "fresh_run")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - orchestration._STALE_RUN_AGE_S - 60
+    os.utime(stale, (old, old))
+    mine = os.path.join(base, "my_run")
+    os.makedirs(mine)
+    my_runs = [mine]
+    orchestration.reclaim_runs(my_runs, base)
+    assert my_runs == []
+    assert not os.path.exists(mine)  # own dirs reclaimed
+    assert not os.path.exists(stale)  # stale foreign dirs GC'd
+    assert os.path.exists(fresh)  # fresh foreign dirs survive
+
+
 def test_sharded_jobs_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
     """Kill one job of a completed run and resume: only that job may be
     recomputed (completed jobs' outputs untouched — checked by file
