@@ -173,28 +173,41 @@ def sim_pairs_bucketed(
     # self-join computes the projections once, not twice.
     bands = persist_fresh("srp_bands", sf_dir, bands)
     # Hot-bucket cap: bucket sizes are ≤ bands × 2^r rows (metadata-
-    # sized) — broadcast and drop degenerate buckets from BOTH sides.
+    # sized).  The audit collects the >cap bucket LIST (not just its
+    # counts — same one job, the list is empty on normal corpora), so
+    # the degenerate path can keep-filter BEFORE the payload shuffle.
     sizes = bands.groupBy("band", "bval").agg(F.count("*").alias("occ"))
-    audit = sizes.filter(F.col("occ") > HOT_BUCKET_CAP).agg(
-        F.count("*").alias("nb"),
-        F.coalesce(F.sum("occ"), F.lit(0)).alias("nr"),
-    ).collect()[0]
-    LAST_CAP_AUDIT["dropped_buckets"] = int(audit["nb"])
-    LAST_CAP_AUDIT["dropped_rows"] = int(audit["nr"])
-    if audit["nb"]:
+    hot = sizes.filter(F.col("occ") > HOT_BUCKET_CAP).collect()
+    LAST_CAP_AUDIT["dropped_buckets"] = len(hot)
+    LAST_CAP_AUDIT["dropped_rows"] = int(sum(r["occ"] for r in hot))
+    if hot:
         _log.warning(
             "sim_pairs_bucketed: hot-bucket cap (%d) dropped %d "
             "bucket(s) / %d band-row(s); pairs inside them are NOT "
             "mined — run exact dedup upstream if the corpus carries "
             ">cap identical vectors",
-            HOT_BUCKET_CAP, audit["nb"], audit["nr"],
+            HOT_BUCKET_CAP, len(hot), LAST_CAP_AUDIT["dropped_rows"],
         )
-    # The cap itself is enforced GROUP-LOCALLY inside _verify_bucket
-    # (a bucket with more than HOT_BUCKET_CAP members returns no
-    # pairs) — exactly the set the former broadcast keep-join removed,
-    # without paying a join and its build job on the hot path (r14
-    # optimization; the audit above stays, so the cap is never
-    # silent).
+        # Audit-guarded keep-filter (VERDICT r14 item 1): a >cap
+        # bucket must never enter the payload shuffle — Arrow
+        # materializes the ENTIRE group (embeddings included) in one
+        # Python worker before the verifier's k>cap early-return can
+        # discard it, so the group-local cap alone is a single-
+        # executor OOM at scale.  The hot list is metadata-sized
+        # (≤ bands × 2^r buckets), broadcast-anti-joined against the
+        # band rows; the clean path below stays join-free.
+        hot_df = spark.createDataFrame(
+            [(r["band"], r["bval"]) for r in hot],
+            sizes.select("band", "bval").schema,
+        )
+        bands = bands.join(
+            F.broadcast(hot_df), ["band", "bval"], "left_anti"
+        )
+    # The cap is ALSO enforced GROUP-LOCALLY inside _verify_bucket (a
+    # bucket with more than HOT_BUCKET_CAP members returns no pairs) —
+    # defense in depth behind the keep-filter above, and the only
+    # enforcement the clean path pays for (no join, no build job —
+    # r14 optimization; the audit stays, so the cap is never silent).
     # BUCKET-LOCAL verification (round-4 scale fix): the previous plan
     # materialized candidate (a, b) pairs and then attached BOTH
     # embeddings per pair — ~2000 candidates/vector × 0.5 KB payload

@@ -250,32 +250,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
-    # ONE groupBy collects each (band, signature) bucket's sorted
-    # member ids — replacing the previous occupancy-aggregate +
-    # keep-filter join + band-table self-join (three persisted
-    # consumers of the shingle/minhash subtree, two extra exchanges).
-    # A bucket row is ≤ cap ids (the cap below bounds pairwise work),
-    # so the grouped table is bucket-count-sized; the audit and the
-    # pair listing are its only two consumers (r14 optimization,
-    # measured 1.95 → ~1.3 s best-of-3 at sf0.1; identical pairs —
-    # a<b over the same capped buckets).
-    grouped = persist_fresh(
-        "lsh_buckets",
-        sf_dir,
-        bands.groupBy("band", "band_sig").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
-        ),
+    # Two-phase bucket grouping (VERDICT r14 item 1): the r14 single
+    # groupBy collected EVERY bucket's ids and applied the occupancy
+    # cap afterwards, so a degenerate >cap clique built an unbounded
+    # collect_list buffer (one aggregation row holding ~n doc_ids)
+    # before the size filter could drop it.  Instead persist the
+    # 3-long band rows once, take a partial-aggregatable occupancy
+    # count (bounded buffers at every scale), collect the >cap bucket
+    # LIST (metadata-sized, empty on normal corpora) for the audit,
+    # and keep-filter hot buckets BEFORE the collect_list — the
+    # grouped rows are now ≤ cap ids by construction.  Costs one
+    # extra exchange of (band, band_sig, partial-count) rows over the
+    # r14 plan; identical pairs (a<b over the same capped buckets).
+    bands = persist_fresh("lsh_bands", sf_dir, bands)
+    sizes = bands.groupBy("band", "band_sig").agg(
+        F.count("*").alias("occ")
     )
-    audit = grouped.filter(F.size("ids") > LSH_HOT_BUCKET_CAP).agg(
-        F.count("*").alias("b"),
-        F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("r"),
-    ).collect()[0]
-    LAST_LSH_CAP_AUDIT["dropped_buckets"] = int(audit["b"])
-    LAST_LSH_CAP_AUDIT["dropped_rows"] = int(audit["r"])
-    return (
-        grouped.filter(
-            (F.size("ids") >= 2) & (F.size("ids") <= LSH_HOT_BUCKET_CAP)
+    hot = sizes.filter(F.col("occ") > LSH_HOT_BUCKET_CAP).collect()
+    LAST_LSH_CAP_AUDIT["dropped_buckets"] = len(hot)
+    LAST_LSH_CAP_AUDIT["dropped_rows"] = int(sum(r["occ"] for r in hot))
+    if hot:
+        hot_df = spark.createDataFrame(
+            [(r["band"], r["band_sig"]) for r in hot],
+            sizes.select("band", "band_sig").schema,
         )
+        bands = bands.join(
+            F.broadcast(hot_df), ["band", "band_sig"], "left_anti"
+        )
+    grouped = bands.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    return (
+        grouped.filter(F.size("ids") >= 2)
         .select(
             F.explode(
                 F.expr(

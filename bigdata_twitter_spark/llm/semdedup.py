@@ -110,33 +110,45 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # Hot-cluster cap (the HOT_BUCKET_CAP analog): cluster sizes are a
-    # K-row aggregate — audit oversized clusters, then exclude them
-    # from mining on both engines.
+    # K-row aggregate — the audit collects the >cap cluster LIST (same
+    # one job as the old counts-only aggregate; empty on normal
+    # corpora) so the degenerate path can keep-filter BEFORE the
+    # payload shuffle.
     sizes = assign.groupBy("cluster").agg(F.count("*").alias("occ"))
-    audit = sizes.filter(F.col("occ") > CLUSTER_CAP).agg(
-        F.count("*").alias("nc"),
-        F.coalesce(F.sum("occ"), F.lit(0)).alias("nr"),
-    ).collect()[0]
-    LAST_CLUSTER_AUDIT["dropped_clusters"] = int(audit["nc"])
-    LAST_CLUSTER_AUDIT["dropped_rows"] = int(audit["nr"])
-    if audit["nc"]:
+    hot = sizes.filter(F.col("occ") > CLUSTER_CAP).collect()
+    LAST_CLUSTER_AUDIT["dropped_clusters"] = len(hot)
+    LAST_CLUSTER_AUDIT["dropped_rows"] = int(sum(r["occ"] for r in hot))
+    mine = assign
+    if hot:
         _log.warning(
             "dedup_semantic_cluster: hot-cluster cap (%d) excluded %d "
             "cluster(s) / %d vector(s) from pair mining; their members "
             "pass through as is_kept=true — run exact dedup upstream "
             "if the corpus carries >cap identical vectors",
-            CLUSTER_CAP, audit["nc"], audit["nr"],
+            CLUSTER_CAP, len(hot), LAST_CLUSTER_AUDIT["dropped_rows"],
         )
+        # Audit-guarded keep-filter (VERDICT r14 item 1): a >cap
+        # cluster must never enter the payload shuffle — Arrow
+        # materializes the ENTIRE group (embeddings included) in one
+        # Python worker before the verifier's k>cap early-return can
+        # discard it.  The hot list is ≤ K rows; broadcast-anti-join
+        # it against the assignment before attaching payloads.  The
+        # clean path below stays join-free.
+        hot_df = spark.createDataFrame(
+            [(r["cluster"],) for r in hot],
+            sizes.select("cluster").schema,
+        )
+        mine = assign.join(F.broadcast(hot_df), ["cluster"], "left_anti")
     # CLUSTER-LOCAL verification (round-4, same fix as bucketed.py):
     # each vector ships once into its cluster group and cosines are
     # computed inside the group — shuffle ∝ n, never ∝ candidate
     # pairs with vector payloads attached per pair.  The cluster cap
-    # is enforced GROUP-LOCALLY by the capped verifier (a >cap group
-    # emits no pairs — exactly the set the former broadcast keep-join
-    # removed, without a join and its build job on the hot path; the
-    # audit above keeps the cap visible).
+    # is ALSO enforced GROUP-LOCALLY by the capped verifier (a >cap
+    # group emits no pairs) — defense in depth behind the keep-filter
+    # above, and the only enforcement the clean path pays for (no
+    # join, no build job; the audit keeps the cap visible).
     pairs = (
-        assign.join(emb, "vec_id")
+        mine.join(emb, "vec_id")
         .groupBy("cluster")
         .applyInPandas(
             _verify_bucket_capped(CLUSTER_CAP),

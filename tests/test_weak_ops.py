@@ -553,6 +553,10 @@ def test_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(bk, "HOT_BUCKET_CAP", n_dup - 1)
     got = bk.sim_pairs_bucketed(spark, sf_dir)
+    # VERDICT r14 item 1: hot buckets are keep-filtered BEFORE the
+    # payload shuffle (anti-join in the plan), so a degenerate bucket
+    # never materializes as one Arrow group in a Python worker.
+    assert "LeftAnti" in got._jdf.queryExecution().executedPlan().toString()
     pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
     # The identical block shares EVERY band bucket at >cap occupancy,
     # so none of its pairs can be mined ...
@@ -560,9 +564,13 @@ def test_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
     # ... and the audit must say exactly that.
     assert bk.LAST_CAP_AUDIT["dropped_buckets"] > 0
     assert bk.LAST_CAP_AUDIT["dropped_rows"] >= n_dup
-    # Cap off again: pairs return and the audit resets to zero.
+    # Cap off again: pairs return and the audit resets to zero; the
+    # clean path stays join-free (no anti-join on normal corpora).
     monkeypatch.setattr(bk, "HOT_BUCKET_CAP", 10_000)
     got = bk.sim_pairs_bucketed(spark, sf_dir)
+    assert (
+        "LeftAnti" not in got._jdf.queryExecution().executedPlan().toString()
+    )
     pairs = {(r["a_id"], r["b_id"]) for r in got.collect()}
     assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= pairs
     assert bk.LAST_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}
@@ -616,15 +624,26 @@ def test_lsh_hot_bucket_cap_fires_visibly(spark, tmp_path, monkeypatch):
     )
 
     monkeypatch.setattr(dd, "LSH_HOT_BUCKET_CAP", n_dup - 1)
-    got = _pairs(dd.dedup_minhash_lsh(spark, sf_dir))
+    hot_df = dd.dedup_minhash_lsh(spark, sf_dir)
+    # VERDICT r14 item 1: hot buckets are keep-filtered BEFORE the
+    # collect_list groupBy (anti-join in the plan), so a degenerate
+    # clique never builds an unbounded aggregation buffer.
+    assert "LeftAnti" in hot_df._jdf.queryExecution().executedPlan().toString()
+    got = _pairs(hot_df)
     # The clique shares EVERY band bucket at >cap occupancy: no pairs...
     assert not any(a < n_dup and b < n_dup for a, b in got), got
     # ...and the audit says exactly that.
     assert dd.LAST_LSH_CAP_AUDIT["dropped_buckets"] > 0
     assert dd.LAST_LSH_CAP_AUDIT["dropped_rows"] >= n_dup
-    # Cap off again: the clique pairs return, audit resets to zero.
+    # Cap off again: the clique pairs return, audit resets to zero;
+    # the clean path stays anti-join-free.
     monkeypatch.setattr(dd, "LSH_HOT_BUCKET_CAP", 10_000)
-    got = _pairs(dd.dedup_minhash_lsh(spark, sf_dir))
+    clean_df = dd.dedup_minhash_lsh(spark, sf_dir)
+    assert (
+        "LeftAnti"
+        not in clean_df._jdf.queryExecution().executedPlan().toString()
+    )
+    got = _pairs(clean_df)
     assert {(a, b) for a in range(n_dup) for b in range(a + 1, n_dup)} <= got
     assert dd.LAST_LSH_CAP_AUDIT == {"dropped_buckets": 0, "dropped_rows": 0}
 
