@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
-from .vectors import DIMS, duck_cosine, spark_cosine
+from ..tables import load, spread
+from .vectors import DIMS, duck_cosine
 
 KNN_K = 3
 
@@ -61,10 +61,41 @@ KNN_K = 3
 def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-3 cosine neighbors for every vector (kNN graph)."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    # Hoist each side's self-dot out of the pair projection: the naive
+    # spark_cosine recomputes BOTH norms per pair (3 x 64-term folds x
+    # n² pairs); precomputing them per ROW leaves one fold per pair —
+    # the same expression over the same values, so the double (and its
+    # 6dp rounding) is bit-identical (guide §1.2 step 2).
+    sq = F.expr(
+        "aggregate(zip_with(embedding, embedding,"
+        " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # Spread the probe side by src BEFORE the broadcast join: the scan
+    # is a single split locally, so the n² cosine folds would run on
+    # one core; hash-partitioning on src is also exactly the window's
+    # clustered-distribution requirement, so the n² pair rows never
+    # shuffle — the ONLY exchange is the n-row pre-join spread (guide
+    # §2.4/§2.5; no-op at real scan widths).
+    a = spread(e, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"),
+        sq.alias("sa"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"),
+        sq.alias("sb"),
+    )
+    dot_ab = F.expr(
+        "aggregate(zip_with(va, vb,"
+        " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     pairs = a.join(F.broadcast(b), F.col("src") != F.col("dst")).select(
-        "src", "dst", spark_cosine("va", "vb").alias("cosine")
+        "src",
+        "dst",
+        F.round(dot_ab / (F.sqrt("sa") * F.sqrt("sb")), 6).alias("cosine"),
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst").asc()
