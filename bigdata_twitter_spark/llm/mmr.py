@@ -16,10 +16,11 @@ replay it as K unrolled CTEs.
 Scale posture: the corpus-sized work is the ONE retrieval scan
 (broadcast query, TakeOrdered top-POOL — sim_cosine_topk's plan); the
 greedy loop then operates on the POOL-row persisted table only, K
-iterations of (anti-join + broadcast-selected cosine max + top-1) —
-every per-step input is pool-sized, independent of corpus size, and
-nothing is collected to the driver.  At 100 TB the retrieval scan is
-replaced by any ANN key (sim_ivf_topk / sim_pairs_bucket_jobs) and
+iterations of (isin-filter + literal-inlined cosine max + top-1), each
+pick a single collected row that gates the next step's plan — the
+kmeans literal-inlined-model pattern; every per-step input is
+pool-sized, independent of corpus size.  At 100 TB the retrieval scan
+is replaced by any ANN key (sim_ivf_topk / sim_pairs_bucket_jobs) and
 this loop re-ranks its candidates unchanged.
 """
 
@@ -90,14 +91,16 @@ def _mmr_oracle_sql() -> str:
         "MMR re-rank, λ=1/2: one corpus-sized retrieval scan "
         "(broadcast query + TakeOrdered top-POOL, sim_cosine_topk's "
         "plan) feeds a persisted POOL-row table; the K-step greedy "
-        "loop then runs entirely on pool-sized inputs — anti-join "
-        "against selections, max-cosine vs the (≤K-row, broadcast) "
-        "selected set, global top-1 — with NO driver collect anywhere "
-        "(the selected set stays a unioned Catalyst plan).  Every "
-        "cosine is the shared 6dp fold and ties break by vec_id, so "
-        "the greedy trajectory is engine-independent and the oracle "
-        "replays it as K unrolled CTEs.  At 100 TB the scan swaps for "
-        "any ANN candidate key; the re-rank loop is unchanged."
+        "loop then runs entirely on pool-sized inputs, each pick a "
+        "1-row collect whose embedding is literal-inlined into the "
+        "next step's scoring (the kmeans pattern — model state gates "
+        "the next plan; r15: the former all-lazy nested-union plan "
+        "replayed every earlier step's subtree, 362 Exchange nodes "
+        "of pure planning overhead).  Every cosine is the shared 6dp "
+        "fold and ties break by vec_id, so the greedy trajectory is "
+        "engine-independent and the oracle replays it as K unrolled "
+        "CTEs.  At 100 TB the scan swaps for any ANN candidate key; "
+        "the re-rank loop is unchanged (pool stays POOL rows)."
     ),
 )
 def embed_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,46 +126,88 @@ def embed_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             MMR_POOL
         ),
     )
-    first = (
+    # Greedy loop with LITERAL-INLINED selections (r15 optimization,
+    # guide §3.3/§7.2): the former all-lazy loop kept the selected set
+    # as a nested union of Catalyst plans, so step k's plan replayed
+    # every earlier step's subtree — the final plan carried 362
+    # Exchange nodes and its cost was planning, not data.  Instead
+    # each pick is ONE collected row (the kmeans pattern: literal-
+    # inlined model state gates the next plan; a 1-row collect is not
+    # driver data work at any scale) and the next step scores the
+    # pool against the picked embeddings inlined as array literals.
+    # Bit-identity with the old plan: the selected-side self-dot is
+    # the same left fold over the same widened doubles (computed once
+    # in Python — IEEE ops match the JVM fold exactly, pinned in
+    # tests), sqrt/products/rounding all stay JVM-side, and
+    # greatest() over the per-pick cosine columns equals MAX(sim)
+    # over selected rows (max of doubles is order-independent and
+    # both treat NaN as greatest).
+    def _self_dot(vals: list[float]) -> float:
+        acc = 0.0
+        for x in vals:
+            acc += float(x) * float(x)
+        return acc
+
+    picked = (
         pool.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(1)
-        .select("vec_id", "embedding", "rel", F.col("rel").alias("score"))
+        .collect()
     )
-    selected = first.withColumn("rank", F.lit(1))
+    rows = [
+        (1, r["vec_id"], float(r["rel"]), float(r["rel"]), r["embedding"])
+        for r in picked[:1]
+    ]
     for k in range(2, MMR_K + 1):
-        sel = selected.select(
-            F.col("vec_id").alias("s_id"),
-            F.col("embedding").alias("s_emb"),
-        )
-        cand = pool.join(
-            sel.select("s_id"),
-            pool["vec_id"] == F.col("s_id"),
-            "left_anti",
-        )
-        scored = (
-            cand.join(F.broadcast(sel))
+        if not rows:
+            break
+        sims = []
+        for _, _, _, _, s_emb in rows:
+            lit_arr = F.array(*[F.lit(float(x)) for x in s_emb])
+            dot_ab = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    lit_arr,
+                    lambda p, q: p.cast("double") * q,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
+            dot_aa = F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            sims.append(
+                F.round(
+                    dot_ab
+                    / (
+                        F.sqrt(dot_aa)
+                        * F.sqrt(F.lit(_self_dot(s_emb)))
+                    ),
+                    6,
+                )
+            )
+        max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        nxt = (
+            pool.filter(
+                ~F.col("vec_id").isin([r[1] for r in rows])
+            )
             .select(
                 "vec_id",
                 "embedding",
                 "rel",
-                spark_cosine("embedding", "s_emb").alias("sim"),
+                F.round((F.col("rel") - max_sim) / 2, 6).alias("score"),
             )
-            .groupBy("vec_id", "embedding", "rel")
-            .agg(
-                F.round(
-                    (F.col("rel") - F.max("sim")) / 2, 6
-                ).alias("score")
-            )
-        )
-        nxt = (
-            scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
             .limit(1)
-            .withColumn("rank", F.lit(k))
+            .collect()
         )
-        selected = selected.unionAll(nxt)
-    return selected.select(
-        F.col("rank").cast("int").alias("rank"),
-        "vec_id",
-        F.col("rel").alias("relevance"),
-        F.col("score").alias("mmr_score"),
+        rows.extend(
+            (k, r["vec_id"], float(r["rel"]), float(r["score"]), r["embedding"])
+            for r in nxt[:1]
+        )
+    id_type = dict(pool.dtypes)["vec_id"]
+    return spark.createDataFrame(
+        [(rk, vid, rel, sc) for rk, vid, rel, sc, _ in rows],
+        f"rank int, vec_id {id_type}, relevance double, mmr_score double",
     )
