@@ -58,6 +58,42 @@ def _fresh_dir(label: str) -> str:
     return base
 
 
+def _write_sentinel_file(path: str, rows: list[tuple]) -> str:
+    """Write a sentinel events parquet file DRIVER-SIDE (pyarrow).
+
+    The sentinel protocol's 1-2 row files used to go through
+    ``spark.createDataFrame(...).coalesce(1).write.parquet(...)`` — a
+    pickled-RDD scan whose single task measured 4-8 s per write in
+    this environment (each write re-pays Python-worker spin-up), i.e.
+    ~9 s of the session-window/outer-join replay construction at any
+    SF.  A driver-side write of a 2-row file is not data work (guide
+    §5); the file is bit-compatible with the Spark-written base file
+    (int64/timestamp[us, UTC]/float64/string columns, read back under
+    the explicit EVENTS_US_SCHEMA) and keeps the ``.parquet`` suffix
+    the replay-dir bookkeeping expects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    utc = dt.timezone.utc
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(
+                [t.replace(tzinfo=utc) for t in cols[1]],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    out = os.path.join(path, f"sentinel-{uuid.uuid4().hex[:12]}.parquet")
+    pq.write_table(table, out)
+    return out
+
+
 # State-store backends for every stateful operator in this module.  On a
 # real cluster RocksDB is the production choice (state spills to local
 # disk instead of executor heap, changelog checkpointing to the cluster
@@ -431,16 +467,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass.  Sentinel A's own session never evicts (no third batch) —
     # harmless, it is filtered from the read-back.  Identical outputs
     # to the old base → A → B plan, one fewer stateful micro-batch.
+    # Sentinel files are written driver-side (_write_sentinel_file):
+    # the former 1-row Spark writes cost 4-8 s EACH here (r15).
     for days, eid in ((30, -1), (60, -2)):
-        sent = spark.createDataFrame(
+        _write_sentinel_file(
+            path,
             [(eid, max_ts + dt.timedelta(days=days), -1, "click", 0.0, "{}")],
-            EVENTS_US_SCHEMA,
         )
         if eid == -1:
-            sent.coalesce(1).write.mode("append").parquet(path)
             grp0 = _parts()
-        else:
-            sent.coalesce(1).write.mode("append").parquet(path)
     batches = [grp0, _parts() - grp0]
     # Pin batch order (base+A) → B with strictly increasing PAST
     # mtimes (the file source skips future-dated files and orders by
@@ -1254,18 +1289,19 @@ def stream_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             f for f in os.listdir(path) if f.endswith(".parquet")
         }
 
+    # Sentinel files are written driver-side (_write_sentinel_file):
+    # the former 2-row Spark writes cost 4-8 s EACH here (r15).
     grp0: set[str] = set()
     for days, eid in ((30, -1), (60, -3)):
-        sent = spark.createDataFrame(
+        _write_sentinel_file(
+            path,
             [
                 (eid, max_ts + dt.timedelta(days=days), -1,
                  "click", 0.0, "{}"),
                 (eid - 1, max_ts + dt.timedelta(days=days), -1,
                  "purchase", 0.0, "{}"),
             ],
-            EVENTS_US_SCHEMA,
         )
-        sent.coalesce(1).write.mode("append").parquet(path)
         if eid == -1:
             grp0 = _parts()
     batches = [grp0, _parts() - grp0]
